@@ -1,0 +1,110 @@
+"""Typed configuration for the whole engine.
+
+The reference scatters its tunables across argparse defaults
+(``src/CoRAL.py``), class attributes (``src/infer_breakpoint_graph.py:25-33``)
+and keyword defaults (``src/cycle_decomposition.py:14-15,980-982``), plus
+inline magic numbers (mapq gates, 500 bp min_overlap, 6 kb CN-boundary
+windows).  Here every knob lives in one frozen dataclass tree so host code,
+jitted kernels, and the CLI all read the same values.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class SeedConfig:
+    """CN-gain seeding (reference ``src/cnv_seed.py:6-9``)."""
+    gain: float = 6.0                 # absolute CN threshold for seeds
+    min_seed_size: int = 99999        # CNSIZE_MIN
+    max_seed_size: int = 5000001      # CNSIZE_MAX (not CLI-exposed upstream)
+    max_seg_gap: int = 300001         # CNGAP_MAX
+
+
+@dataclass(frozen=True)
+class BreakpointConfig:
+    """Breakpoint extraction + clustering
+    (reference ``src/infer_breakpoint_graph.py:25-33`` and call sites)."""
+    min_mapq: float = 20.0            # mapq gate on both sides of a pair
+    gap_mapq: float = 10.0            # low-mapq middle rescue threshold
+    min_bp_match_cutoff: int = 100    # query-gap tolerance / match window
+    max_bp_distance_cutoff: int = 2000  # cluster linkage distance
+    min_cluster_cutoff: int = 3       # hard floor on cluster size
+    min_bp_cov_factor: float = 1.0    # support >= factor * normal_cov
+    min_del_len: int = 600            # CIGAR deletion length -> breakpoint
+    addbp_merge_window: int = 200     # dedup window in addbp (ref :329)
+    same_strand_gap_frac: float = 0.2  # ref/read gap discrepancy fraction
+    nm_filter: bool = False           # edit-distance filter (suppressed)
+
+
+@dataclass(frozen=True)
+class IntervalConfig:
+    """Amplicon interval search (reference ``infer_breakpoint_graph.py:25-33``)."""
+    max_seq_len: int = 2_000_000
+    cn_gain: float = 5.0
+    interval_delta: int = 100_000
+    seg_index_gap: int = 2            # CN-segment index jump that splits runs
+
+
+@dataclass(frozen=True)
+class CnSolverConfig:
+    """Convex CN-balance solve (replaces cvxopt ``solvers.cp``;
+    reference ``src/breakpoint_graph.py:495-606``)."""
+    max_iters: int = 1000
+    tol: float = 1e-10                # gradient/KKT residual tolerance
+    init_value: float = 1.0           # cvxopt F(None) starting point
+    min_x: float = 1e-12              # positivity floor during line search
+
+
+@dataclass(frozen=True)
+class PathConstraintConfig:
+    """Read->walk conversion (reference ``src/path_constraints.py:48,214,234``)."""
+    min_overlap: int = 500            # bp overlap with terminal seq edges
+    min_path_edges: int = 3           # >=3 sequence edges to keep a path
+
+
+@dataclass(frozen=True)
+class CycleConfig:
+    """Cycle decomposition (reference ``src/cycle_decomposition.py:14-15,
+    980-1002,1495-1533``)."""
+    alpha: float = 0.01
+    p_total_weight: float = 0.9
+    p_bp_cn: float = 0.9
+    resolution: float = 0.1
+    cn_tol: float = 0.005
+    p_subpaths: float = 0.9
+    max_edge_multiplicity: int = 10   # ub on x variables
+    max_disc_multiplicity: int = 5    # cap in multiplicity inference
+    time_limit_s: int = 7200
+    threads: int = -1
+    postprocess: bool = False
+    # our solver's own knobs (no reference analog)
+    max_walk_candidates: int = 200_000  # candidate pool bound
+    eulerian_seed: int = 0            # seeded Eulerian traversal RNG
+    eulerian_max_trials: int = 1000   # ref :1627
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """TPU sharding (no reference analog; SURVEY §2.1)."""
+    dp_axis: str = "dp"
+    read_batch: int = 1 << 16         # reads per device batch
+    pair_batch: int = 1 << 17         # alignment pairs per device batch
+
+
+@dataclass(frozen=True)
+class Config:
+    seed: SeedConfig = field(default_factory=SeedConfig)
+    bp: BreakpointConfig = field(default_factory=BreakpointConfig)
+    interval: IntervalConfig = field(default_factory=IntervalConfig)
+    cn: CnSolverConfig = field(default_factory=CnSolverConfig)
+    pc: PathConstraintConfig = field(default_factory=PathConstraintConfig)
+    cycles: CycleConfig = field(default_factory=CycleConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    def replace(self, **sections) -> "Config":
+        return dataclasses.replace(self, **sections)
+
+
+DEFAULT_CONFIG = Config()
