@@ -1,0 +1,684 @@
+// bamcore: native BAM decoding engine for coral_tpu.
+//
+// Replaces the htslib layer the reference reaches through pysam
+// (src/infer_breakpoint_graph.py fetch/count_coverage call sites) with a
+// purpose-built scanner:
+//   * one streaming pass over the BGZF stream (blocks inflated in parallel
+//     with a thread pool, records parsed sequentially) producing a flat
+//     structure-of-arrays record table consumed zero-copy by numpy;
+//   * virtual-offset-addressed region re-decode for exact aligned-base
+//     coverage (pysam count_coverage semantics incl. base-quality
+//     thresholds and flag filters) and large-deletion gap extraction.
+//
+// Exposed as a C ABI for ctypes; no Python headers required.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+#include <string>
+#include <vector>
+#include <thread>
+#include <zlib.h>
+
+namespace {
+
+constexpr uint32_t kRefConsuming = (1u << 0) | (1u << 2) | (1u << 3) | (1u << 7) | (1u << 8);
+constexpr uint32_t kAligned = (1u << 0) | (1u << 7) | (1u << 8);
+
+struct BlockInfo {
+  int64_t coffset;   // compressed offset of block start
+  int32_t csize;     // compressed block size (whole gzip member)
+  int32_t usize;     // uncompressed payload size (ISIZE)
+};
+
+struct GapRow {
+  int64_t rec;
+  int64_t next_start;
+  int64_t prev_end;
+  int64_t blk_first;
+  int64_t blk_last;
+};
+
+struct BamCore {
+  std::string path;
+  FILE* fp = nullptr;
+  std::string error;
+
+  // references
+  std::vector<std::string> ref_names;
+  std::vector<int64_t> ref_lens;
+
+  // record table (structure of arrays)
+  std::vector<uint16_t> flag;
+  std::vector<int32_t> ref_id;
+  std::vector<int64_t> pos;
+  std::vector<int64_t> end;
+  std::vector<uint8_t> mapq;
+  std::vector<int32_t> qlen;
+  std::vector<int64_t> nm;
+  std::vector<uint64_t> voffset;   // coffset<<16 | offset-in-block-payload
+  std::vector<uint8_t> name_blob;
+  std::vector<int64_t> name_off;   // n+1
+  std::vector<uint8_t> sa_blob;
+  std::vector<int64_t> sa_off;
+  std::vector<int64_t> sa_len;
+
+  // del-gap query scratch
+  std::vector<GapRow> gaps;
+
+  ~BamCore() { if (fp) fclose(fp); }
+};
+
+bool inflate_raw(const uint8_t* src, int n, uint8_t* dst, int cap, int* out_n) {
+  z_stream s;
+  memset(&s, 0, sizeof(s));
+  if (inflateInit2(&s, -15) != Z_OK) return false;
+  s.next_in = const_cast<uint8_t*>(src);
+  s.avail_in = n;
+  s.next_out = dst;
+  s.avail_out = cap;
+  int r = inflate(&s, Z_FINISH);
+  *out_n = static_cast<int>(cap - s.avail_out);
+  inflateEnd(&s);
+  return r == Z_STREAM_END;
+}
+
+// Read one BGZF block header at the current file position; returns false at
+// EOF. Fills csize (total member size) and usize (ISIZE) without inflating.
+bool read_block_header(FILE* fp, int64_t coffset, BlockInfo* bi, std::string* err) {
+  uint8_t hdr[18];
+  size_t got = fread(hdr, 1, sizeof(hdr), fp);
+  if (got == 0) return false;
+  if (got < sizeof(hdr) || hdr[0] != 0x1f || hdr[1] != 0x8b || hdr[2] != 8 || !(hdr[3] & 4)) {
+    *err = "bad BGZF block header";
+    return false;
+  }
+  uint16_t xlen;
+  memcpy(&xlen, hdr + 10, 2);
+  // locate the BC subfield inside the extra area
+  std::vector<uint8_t> extra(xlen);
+  if (xlen > 6) {
+    memcpy(extra.data(), hdr + 12, 6);
+    if (fread(extra.data() + 6, 1, xlen - 6, fp) != static_cast<size_t>(xlen - 6)) {
+      *err = "truncated BGZF extra";
+      return false;
+    }
+  } else {
+    memcpy(extra.data(), hdr + 12, xlen);
+    if (xlen < 6) fseek(fp, xlen - 6, SEEK_CUR);  // never happens for BC-only
+  }
+  int bsize = -1;
+  for (int p = 0; p + 4 <= xlen;) {
+    uint16_t slen;
+    memcpy(&slen, extra.data() + p + 2, 2);
+    if (extra[p] == 'B' && extra[p + 1] == 'C') {
+      uint16_t v;
+      memcpy(&v, extra.data() + p + 4, 2);
+      bsize = v + 1;
+    }
+    p += 4 + slen;
+  }
+  if (bsize < 0) {
+    *err = "BGZF block missing BC subfield";
+    return false;
+  }
+  // seek to ISIZE (last 4 bytes of member) and read it
+  int64_t data_off = coffset + 12 + xlen;
+  fseek(fp, coffset + bsize - 4, SEEK_SET);
+  uint32_t isize;
+  if (fread(&isize, 4, 1, fp) != 1) {
+    *err = "truncated BGZF block";
+    return false;
+  }
+  bi->coffset = coffset;
+  bi->csize = bsize;
+  bi->usize = static_cast<int32_t>(isize);
+  (void)data_off;
+  fseek(fp, coffset + bsize, SEEK_SET);
+  return true;
+}
+
+// Inflate one block (given its BlockInfo) from an in-memory compressed
+// buffer holding the whole member.
+bool inflate_block(const uint8_t* member, const BlockInfo& bi, uint8_t* dst, std::string* err) {
+  uint16_t xlen;
+  memcpy(&xlen, member + 10, 2);
+  const uint8_t* cdata = member + 12 + xlen;
+  int clen = bi.csize - 12 - xlen - 8;
+  int out_n = 0;
+  if (!inflate_raw(cdata, clen, dst, bi.usize, &out_n) || out_n != bi.usize) {
+    *err = "BGZF inflate failed";
+    return false;
+  }
+  return true;
+}
+
+struct RecHeader {
+  int32_t block_size;
+  int32_t ref_id;
+  int32_t pos;
+  uint8_t l_read_name;
+  uint8_t mapq;
+  uint16_t bin_;
+  uint16_t n_cigar;
+  uint16_t flag;
+  int32_t l_seq;
+};
+
+// Parse aux region for NM (integer) and SA (Z). Returns false on malformed.
+bool parse_aux(const uint8_t* p, const uint8_t* endp, int64_t* nm,
+               const uint8_t** sa, int* sa_n) {
+  *nm = 0;
+  *sa = nullptr;
+  *sa_n = 0;
+  while (p < endp) {
+    if (endp - p < 3) return false;
+    char t0 = p[0], t1 = p[1];
+    uint8_t typ = p[2];
+    p += 3;
+    bool is_nm = (t0 == 'N' && t1 == 'M');
+    switch (typ) {
+      case 'A': case 'C':
+        if (is_nm) *nm = *p;
+        p += 1; break;
+      case 'c':
+        if (is_nm) *nm = *reinterpret_cast<const int8_t*>(p);
+        p += 1; break;
+      case 's': { if (is_nm) { int16_t v; memcpy(&v, p, 2); *nm = v; } p += 2; break; }
+      case 'S': { if (is_nm) { uint16_t v; memcpy(&v, p, 2); *nm = v; } p += 2; break; }
+      case 'i': { if (is_nm) { int32_t v; memcpy(&v, p, 4); *nm = v; } p += 4; break; }
+      case 'I': { if (is_nm) { uint32_t v; memcpy(&v, p, 4); *nm = v; } p += 4; break; }
+      case 'f': p += 4; break;
+      case 'Z': case 'H': {
+        const uint8_t* q = p;
+        while (q < endp && *q) q++;
+        if (t0 == 'S' && t1 == 'A' && typ == 'Z') {
+          *sa = p;
+          *sa_n = static_cast<int>(q - p);
+        }
+        p = q + 1;
+        break;
+      }
+      case 'B': {
+        if (endp - p < 5) return false;
+        uint8_t sub = p[0];
+        uint32_t cnt;
+        memcpy(&cnt, p + 1, 4);
+        int size;
+        switch (sub) {
+          case 'c': case 'C': size = 1; break;
+          case 's': case 'S': size = 2; break;
+          case 'i': case 'I': case 'f': size = 4; break;
+          default: return false;
+        }
+        p += 5 + static_cast<int64_t>(cnt) * size;
+        break;
+      }
+      default:
+        return false;
+    }
+  }
+  return true;
+}
+
+// Streaming scanner: sliding window of blocks, parallel inflate, sequential
+// record parse with carry-over across window boundaries.
+struct Scanner {
+  BamCore* bc;
+  std::vector<uint8_t> buf;            // concatenated payloads (window)
+  // per appended block: (start offset in buf's global stream, coffset)
+  std::vector<int64_t> blk_gstart;
+  std::vector<int64_t> blk_coffset;
+  std::vector<int32_t> blk_usize;
+  int64_t gbase = 0;                   // global stream offset of buf[0]
+  int nthreads;
+
+  explicit Scanner(BamCore* b, int nt) : bc(b), nthreads(nt < 1 ? 1 : nt) {}
+
+  uint64_t voffset_of(int64_t gpos) const {
+    // binary search blocks for the block containing gpos
+    size_t lo = 0, hi = blk_gstart.size();
+    while (hi - lo > 1) {
+      size_t mid = (lo + hi) / 2;
+      if (blk_gstart[mid] <= gpos) lo = mid; else hi = mid;
+    }
+    return (static_cast<uint64_t>(blk_coffset[lo]) << 16) |
+           static_cast<uint64_t>(gpos - blk_gstart[lo]);
+  }
+
+  void drop_consumed(int64_t consumed_gpos) {
+    // discard buffer bytes & block entries fully before consumed_gpos
+    int64_t drop = consumed_gpos - gbase;
+    if (drop <= 0) return;
+    buf.erase(buf.begin(), buf.begin() + drop);
+    gbase = consumed_gpos;
+    size_t k = 0;
+    while (k + 1 < blk_gstart.size() && blk_gstart[k + 1] <= gbase) k++;
+    if (k > 0) {
+      blk_gstart.erase(blk_gstart.begin(), blk_gstart.begin() + k);
+      blk_coffset.erase(blk_coffset.begin(), blk_coffset.begin() + k);
+      blk_usize.erase(blk_usize.begin(), blk_usize.begin() + k);
+    }
+  }
+};
+
+bool scan_file(BamCore* bc, int nthreads) {
+  FILE* fp = bc->fp;
+  fseek(fp, 0, SEEK_SET);
+  Scanner sc(bc, nthreads);
+
+  // Window loop: read W block headers + compressed bytes, inflate in
+  // parallel, append to sc.buf, then parse as many whole records as the
+  // buffer allows.
+  const int W = 256;
+  std::vector<BlockInfo> infos;
+  std::vector<std::vector<uint8_t>> members;
+  int64_t coffset = 0;
+  bool header_parsed = false;
+  int64_t parse_gpos = 0;   // global position of next unparsed byte
+  bc->name_off.push_back(0);
+
+  auto append_window = [&]() -> bool {
+    infos.clear();
+    members.clear();
+    for (int i = 0; i < W; i++) {
+      fseek(fp, coffset, SEEK_SET);
+      BlockInfo bi;
+      if (!read_block_header(fp, coffset, &bi, &bc->error)) {
+        if (!bc->error.empty()) return false;
+        break;  // EOF
+      }
+      // read whole member
+      std::vector<uint8_t> mem(bi.csize);
+      fseek(fp, bi.coffset, SEEK_SET);
+      if (fread(mem.data(), 1, bi.csize, fp) != static_cast<size_t>(bi.csize)) {
+        bc->error = "short read of BGZF member";
+        return false;
+      }
+      coffset = bi.coffset + bi.csize;
+      infos.push_back(bi);
+      members.push_back(std::move(mem));
+    }
+    if (infos.empty()) return true;  // EOF, nothing appended
+    // offsets in buf
+    size_t old_size = sc.buf.size();
+    int64_t total = 0;
+    for (auto& bi : infos) total += bi.usize;
+    sc.buf.resize(old_size + total);
+    std::vector<int64_t> dst_off(infos.size());
+    int64_t acc = old_size;
+    for (size_t i = 0; i < infos.size(); i++) {
+      dst_off[i] = acc;
+      sc.blk_gstart.push_back(sc.gbase + acc);
+      sc.blk_coffset.push_back(infos[i].coffset);
+      sc.blk_usize.push_back(infos[i].usize);
+      acc += infos[i].usize;
+    }
+    // parallel inflate
+    std::string errs[64];
+    int nt = sc.nthreads > 64 ? 64 : sc.nthreads;
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; t++) {
+      threads.emplace_back([&, t]() {
+        for (size_t i = t; i < infos.size(); i += nt) {
+          if (!inflate_block(members[i].data(), infos[i],
+                             sc.buf.data() + dst_off[i], &errs[t])) {
+            return;
+          }
+        }
+      });
+    }
+    for (auto& th : threads) th.join();
+    for (int t = 0; t < nt; t++) {
+      if (!errs[t].empty()) { bc->error = errs[t]; return false; }
+    }
+    return true;
+  };
+
+  while (true) {
+    size_t before = sc.buf.size();
+    if (!append_window()) return false;
+    if (sc.buf.size() == before) break;  // EOF
+
+    // parse BAM header once
+    if (!header_parsed) {
+      if (sc.buf.size() < 12) continue;
+      if (memcmp(sc.buf.data(), "BAM\x01", 4) != 0) {
+        bc->error = "not a BAM file";
+        return false;
+      }
+      int32_t l_text;
+      memcpy(&l_text, sc.buf.data() + 4, 4);
+      int64_t need = 8 + static_cast<int64_t>(l_text) + 4;
+      if (static_cast<int64_t>(sc.buf.size()) < need) continue;
+      int32_t n_ref;
+      memcpy(&n_ref, sc.buf.data() + 8 + l_text, 4);
+      int64_t p = 12 + l_text;
+      bool ok = true;
+      for (int i = 0; i < n_ref; i++) {
+        if (p + 4 > static_cast<int64_t>(sc.buf.size())) { ok = false; break; }
+        int32_t l_name;
+        memcpy(&l_name, sc.buf.data() + p, 4);
+        if (p + 8 + l_name > static_cast<int64_t>(sc.buf.size())) { ok = false; break; }
+        bc->ref_names.emplace_back(reinterpret_cast<char*>(sc.buf.data() + p + 4), l_name - 1);
+        int32_t l_ref;
+        memcpy(&l_ref, sc.buf.data() + p + 4 + l_name, 4);
+        bc->ref_lens.push_back(l_ref);
+        p += 8 + l_name;
+      }
+      if (!ok) {  // header spans beyond current window; extremely rare
+        bc->ref_names.clear();
+        bc->ref_lens.clear();
+        continue;
+      }
+      header_parsed = true;
+      parse_gpos = p;
+    }
+
+    // parse records
+    while (true) {
+      int64_t off = parse_gpos - sc.gbase;
+      if (off + 4 > static_cast<int64_t>(sc.buf.size())) break;
+      int32_t block_size;
+      memcpy(&block_size, sc.buf.data() + off, 4);
+      if (off + 4 + block_size > static_cast<int64_t>(sc.buf.size())) break;
+      const uint8_t* r = sc.buf.data() + off + 4;
+      RecHeader h;
+      memcpy(&h.ref_id, r, 4);
+      memcpy(&h.pos, r + 4, 4);
+      h.l_read_name = r[8];
+      h.mapq = r[9];
+      memcpy(&h.n_cigar, r + 12, 2);
+      memcpy(&h.flag, r + 14, 2);
+      memcpy(&h.l_seq, r + 16, 4);
+      const uint8_t* name_p = r + 32;
+      const uint8_t* cig_p = name_p + h.l_read_name;
+      int64_t ref_len = 0;
+      for (int ci = 0; ci < h.n_cigar; ci++) {
+        uint32_t c;
+        memcpy(&c, cig_p + 4 * ci, 4);
+        if ((1u << (c & 0xF)) & kRefConsuming) ref_len += c >> 4;
+      }
+      const uint8_t* aux_p = cig_p + 4 * h.n_cigar + (h.l_seq + 1) / 2 + h.l_seq;
+      const uint8_t* aux_end = r + block_size;
+      int64_t nmv = 0;
+      const uint8_t* sa = nullptr;
+      int sa_n = 0;
+      if (!parse_aux(aux_p, aux_end, &nmv, &sa, &sa_n)) {
+        bc->error = "malformed aux data";
+        return false;
+      }
+      bc->flag.push_back(h.flag);
+      bc->ref_id.push_back(h.ref_id);
+      bc->pos.push_back(h.pos);
+      bc->end.push_back(h.pos + ref_len);
+      bc->mapq.push_back(h.mapq);
+      bc->qlen.push_back(h.l_seq);
+      bc->nm.push_back(nmv);
+      bc->voffset.push_back(sc.voffset_of(parse_gpos));
+      bc->name_blob.insert(bc->name_blob.end(), name_p, name_p + h.l_read_name - 1);
+      bc->name_off.push_back(static_cast<int64_t>(bc->name_blob.size()));
+      if (sa) {
+        bc->sa_off.push_back(static_cast<int64_t>(bc->sa_blob.size()));
+        bc->sa_len.push_back(sa_n);
+        bc->sa_blob.insert(bc->sa_blob.end(), sa, sa + sa_n);
+      } else {
+        bc->sa_off.push_back(0);
+        bc->sa_len.push_back(0);
+      }
+      parse_gpos += 4 + block_size;
+    }
+    sc.drop_consumed(parse_gpos);
+  }
+  return true;
+}
+
+// ---- region decode ------------------------------------------------------
+
+// Callback-driven decode of records [lo, hi) using stored voffsets.
+template <typename F>
+bool decode_range(BamCore* bc, int64_t lo, int64_t hi, F&& fn) {
+  if (lo >= hi) return true;
+  FILE* fp = bc->fp;
+  int64_t coffset = static_cast<int64_t>(bc->voffset[lo] >> 16);
+  int64_t skip = static_cast<int64_t>(bc->voffset[lo] & 0xFFFF);
+  fseek(fp, coffset, SEEK_SET);
+  std::vector<uint8_t> buf;
+  std::vector<uint8_t> member;
+  int64_t consumed = 0;  // bytes consumed from buf
+  int64_t next_coffset = coffset;
+  bool first_block = true;
+
+  auto more = [&]() -> bool {
+    BlockInfo bi;
+    fseek(fp, next_coffset, SEEK_SET);
+    if (!read_block_header(fp, next_coffset, &bi, &bc->error)) return false;
+    member.resize(bi.csize);
+    fseek(fp, bi.coffset, SEEK_SET);
+    if (fread(member.data(), 1, bi.csize, fp) != static_cast<size_t>(bi.csize)) {
+      bc->error = "short read";
+      return false;
+    }
+    size_t old = buf.size();
+    buf.resize(old + bi.usize);
+    if (!inflate_block(member.data(), bi, buf.data() + old, &bc->error)) return false;
+    next_coffset = bi.coffset + bi.csize;
+    if (first_block) {
+      first_block = false;
+      buf.erase(buf.begin(), buf.begin() + skip);
+    }
+    return true;
+  };
+
+  for (int64_t i = lo; i < hi; i++) {
+    // ensure block_size available
+    while (buf.size() - consumed < 4) {
+      if (!more()) return false;
+    }
+    int32_t block_size;
+    memcpy(&block_size, buf.data() + consumed, 4);
+    while (static_cast<int64_t>(buf.size()) - consumed < 4 + block_size) {
+      if (!more()) return false;
+    }
+    fn(i, buf.data() + consumed + 4, block_size);
+    consumed += 4 + block_size;
+    if (consumed > (1 << 20)) {
+      buf.erase(buf.begin(), buf.begin() + consumed);
+      consumed = 0;
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+BamCore* bc_open(const char* path, int nthreads) {
+  auto* bc = new BamCore();
+  bc->path = path;
+  bc->fp = fopen(path, "rb");
+  if (!bc->fp) {
+    bc->error = "cannot open file";
+    return bc;
+  }
+  if (!scan_file(bc, nthreads)) {
+    if (bc->error.empty()) bc->error = "scan failed";
+  }
+  return bc;
+}
+
+void bc_close(BamCore* bc) { delete bc; }
+const char* bc_error(BamCore* bc) { return bc->error.empty() ? nullptr : bc->error.c_str(); }
+int64_t bc_nrecords(BamCore* bc) { return static_cast<int64_t>(bc->flag.size()); }
+int32_t bc_nrefs(BamCore* bc) { return static_cast<int32_t>(bc->ref_names.size()); }
+const char* bc_ref_name(BamCore* bc, int32_t i) { return bc->ref_names[i].c_str(); }
+int64_t bc_ref_len(BamCore* bc, int32_t i) { return bc->ref_lens[i]; }
+
+const uint16_t* bc_col_flag(BamCore* bc) { return bc->flag.data(); }
+const int32_t* bc_col_ref(BamCore* bc) { return bc->ref_id.data(); }
+const int64_t* bc_col_pos(BamCore* bc) { return bc->pos.data(); }
+const int64_t* bc_col_end(BamCore* bc) { return bc->end.data(); }
+const uint8_t* bc_col_mapq(BamCore* bc) { return bc->mapq.data(); }
+const int32_t* bc_col_qlen(BamCore* bc) { return bc->qlen.data(); }
+const int64_t* bc_col_nm(BamCore* bc) { return bc->nm.data(); }
+const uint8_t* bc_name_blob(BamCore* bc) { return bc->name_blob.data(); }
+int64_t bc_name_blob_len(BamCore* bc) { return static_cast<int64_t>(bc->name_blob.size()); }
+const int64_t* bc_name_off(BamCore* bc) { return bc->name_off.data(); }
+const uint8_t* bc_sa_blob(BamCore* bc) { return bc->sa_blob.data(); }
+int64_t bc_sa_blob_len(BamCore* bc) { return static_cast<int64_t>(bc->sa_blob.size()); }
+const int64_t* bc_sa_off(BamCore* bc) { return bc->sa_off.data(); }
+const int64_t* bc_sa_len(BamCore* bc) { return bc->sa_len.data(); }
+
+int64_t bc_coverage_sum(BamCore* bc, int64_t lo, int64_t hi,
+                        int64_t start, int64_t stop,
+                        int qual_threshold, int flag_exclude, int min_mapq) {
+  int64_t total = 0;
+  bool ok = decode_range(bc, lo, hi, [&](int64_t i, const uint8_t* r, int32_t bsz) {
+    (void)bsz;
+    if (bc->end[i] <= start) return;
+    uint16_t fl;
+    memcpy(&fl, r + 14, 2);
+    if (fl & flag_exclude) return;
+    if (r[9] < min_mapq) return;
+    uint16_t n_cigar;
+    memcpy(&n_cigar, r + 12, 2);
+    int32_t l_seq;
+    memcpy(&l_seq, r + 16, 4);
+    const uint8_t* cig = r + 32 + r[8];
+    const uint8_t* qual = cig + 4 * n_cigar + (l_seq + 1) / 2;
+    int64_t rpos = bc->pos[i];
+    int64_t qpos = 0;
+    for (int ci = 0; ci < n_cigar; ci++) {
+      uint32_t c;
+      memcpy(&c, cig + 4 * ci, 4);
+      uint32_t op = c & 0xF;
+      int64_t n = c >> 4;
+      if ((1u << op) & kAligned) {
+        int64_t a = rpos > start ? rpos : start;
+        int64_t b = (rpos + n) < stop ? (rpos + n) : stop;
+        if (b > a) {
+          if (qual_threshold > 0 && l_seq > 0 && qual[0] != 0xFF) {
+            for (int64_t k = a; k < b; k++) {
+              if (qual[qpos + (k - rpos)] >= qual_threshold) total++;
+            }
+          } else {
+            total += b - a;
+          }
+        }
+        rpos += n;
+        qpos += n;
+      } else if ((1u << op) & kRefConsuming) {
+        rpos += n;
+      } else if (op == 1 || op == 4) {  // I, S consume query
+        qpos += n;
+      }
+    }
+  });
+  return ok ? total : -1;
+}
+
+int bc_coverage_profile(BamCore* bc, int64_t lo, int64_t hi,
+                        int64_t start, int64_t stop,
+                        int qual_threshold, int flag_exclude, int min_mapq,
+                        int64_t* out) {
+  memset(out, 0, sizeof(int64_t) * (stop - start));
+  bool ok = decode_range(bc, lo, hi, [&](int64_t i, const uint8_t* r, int32_t bsz) {
+    (void)bsz;
+    if (bc->end[i] <= start) return;
+    uint16_t fl;
+    memcpy(&fl, r + 14, 2);
+    if (fl & flag_exclude) return;
+    if (r[9] < min_mapq) return;
+    uint16_t n_cigar;
+    memcpy(&n_cigar, r + 12, 2);
+    int32_t l_seq;
+    memcpy(&l_seq, r + 16, 4);
+    const uint8_t* cig = r + 32 + r[8];
+    const uint8_t* qual = cig + 4 * n_cigar + (l_seq + 1) / 2;
+    int64_t rpos = bc->pos[i];
+    int64_t qpos = 0;
+    for (int ci = 0; ci < n_cigar; ci++) {
+      uint32_t c;
+      memcpy(&c, cig + 4 * ci, 4);
+      uint32_t op = c & 0xF;
+      int64_t n = c >> 4;
+      if ((1u << op) & kAligned) {
+        int64_t a = rpos > start ? rpos : start;
+        int64_t b = (rpos + n) < stop ? (rpos + n) : stop;
+        for (int64_t k = a; k < b; k++) {
+          if (qual_threshold > 0 && l_seq > 0 && qual[0] != 0xFF) {
+            if (qual[qpos + (k - rpos)] < qual_threshold) continue;
+          }
+          out[k - start]++;
+        }
+        rpos += n;
+        qpos += n;
+      } else if ((1u << op) & kRefConsuming) {
+        rpos += n;
+      } else if (op == 1 || op == 4) {
+        qpos += n;
+      }
+    }
+  });
+  return ok ? 0 : -1;
+}
+
+int64_t bc_del_gaps(BamCore* bc, int64_t lo, int64_t hi,
+                    int64_t start, int64_t min_del_len, int min_mapq) {
+  bc->gaps.clear();
+  bool ok = decode_range(bc, lo, hi, [&](int64_t i, const uint8_t* r, int32_t bsz) {
+    (void)bsz;
+    if (bc->end[i] <= start) return;
+    if (r[9] < min_mapq) return;
+    uint16_t n_cigar;
+    memcpy(&n_cigar, r + 12, 2);
+    const uint8_t* cig = r + 32 + r[8];
+    // walk blocks: aligned (M/=/X) runs, split at D/N
+    int64_t rpos = bc->pos[i];
+    int64_t blk_first = -1, prev_blk_end = -1, blk_last = -1;
+    int64_t pending_gap_prev = -1;
+    size_t first_gap_row = bc->gaps.size();
+    for (int ci = 0; ci < n_cigar; ci++) {
+      uint32_t c;
+      memcpy(&c, cig + 4 * ci, 4);
+      uint32_t op = c & 0xF;
+      int64_t n = c >> 4;
+      if ((1u << op) & kAligned) {
+        int64_t bstart = rpos, bend = rpos + n;
+        if (blk_first < 0) blk_first = bstart;
+        if (prev_blk_end >= 0) {
+          int64_t gap = bstart - prev_blk_end;
+          if (gap > min_del_len || gap < -min_del_len) {
+            bc->gaps.push_back({i, bstart, prev_blk_end, 0, 0});
+          }
+        }
+        prev_blk_end = bend;
+        blk_last = bend;
+        rpos += n;
+      } else if ((1u << op) & kRefConsuming) {
+        rpos += n;
+      }
+    }
+    (void)pending_gap_prev;
+    for (size_t k = first_gap_row; k < bc->gaps.size(); k++) {
+      bc->gaps[k].blk_first = blk_first;
+      bc->gaps[k].blk_last = blk_last;
+    }
+  });
+  return ok ? static_cast<int64_t>(bc->gaps.size()) : -1;
+}
+
+void bc_del_gaps_fetch(BamCore* bc, int64_t* rec, int64_t* next_start,
+                       int64_t* prev_end, int64_t* blk_first, int64_t* blk_last) {
+  for (size_t k = 0; k < bc->gaps.size(); k++) {
+    rec[k] = bc->gaps[k].rec;
+    next_start[k] = bc->gaps[k].next_start;
+    prev_end[k] = bc->gaps[k].prev_end;
+    blk_first[k] = bc->gaps[k].blk_first;
+    blk_last[k] = bc->gaps[k].blk_last;
+  }
+}
+
+}  // extern "C"

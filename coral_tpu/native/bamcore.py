@@ -1,0 +1,151 @@
+"""ctypes bindings for the native BAM core (``bamcore.cpp``).
+
+Exposes ``scan_into(bamfile, path)`` which populates a
+``coral_tpu.io.bam.BamFile`` with zero-copy numpy views over the C++
+structure-of-arrays record table, plus region-query wrappers used by
+``BamFile`` when the native backend is active.
+"""
+from __future__ import annotations
+
+import ctypes as C
+import os
+from typing import List
+
+import numpy as np
+
+_SO_PATH = os.path.join(os.path.dirname(__file__), "libbamcore.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    lib = C.CDLL(_SO_PATH)
+    lib.bc_open.restype = C.c_void_p
+    lib.bc_open.argtypes = [C.c_char_p, C.c_int]
+    lib.bc_close.argtypes = [C.c_void_p]
+    lib.bc_error.restype = C.c_char_p
+    lib.bc_error.argtypes = [C.c_void_p]
+    lib.bc_nrecords.restype = C.c_int64
+    lib.bc_nrecords.argtypes = [C.c_void_p]
+    lib.bc_nrefs.restype = C.c_int32
+    lib.bc_nrefs.argtypes = [C.c_void_p]
+    lib.bc_ref_name.restype = C.c_char_p
+    lib.bc_ref_name.argtypes = [C.c_void_p, C.c_int32]
+    lib.bc_ref_len.restype = C.c_int64
+    lib.bc_ref_len.argtypes = [C.c_void_p, C.c_int32]
+    for fn, ty in [
+        ("bc_col_flag", C.c_uint16), ("bc_col_ref", C.c_int32),
+        ("bc_col_pos", C.c_int64), ("bc_col_end", C.c_int64),
+        ("bc_col_mapq", C.c_uint8), ("bc_col_qlen", C.c_int32),
+        ("bc_col_nm", C.c_int64), ("bc_name_off", C.c_int64),
+        ("bc_sa_off", C.c_int64), ("bc_sa_len", C.c_int64),
+        ("bc_name_blob", C.c_uint8), ("bc_sa_blob", C.c_uint8),
+    ]:
+        getattr(lib, fn).restype = C.POINTER(ty)
+        getattr(lib, fn).argtypes = [C.c_void_p]
+    lib.bc_name_blob_len.restype = C.c_int64
+    lib.bc_name_blob_len.argtypes = [C.c_void_p]
+    lib.bc_sa_blob_len.restype = C.c_int64
+    lib.bc_sa_blob_len.argtypes = [C.c_void_p]
+    lib.bc_coverage_sum.restype = C.c_int64
+    lib.bc_coverage_sum.argtypes = [C.c_void_p] + [C.c_int64] * 4 + [C.c_int] * 3
+    lib.bc_coverage_profile.restype = C.c_int
+    lib.bc_coverage_profile.argtypes = (
+        [C.c_void_p] + [C.c_int64] * 4 + [C.c_int] * 3 + [C.POINTER(C.c_int64)]
+    )
+    lib.bc_del_gaps.restype = C.c_int64
+    lib.bc_del_gaps.argtypes = [C.c_void_p] + [C.c_int64] * 4 + [C.c_int]
+    lib.bc_del_gaps_fetch.argtypes = [C.c_void_p] + [C.POINTER(C.c_int64)] * 5
+    _lib = lib
+    return lib
+
+
+def _as_np(ptr, dtype, n):
+    if n == 0:
+        return np.zeros(0, dtype)
+    return np.ctypeslib.as_array(ptr, shape=(n,)).view(dtype)
+
+
+class NativeBam:
+    """Owns the C++ handle; arrays are views into C++ memory."""
+
+    def __init__(self, path: str, nthreads: int = 0):
+        lib = _load()
+        if nthreads <= 0:
+            nthreads = min(os.cpu_count() or 1, 8)
+        self._lib = lib
+        self._h = lib.bc_open(path.encode(), nthreads)
+        err = lib.bc_error(self._h)
+        if err:
+            msg = err.decode()
+            lib.bc_close(self._h)
+            self._h = None
+            raise ValueError(f"{path}: {msg}")
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.bc_close(self._h)
+            self._h = None
+
+
+def scan_into(bam, path: str) -> None:
+    """Populate a BamFile's table from the native scanner."""
+    nb = NativeBam(path)
+    lib, h = nb._lib, nb._h
+    n = lib.bc_nrecords(h)
+    bam._native = nb  # keep C++ memory alive
+    bam.n_records = int(n)
+    bam.references = [
+        (lib.bc_ref_name(h, i).decode(), int(lib.bc_ref_len(h, i)))
+        for i in range(lib.bc_nrefs(h))
+    ]
+    bam.flag = _as_np(lib.bc_col_flag(h), np.uint16, n)
+    bam.ref_id = _as_np(lib.bc_col_ref(h), np.int32, n)
+    bam.pos = _as_np(lib.bc_col_pos(h), np.int64, n)
+    bam.end = _as_np(lib.bc_col_end(h), np.int64, n)
+    bam.mapq = _as_np(lib.bc_col_mapq(h), np.uint8, n)
+    bam.qlen = _as_np(lib.bc_col_qlen(h), np.int32, n)
+    bam.nm = _as_np(lib.bc_col_nm(h), np.int64, n)
+    bam.name_off = _as_np(lib.bc_name_off(h), np.int64, n + 1)
+    nb_len = lib.bc_name_blob_len(h)
+    bam.name_blob = bytes(_as_np(lib.bc_name_blob(h), np.uint8, nb_len)) if nb_len else b""
+    bam.sa_off = _as_np(lib.bc_sa_off(h), np.int64, n)
+    bam.sa_len = _as_np(lib.bc_sa_len(h), np.int64, n)
+    sb_len = lib.bc_sa_blob_len(h)
+    bam.sa_blob = bytes(_as_np(lib.bc_sa_blob(h), np.uint8, sb_len)) if sb_len else b""
+
+
+def coverage_sum(bam, lo, hi, start, stop, quality_threshold, flag_exclude, min_mapq):
+    nb = bam._native
+    r = nb._lib.bc_coverage_sum(nb._h, lo, hi, start, stop,
+                                quality_threshold, flag_exclude, min_mapq)
+    if r < 0:
+        raise RuntimeError(nb._lib.bc_error(nb._h).decode())
+    return int(r)
+
+
+def coverage_profile(bam, lo, hi, start, stop, quality_threshold, flag_exclude, min_mapq):
+    nb = bam._native
+    out = np.zeros(stop - start, np.int64)
+    rc = nb._lib.bc_coverage_profile(
+        nb._h, lo, hi, start, stop, quality_threshold, flag_exclude, min_mapq,
+        out.ctypes.data_as(C.POINTER(C.c_int64)),
+    )
+    if rc != 0:
+        raise RuntimeError(nb._lib.bc_error(nb._h).decode())
+    return out
+
+
+def del_gaps(bam, lo, hi, start, min_del_len, min_mapq):
+    """Returns (rec_idx, next_start, prev_end, blk_first, blk_last) arrays."""
+    nb = bam._native
+    cnt = nb._lib.bc_del_gaps(nb._h, lo, hi, start, min_del_len, min_mapq)
+    if cnt < 0:
+        raise RuntimeError(nb._lib.bc_error(nb._h).decode())
+    arrs = [np.zeros(cnt, np.int64) for _ in range(5)]
+    nb._lib.bc_del_gaps_fetch(
+        nb._h, *[a.ctypes.data_as(C.POINTER(C.c_int64)) for a in arrs]
+    )
+    return tuple(arrs)
