@@ -1,0 +1,367 @@
+"""Breakpoint extraction, clustering, and consensus calling.
+
+Behavioral reimplementation of the reference's interval/breakpoint
+utilities (``src/breakpoint_utilities.py``).  A breakpoint row is the same
+11-field list layout the reference uses throughout:
+
+    [chr1, pos1, o1, chr2, pos2, o2, r, rgap, flip, q1, q2]
+
+where ``r`` is ``(read_name, i, j)`` naming the pair of local alignments
+that produced it, ``rgap`` the read-side gap, and ``flip`` records whether
+canonicalization swapped the two sides (``interval2bp``,
+``breakpoint_utilities.py:289-295``).
+
+The pair-predicate evaluation is also available as a vectorized batch
+engine (``ops/pairs.py``) for the whole-table device path; this module is
+the exact per-read semantics both must agree on.
+"""
+from __future__ import annotations
+
+import math
+from collections import Counter
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..constants import CHR_IDX, FLIP_STRAND
+
+
+# -- interval predicates (reference :11-67) --------------------------------
+
+def interval_overlap(a, b) -> bool:
+    """[chr, s, e] closed-interval overlap."""
+    return a[0] == b[0] and int(a[1]) <= int(b[2]) and int(b[1]) <= int(a[2])
+
+
+def interval_include(a, b) -> bool:
+    return a[0] == b[0] and int(a[1]) >= int(b[1]) and int(a[2]) <= int(b[2])
+
+
+def interval_adjacent(a, b) -> bool:
+    if a[0] != b[0]:
+        return False
+    if a[1] <= b[1]:
+        return b[1] == a[2] + 1
+    return a[1] == b[2] + 1
+
+
+def interval_overlap_l(a, intervals) -> int:
+    """Index of the first interval overlapping a, else -1."""
+    for i, b in enumerate(intervals):
+        if interval_overlap(a, b):
+            return i
+    return -1
+
+
+def interval_include_l(a, intervals) -> int:
+    for i, b in enumerate(intervals):
+        if interval_include(a, b):
+            return i
+    return -1
+
+
+def interval_exclusive(a, intervals):
+    """Subtract every interval in ``intervals`` from ``a``.
+
+    Returns (set of overlapped interval indices, remaining uncovered pieces
+    as [chr, s, e, -1]) — reference ``:54-67``.
+    """
+    overlap_ids = set()
+    pieces = [[x for x in a]]
+    for i, b in enumerate(intervals):
+        for pi in range(len(pieces) - 1, -1, -1):
+            p = pieces[pi]
+            if interval_overlap(p, b):
+                overlap_ids.add(i)
+                del pieces[pi]
+                if p[1] < b[1]:
+                    pieces.append([p[0], p[1], b[1] - 1, -1])
+                if p[2] > b[2]:
+                    pieces.append([p[0], b[2] + 1, p[2], -1])
+    return overlap_ids, pieces
+
+
+# -- breakpoint canonicalization (reference :289-295) ----------------------
+
+def interval_to_bp(r1, r2, r=(), rgap: int = 0) -> list:
+    """Canonicalize a split-alignment junction into a breakpoint row.
+
+    Side 1 is the 3' end of the first alignment, side 2 the 5' start of the
+    second, ordered by chromosome index then position, with the second
+    side's strand flipped.
+    """
+    if (CHR_IDX[r2[0]] < CHR_IDX[r1[0]]) or (
+        CHR_IDX[r2[0]] == CHR_IDX[r1[0]] and r2[1] < r1[2]
+    ):
+        return [r1[0], r1[2], r1[3], r2[0], r2[1], FLIP_STRAND[r2[3]], r, rgap, 0]
+    return [r2[0], r2[1], FLIP_STRAND[r2[3]], r1[0], r1[2], r1[3],
+            (r[0], r[2], r[1]), rgap, 1]
+
+
+# -- per-read breakpoint extraction (reference :70-249) --------------------
+
+def _pair_passes_nm(nm, i, j, max_nm) -> bool:
+    return max_nm is None or (nm[i] < max_nm and nm[j] < max_nm)
+
+
+def chimera_to_bps(
+    rn: str,
+    chim,
+    min_bp_match_cutoff: int,
+    min_mapq: float,
+    intrvl1,
+    intrvl2,
+    gap_mapq: float = 10,
+    max_nm: Optional[float] = None,
+) -> List[list]:
+    """Two-interval variant (``alignment2bp``/``alignment2bp_nm``,
+    reference ``:70-126``): emit junctions with one side in each interval.
+    """
+    q, r, mq, nm = chim.q, chim.r, chim.mapq, chim.nm
+    out: List[list] = []
+    assigned = [0] * max(len(r) - 1, 0)
+    for i in range(len(r) - 1):
+        qgap = int(q[i + 1][0]) - int(q[i][1])
+        if qgap + min_bp_match_cutoff < 0:
+            continue
+        pair_in = (
+            (interval_overlap(r[i], intrvl1) and interval_overlap(r[i + 1], intrvl2))
+            or (interval_overlap(r[i + 1], intrvl1) and interval_overlap(r[i], intrvl2))
+        )
+        if pair_in and mq[i] >= min_mapq and mq[i + 1] >= min_mapq and \
+                _pair_passes_nm(nm, i, i + 1, max_nm):
+            out.append(interval_to_bp(r[i], r[i + 1], (rn, i, i + 1), qgap)
+                       + [mq[i], mq[i + 1]])
+            assigned[i] = 1
+    for i in range(1, len(r) - 1):
+        if assigned[i - 1] or assigned[i]:
+            continue
+        if not (mq[i] < gap_mapq and mq[i - 1] >= min_mapq and mq[i + 1] >= min_mapq):
+            continue
+        pair_in = (
+            (interval_overlap(r[i - 1], intrvl1) and interval_overlap(r[i + 1], intrvl2))
+            or (interval_overlap(r[i + 1], intrvl1) and interval_overlap(r[i - 1], intrvl2))
+        )
+        if pair_in and _pair_passes_nm(nm, i - 1, i + 1, max_nm):
+            qgap = int(q[i + 1][0]) - int(q[i - 1][1])
+            out.append(interval_to_bp(r[i - 1], r[i + 1], (rn, i - 1, i + 1), qgap)
+                       + [mq[i - 1], mq[i + 1]])
+    return out
+
+
+def _same_interval_pair_ok(q, r, i, j, gap_, min_bp_match_cutoff) -> bool:
+    """Same-interval-list junction test: strand flip, or ref/read gap
+    discrepancy beyond max(gap_, 20% of the read gap) (reference
+    ``:145-161``)."""
+    if r[j][3] != r[i][3]:
+        return True
+    gr = int(q[j][0]) - int(q[i][1])
+    if r[j][3] == "+":
+        grr = int(r[j][1]) - int(r[i][2])
+    else:
+        grr = int(r[i][2]) - int(r[j][1])
+    return abs(gr - grr) > max(gap_, abs(gr * 0.2))
+
+
+def chimera_to_bps_l(
+    rn: str,
+    chim,
+    min_bp_match_cutoff: int,
+    min_mapq: float,
+    gap_: float,
+    intervals: Sequence,
+    gap_mapq: float = 10,
+    max_nm: Optional[float] = None,
+) -> List[list]:
+    """Interval-list variant (``alignment2bp_l``/``alignment2bp_nm_l``,
+    reference ``:129-249``): both sides must land in the SAME interval of
+    the list; same-strand pairs additionally need a gap discrepancy.
+    """
+    q, r, mq, nm = chim.q, chim.r, chim.mapq, chim.nm
+    out: List[list] = []
+    assigned = [0] * max(len(r) - 1, 0)
+    for i in range(len(r) - 1):
+        j = i + 1
+        qgap = int(q[j][0]) - int(q[i][1])
+        if qgap + min_bp_match_cutoff < 0:
+            continue
+        io1 = interval_overlap_l(r[i], intervals)
+        io2 = interval_overlap_l(r[j], intervals)
+        if io1 < 0 or io2 < 0 or io1 != io2:
+            continue
+        if r[j][3] != r[i][3]:
+            if mq[i] >= min_mapq and mq[j] >= min_mapq and \
+                    _pair_passes_nm(nm, i, j, max_nm):
+                out.append(interval_to_bp(r[i], r[j], (rn, i, j), qgap)
+                           + [mq[i], mq[j]])
+                assigned[i] = 1
+        elif _same_interval_pair_ok(q, r, i, j, gap_, min_bp_match_cutoff):
+            if mq[i] >= min_mapq and mq[j] >= min_mapq and \
+                    _pair_passes_nm(nm, i, j, max_nm):
+                out.append(interval_to_bp(r[i], r[j], (rn, i, j), qgap)
+                           + [mq[i], mq[j]])
+                assigned[i] = 1
+    for i in range(1, len(r) - 1):
+        if assigned[i - 1] or assigned[i]:
+            continue
+        if not (mq[i] < gap_mapq and mq[i - 1] >= min_mapq and mq[i + 1] >= min_mapq):
+            continue
+        io1 = interval_overlap_l(r[i - 1], intervals)
+        io2 = interval_overlap_l(r[i + 1], intervals)
+        if io1 < 0 or io2 < 0 or io1 != io2:
+            continue
+        if max_nm is not None and not _pair_passes_nm(nm, i - 1, i + 1, max_nm):
+            continue
+        qgap = int(q[i + 1][0]) - int(q[i - 1][1])
+        if r[i + 1][3] != r[i - 1][3] or _same_interval_pair_ok(
+                q, r, i - 1, i + 1, gap_, min_bp_match_cutoff):
+            out.append(interval_to_bp(r[i - 1], r[i + 1], (rn, i - 1, i + 1), qgap)
+                       + [mq[i - 1], mq[i + 1]])
+    return out
+
+
+# -- clustering (reference :252-286) ---------------------------------------
+
+def cluster_breakpoints(
+    bp_list: List[list],
+    min_cluster_size: float,
+    distance_cutoff: int,
+) -> List[List[list]]:
+    """Greedy first-fit clustering keyed by (chr1, chr2, o1, o2).
+
+    Preserves the reference's exact assignment rule: each breakpoint joins
+    the FIRST existing cluster (in creation order) containing any member
+    within ``distance_cutoff`` on both coordinates; groups smaller than
+    ``min_cluster_size`` pass through as single clusters.
+    """
+    groups: dict = {}
+    for bp in bp_list:
+        groups.setdefault((bp[0], bp[3], bp[2], bp[5]), []).append(bp)
+    clusters: List[List[list]] = []
+    for key, members in groups.items():
+        if len(members) < min_cluster_size:
+            clusters.append(members)
+            continue
+        sub: List[List[list]] = []
+        sub_pos: List[list] = []  # per cluster: [np.array pos1s, np.array pos2s]
+        for bp in members:
+            target = -1
+            p1, p2 = int(bp[1]), int(bp[4])
+            for ci in range(len(sub)):
+                a1, a2 = sub_pos[ci]
+                hit = (np.abs(np.asarray(a1) - p1) < distance_cutoff) & \
+                      (np.abs(np.asarray(a2) - p2) < distance_cutoff)
+                if hit.any():
+                    target = ci
+                    break
+            if target >= 0:
+                sub[target].append(bp)
+                sub_pos[target][0].append(p1)
+                sub_pos[target][1].append(p2)
+            else:
+                sub.append([bp])
+                sub_pos.append([[p1], [p2]])
+        clusters.extend(sub)
+    return clusters
+
+
+# -- breakpoint matching (reference :391-415) ------------------------------
+
+def bp_match(bp1, bp2, rgap, cutoffs) -> bool:
+    """Check two canonical breakpoints for identity within cutoffs,
+    optionally spending the read gap toward strand-consistent offsets."""
+    if not (bp1[0] == bp2[0] and bp1[3] == bp2[3]
+            and bp1[2] == bp2[2] and bp1[5] == bp2[5]):
+        return False
+    if rgap <= 0:
+        return (abs(int(bp1[1]) - int(bp2[1])) < cutoffs[0]
+                and abs(int(bp1[4]) - int(bp2[4])) < cutoffs[1])
+    rgap_ = rgap
+    consumed = [0, 0]
+    if bp1[2] == "+" and int(bp1[1]) <= int(bp2[1]) - cutoffs[0]:
+        rgap_ -= (int(bp2[1]) - cutoffs[0] - int(bp1[1]) + 1)
+        consumed[0] = 1
+    if bp1[2] == "-" and int(bp1[1]) >= int(bp2[1]) + cutoffs[0]:
+        rgap_ -= (int(bp1[1]) - int(bp2[1]) - cutoffs[0] + 1)
+        consumed[0] = 1
+    if bp1[5] == "+" and int(bp1[4]) <= int(bp2[4]) - cutoffs[1]:
+        rgap_ -= (int(bp2[4]) - cutoffs[1] - int(bp1[4]) + 1)
+        consumed[1] = 1
+    if bp1[5] == "-" and int(bp1[4]) >= int(bp2[4]) + cutoffs[1]:
+        rgap_ -= (int(bp1[4]) - int(bp2[4]) - cutoffs[1] + 1)
+        consumed[1] = 1
+    return (((consumed[0] == 1 and rgap_ >= 0)
+             or abs(int(bp1[1]) - int(bp2[1])) < cutoffs[0])
+            and ((consumed[1] == 1 and rgap_ >= 0)
+                 or abs(int(bp1[4]) - int(bp2[4])) < cutoffs[1]))
+
+
+# -- consensus call (reference :299-388) -----------------------------------
+
+def _consensus_coord(vals: List[int], strand: str) -> int:
+    """Mode if unique, else parity-dependent rounded median (reference
+    ``:336-357``; ties in the mode fall back to the median)."""
+    counter = Counter(vals)
+    top2 = counter.most_common(2)
+    if len(top2) == 1 or top2[0][1] > top2[1][1]:
+        return top2[0][0]
+    if len(vals) % 2 == 1:
+        return int(np.median(vals))
+    if strand == "+":
+        return int(math.ceil(np.median(vals)))
+    return int(math.floor(np.median(vals)))
+
+
+def call_consensus_bp(
+    cluster: List[list], distance_cutoff: int
+) -> Tuple[list, list, list, List[list]]:
+    """Call the exact breakpoint of a cluster.
+
+    Returns (bp, supporting_reads, stats, leftover_cluster):
+      bp        consensus 9-field row,
+      reads     ``r`` tuples of members matching the consensus,
+      stats     [avg1, avg2, std1, std2, mapq1, mapq2] over matched members,
+      leftover  unmatched members (re-clustered by the caller's while loop).
+    """
+    bp = list(cluster[0][:-2])
+    bp[1] = 0 if bp[2] == "+" else 1000000000
+    bp[4] = 0 if bp[5] == "+" else 1000000000
+    p1s = np.asarray([b[1] for b in cluster], dtype=np.float64)
+    p2s = np.asarray([b[4] for b in cluster], dtype=np.float64)
+    m1, m2 = float(p1s.mean()), float(p2s.mean())
+    floor = distance_cutoff / 2.99
+    s1 = max(floor, float(np.sqrt(np.maximum((p1s * p1s).mean() - m1 * m1, 0.0))))
+    s2 = max(floor, float(np.sqrt(np.maximum((p2s * p2s).mean() - m2 * m2, 0.0))))
+    keep = (p1s <= m1 + 3 * s1) & (p1s >= m1 - 3 * s1) & \
+           (p2s <= m2 + 3 * s2) & (p2s >= m2 - 3 * s2)
+    kept1 = [int(cluster[i][1]) for i in range(len(cluster)) if keep[i]]
+    kept2 = [int(cluster[i][4]) for i in range(len(cluster)) if keep[i]]
+    if kept1:
+        bp[1] = _consensus_coord(kept1, bp[2])
+    if kept2:
+        bp[4] = _consensus_coord(kept2, bp[5])
+    reads = []
+    stats = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    leftover: List[list] = []
+    for member in cluster:
+        if bp_match(member, bp, member[7] * 1.2, [distance_cutoff, distance_cutoff]):
+            reads.append(member[6])
+            stats[0] += member[1]
+            stats[2] += member[1] * member[1]
+            stats[1] += member[4]
+            stats[3] += member[4] * member[4]
+            if member[-3] == 0:
+                stats[4] += member[-2]
+                stats[5] += member[-1]
+            else:
+                stats[4] += member[-1]
+                stats[5] += member[-2]
+        else:
+            leftover.append(member)
+    if not reads:
+        return bp, reads, [0, 0, 0, 0, 0, 0], []
+    n = float(len(reads))
+    stats = [s / n for s in stats]
+    stats[2] = math.sqrt(max(stats[2] - stats[0] * stats[0], 0.0))
+    stats[3] = math.sqrt(max(stats[3] - stats[1] * stats[1], 0.0))
+    return bp, reads, stats, leftover

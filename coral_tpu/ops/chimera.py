@@ -1,0 +1,162 @@
+"""SA-tag (supplementary alignment) decoding into chimeric alignments.
+
+Replaces the reference's nine closed-form CIGAR-shape decoders
+(``src/cigar_parsing.py:17-229``) with one generic formula over
+(left_clip, M+D ref span, right_clip):
+
+    al       = sum(M) + sum(D)                 # reference span
+    qs('+')  = left_clip
+    qe('+')  = read_length - right_clip - 1
+    qs('-')  = right_clip
+    qe('-')  = read_length - left_clip - 1
+
+which reproduces every one of the reference's SM/MS/SMS/SMD/MDS/SMDS/SMI/
+MIS/SMIS cases exactly (verified in tests against all nine formulas) and
+extends to arbitrary single-segment CIGARs.  A chimeric alignment is the
+set of local alignments of one read, sorted by query start
+(``cigar_parsing.py:232-269``).
+"""
+from __future__ import annotations
+
+import logging
+import re
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+logger = logging.getLogger(__name__)
+
+_CIG_RE = re.compile(r"(\d+)([A-Z=])")
+
+
+def sa_cigar_spans(cigar: str) -> Tuple[int, int, int, int]:
+    """(left_clip, ref_span, right_clip, query_span_total) of a CIGAR."""
+    left = right = ref = qtot = 0
+    seen_core = False
+    for m in _CIG_RE.finditer(cigar):
+        n, op = int(m.group(1)), m.group(2)
+        if op in "SH":
+            if seen_core:
+                right += n
+            else:
+                left += n
+            qtot += n
+        else:
+            seen_core = True
+            if op in "MDN=X":
+                if op in "M=X":
+                    ref += n
+                    qtot += n
+                else:
+                    ref += n
+            elif op == "I":
+                qtot += n
+    return left, ref, right, qtot
+
+
+@dataclass
+class Chimera:
+    """One read's chimeric alignment, sorted by query start.
+
+    Mirrors the (qint, rint, qual, nm) tuple of the reference: ``q`` holds
+    [qs, qe] on the forward-oriented read; ``r`` holds [chrom, a, b, strand]
+    where a > b for '-' strand (the reference's storage convention,
+    ``cigar_parsing.py:258-260``); ``nm`` is per-aligned-base.
+    """
+    q: List[List[int]]
+    r: List[list]
+    mapq: List[int]
+    nm: List[float]
+
+    def __len__(self):
+        return len(self.q)
+
+
+def alignment_from_sa(sa_entries: List[str], read_length: int) -> Optional[Chimera]:
+    """Decode a list of ``SA:Z`` records into a Chimera.
+
+    Returns None when any record lacks both a clip and a match, matching the
+    reference's whole-read discard (``cigar_parsing.py:248-253``).
+    """
+    q, r, mapq, nm = [], [], [], []
+    for sa in sa_entries:
+        f = sa.split(",")
+        cigar = f[3]
+        if "S" not in cigar or "M" not in cigar:
+            logger.warning("chimeric alignment without match or soft clips: %s", sa_entries)
+            return None
+        left, al, right, _ = sa_cigar_spans(cigar)
+        strand = f[2]
+        if strand == "+":
+            qs, qe = left, read_length - right - 1
+        else:
+            qs, qe = right, read_length - left - 1
+        pos1 = int(f[1])  # 1-based leftmost
+        q.append([qs, qe])
+        if strand == "+":
+            r.append([f[0], pos1 - 1, pos1 + al - 2, "+"])
+        else:
+            r.append([f[0], pos1 + al - 2, pos1 - 1, "-"])
+        mapq.append(int(f[4]))
+        nm.append(float(f[-1]))
+    order = sorted(range(len(q)), key=lambda i: (q[i][0], q[i][1]))
+    q = [q[i] for i in order]
+    r = [r[i] for i in order]
+    mapq = [mapq[i] for i in order]
+    nm = [nm[i] for i in order]
+    nm = [nm[i] / (q[i][1] - q[i][0]) for i in range(len(nm))]
+    return Chimera(q, r, mapq, nm)
+
+
+def collect_chimeras(bam) -> Tuple[dict, dict, list]:
+    """Whole-BAM chimera collection (reference ``fetch``,
+    ``infer_breakpoint_graph.py:139-174``).
+
+    Returns (read_length, chimeras, nm_stats):
+      read_length: name -> query length of the primary record
+      chimeras:    name -> Chimera (reads with SA tags and a primary record)
+      nm_stats:    [mean, std, count] of per-base NM over mapq-60 records
+                   without SA tags (the reference's edit-distance baseline).
+    """
+    import math
+
+    import numpy as np
+
+    read_length = {}
+    sa_lists = {}
+    names = bam.names()
+    has_sa = bam.sa_len > 0
+    primary = bam.flag < 256
+    # read lengths from the first primary record per name
+    for i in np.flatnonzero(primary):
+        rn = names[i]
+        if rn not in read_length:
+            read_length[rn] = int(bam.qlen[i])
+    # SA union per read (each record's SA lists the read's other alignments)
+    for i in np.flatnonzero(has_sa):
+        rn = names[i]
+        tag = bam.sa_tag(int(i))
+        entries = tag[:-1].split(";") if tag.endswith(";") else tag.split(";")
+        bucket = sa_lists.setdefault(rn, [])
+        for sa in entries:
+            if sa and sa not in bucket:
+                bucket.append(sa)
+    # NM baseline over confident non-chimeric records
+    nm_idx = np.flatnonzero((~has_sa) & (bam.mapq == 60) & (bam.qlen > 0))
+    if nm_idx.size:
+        e = bam.nm[nm_idx] / bam.qlen[nm_idx]
+        mean = float(np.mean(e))
+        std = float(math.sqrt(max(float(np.mean(e * e)) - mean * mean, 0.0)))
+        nm_stats = [mean, std, int(nm_idx.size)]
+    else:
+        nm_stats = [0.0, 0.0, 0]
+    chimeras = {}
+    for rn, entries in sa_lists.items():
+        if rn not in read_length:
+            logger.warning("chimeric read without primary alignment: %s", rn)
+            continue
+        chim = alignment_from_sa(entries, read_length[rn])
+        # a malformed SA set keeps the read with an empty chimera, matching
+        # the reference's ([], [], []) sentinel (cigar_parsing.py:253)
+        chimeras[rn] = chim if chim is not None else Chimera([], [], [], [])
+    logger.info("collected %d chimeric reads", len(chimeras))
+    return read_length, chimeras, nm_stats
