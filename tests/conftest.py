@@ -3,7 +3,11 @@ import sys
 
 # Force an 8-device virtual CPU mesh for sharding tests; must be set before
 # jax import anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The shell exports JAX_PLATFORMS=axon (TPU); tests must run on CPU with a
+# virtual 8-device mesh, so override unconditionally.  jax is already
+# imported by a pytest plugin at this point (its config snapshotted the env),
+# so update the live config too.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,3 +15,7 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
