@@ -98,14 +98,78 @@ def _solve_kkt_newton(
     return x, y
 
 
-def solve_cn_balance(wlrseg, wcn, wlncn, A, max_iters: int = 1000) -> np.ndarray:
-    """Solve the balance program; returns x (CN/2 per edge)."""
+def _newton_numpy(wlrseg, wcn, wlncn, A, max_iters=1000, tol=1e-9):
+    """float64 host implementation of the same damped-Newton KKT iteration.
+
+    The default engine: amplicon systems are tiny (n <= ~1000) so a host
+    dense solve is already speed-of-light, and the TPU backend lacks f64
+    LU (``LuDecomposition`` supports F32 only), which these
+    coverage-scale numbers require.
+    """
+    n = len(wcn)
+    m = A.shape[0]
+
+    def grad(x):
+        return wcn - wlncn / x - wlrseg / (x * x)
+
+    def residual(x, y):
+        return np.concatenate([grad(x) + A.T @ y, A @ x])
+
+    x = np.ones(n)
+    y = np.zeros(m)
+    for _ in range(max_iters):
+        r = np.linalg.norm(residual(x, y))
+        if r <= tol:
+            break
+        h = np.maximum(wlncn / x ** 2 + 2.0 * wlrseg / x ** 3, 1e-8)
+        K = np.zeros((n + m, n + m))
+        K[:n, :n] = np.diag(h)
+        K[:n, n:] = A.T
+        K[n:, :n] = A
+        K[n:, n:] = -1e-10 * np.eye(m)
+        rhs = np.concatenate([-grad(x), -(A @ x)])
+        sol = np.linalg.solve(K, rhs)
+        dx, y_new = sol[:n], sol[n:]
+        t = 1.0
+        while t > 1e-12:
+            x_t = x + t * dx
+            if np.min(x_t) > 0 and np.linalg.norm(residual(x_t, y_new)) \
+                    <= (1 - 0.01 * t) * r + tol:
+                break
+            t *= 0.5
+        if t <= 1e-12:
+            break
+        x = x + t * dx
+        y = y_new
+    return x
+
+
+def _have_f64_jax() -> bool:
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:
+        return False
+
+
+def solve_cn_balance(wlrseg, wcn, wlncn, A, max_iters: int = 1000,
+                     engine: str = "auto") -> np.ndarray:
+    """Solve the balance program; returns x (CN/2 per edge).
+
+    ``engine``: 'numpy' (f64 host, default on TPU-only processes), 'jax'
+    (f64, CPU backend), or 'auto'.
+    """
+    wlrseg = np.asarray(wlrseg, np.float64)
+    wcn = np.asarray(wcn, np.float64)
+    wlncn = np.asarray(wlncn, np.float64)
+    A = np.asarray(A, np.float64).reshape(-1, len(wcn))
+    if engine == "auto":
+        engine = "jax" if _have_f64_jax() else "numpy"
+    if engine == "numpy":
+        return _newton_numpy(wlrseg, wcn, wlncn, A, max_iters)
     with jax.enable_x64(True):
-        wlrseg = jnp.asarray(np.asarray(wlrseg, np.float64))
-        wcn = jnp.asarray(np.asarray(wcn, np.float64))
-        wlncn = jnp.asarray(np.asarray(wlncn, np.float64))
-        A = jnp.asarray(np.asarray(A, np.float64)).reshape(-1, wcn.shape[0])
-        x, _ = _solve_kkt_newton(wlrseg, wcn, wlncn, A, max_iters=max_iters)
+        x, _ = _solve_kkt_newton(
+            jnp.asarray(wlrseg), jnp.asarray(wcn), jnp.asarray(wlncn),
+            jnp.asarray(A), max_iters=max_iters)
         return np.asarray(x)
 
 

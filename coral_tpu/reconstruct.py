@@ -1,0 +1,853 @@
+"""Reconstruction orchestrator: BAM -> per-amplicon breakpoint graphs.
+
+Behavioral reimplementation of the reference's
+``bam_to_breakpoint_nanopore`` (``src/infer_breakpoint_graph.py:20-1331``)
+over this engine's flat BAM table and vectorized primitives.  Stage order
+and every numeric rule match the reference:
+
+  read_cns -> collect -> hash_to_segments -> find_amplicon_intervals
+  -> find_smalldel_breakpoints -> find_breakpoints -> build_graph
+  -> assign_cov -> compute_cn -> write graph files
+
+Known reference quirks that are live behavior and therefore preserved:
+  * the interval-refinement left-bound boolean assignment
+    (``infer_breakpoint_graph.py:546-547``: ``l = ... > l`` yields True==1);
+  * the ``amp_flag``-position truthiness test at ``:516``;
+  * duplicated large-indel entries for reads overlapping two amplicon
+    intervals (per-interval fetch, ``:721-802``).
+"""
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from .config import Config, DEFAULT_CONFIG
+from .constants import CHR_IDX
+from .graph.breakpoint_graph import BreakpointGraph
+from .graph.cn_solver import compute_cn
+from .io.bam import BamFile
+from .io.cnv import read_cn_segments
+from .ops.breakpoints import (
+    call_consensus_bp,
+    chimera_to_bps,
+    chimera_to_bps_l,
+    cluster_breakpoints,
+    interval_adjacent,
+    interval_exclusive,
+    interval_overlap,
+    interval_overlap_l,
+)
+from .ops.chimera import collect_chimeras
+
+logger = logging.getLogger(__name__)
+
+
+class Reconstruction:
+    """Holds all state of one reconstruct run (one BAM + seeds + CN segs)."""
+
+    def __init__(self, bam: BamFile, seed_path: str, cfg: Config = DEFAULT_CONFIG):
+        self.bam = bam
+        self.cfg = cfg
+        self.amplicon_intervals: List[list] = []   # [chr, s, e, ccid]
+        with open(seed_path) as fp:
+            for line in fp:
+                t = line.strip().split()
+                if t:
+                    self.amplicon_intervals.append([t[0], int(t[1]), int(t[2]), -1])
+        logger.info("parsed %d seed intervals", len(self.amplicon_intervals))
+
+        self.min_cluster_cutoff: float = cfg.bp.min_cluster_cutoff
+        self.normal_cov: float = 0.0
+        self.cns_by_chr: Dict[str, list] = {}      # chr -> [[chr,s,e_incl,cn]..]
+        self._cns_starts: Dict[str, np.ndarray] = {}
+        self._cns_ends: Dict[str, np.ndarray] = {}
+
+        self.read_length: Dict[str, int] = {}
+        self.chimeras: Dict[str, object] = {}
+        self.nm_stats = [0.0, 0.0, 0]
+        self.chim_seg_sets: Dict[str, List[Set[int]]] = {}   # per-read, per-aln
+        self.chim_by_seg: Dict[str, Dict[int, List[str]]] = {}
+
+        self.interval_connections: Dict[Tuple[int, int], Set[int]] = {}
+        self.new_bp_list: List[list] = []
+        self.new_bp_stats: List[list] = []
+        self.new_bp_ccids: List[int] = []
+        self.large_indels: Dict[str, List[list]] = {}
+        self.source_edges: List[list] = []
+        self.source_edge_ccids: List[int] = []
+
+        self.ccid2id: Dict[int, int] = {}
+        self.graphs: List[BreakpointGraph] = []
+
+        # filled by cycle stage
+        self.path_constraints: Dict[int, list] = {}
+        self.longest_path_constraints: Dict[int, list] = {}
+        self.cycles: Dict[int, list] = {}
+        self.cycle_weights: Dict[int, list] = {}
+        self.path_constraints_satisfied: Dict[int, list] = {}
+
+    # -- CN segments + diploid coverage (ref :75-136) ----------------------
+
+    def read_cns(self, path: str) -> None:
+        segs = read_cn_segments(path)
+        log2 = []
+        all_rows = []
+        for seg in segs:
+            row = [seg.chrom, seg.start, seg.end - 1, seg.cn]
+            self.cns_by_chr.setdefault(seg.chrom, []).append(row)
+            all_rows.append(row)
+            log2.append(seg.log2)
+        for chrom, rows in self.cns_by_chr.items():
+            self._cns_starts[chrom] = np.asarray([r[1] for r in rows])
+            self._cns_ends[chrom] = np.asarray([r[2] for r in rows])
+        logger.info("total CN segments: %d", len(all_rows))
+
+        # estimate diploid coverage over >=10 Mb of median-log2 segments
+        order = np.argsort(log2)
+        im = int(len(order) / 2.4)
+        ip = im + 1
+        chosen = [all_rows[order[ip]], all_rows[order[im]]]
+        total_len = sum(r[2] - r[1] + 1 for r in chosen)
+        i = 1
+        while total_len < 10_000_000:
+            chosen.append(all_rows[order[ip + i]])
+            chosen.append(all_rows[order[im - i]])
+            total_len += (all_rows[order[ip + i]][2] - all_rows[order[ip + i]][1] + 1)
+            total_len += (all_rows[order[im - i]][2] - all_rows[order[im - i]][1] + 1)
+            i += 1
+        nnc = 0
+        for r in chosen:
+            nnc += self.bam.coverage_sum(r[0], r[1], r[2] + 1)
+        self.normal_cov = nnc * 1.0 / total_len
+        logger.info("LR normal cov = %f", self.normal_cov)
+        self.min_cluster_cutoff = max(
+            self.cfg.bp.min_cluster_cutoff,
+            self.cfg.bp.min_bp_cov_factor * self.normal_cov,
+        )
+
+    def pos2cni(self, chrom: str, pos) -> Optional[int]:
+        """CN-segment index containing pos, or None (the reference's
+        intervaltree point query, [start, raw_end) semantics)."""
+        starts = self._cns_starts.get(chrom)
+        if starts is None:
+            return None
+        i = int(np.searchsorted(starts, pos, side="right")) - 1
+        if i >= 0 and pos <= self._cns_ends[chrom][i]:
+            return i
+        return None
+
+    # -- whole-BAM chimera collection (ref :139-210) -----------------------
+
+    def collect(self) -> None:
+        self.read_length, self.chimeras, self.nm_stats = collect_chimeras(self.bam)
+
+    def hash_to_segments(self) -> None:
+        """Index chimeric local alignments by CN segment (ref :181-210)."""
+        for rn, chim in self.chimeras.items():
+            sets = []
+            for ri in range(len(chim.r)):
+                rint = chim.r[ri]
+                if rint[0] in self._cns_starts:
+                    lcni = self.pos2cni(rint[0], min(rint[1], rint[2]))
+                    rcni = self.pos2cni(rint[0], max(rint[1], rint[2]))
+                    cniset = {(-1 if c is None else c) for c in (lcni, rcni)}
+                    if len(cniset) > 1 and -1 in cniset:
+                        cniset.remove(-1)
+                    sets.append(cniset)
+                    seg_map = self.chim_by_seg.setdefault(rint[0], {})
+                    for cni in cniset:
+                        if cni != -1:
+                            seg_map.setdefault(cni, []).append(rn)
+                else:
+                    sets.append({-1})
+            self.chim_seg_sets[rn] = sets
+
+    # -- breakpoint bookkeeping (ref :326-340) -----------------------------
+
+    def addbp(self, bp: list, reads: set, stats: list, ccid: int) -> int:
+        for bpi, existing in enumerate(self.new_bp_list):
+            if (existing[0] == bp[0] and existing[3] == bp[3]
+                    and existing[2] == bp[2] and existing[5] == bp[5]
+                    and abs(existing[1] - bp[1]) < self.cfg.bp.addbp_merge_window
+                    and abs(existing[4] - bp[4]) < self.cfg.bp.addbp_merge_window):
+                existing[-1] |= set(reads)
+                return bpi
+        bpi = len(self.new_bp_list)
+        self.new_bp_list.append(bp + [set(reads)])
+        self.new_bp_ccids.append(ccid)
+        self.new_bp_stats.append(stats)
+        return bpi
+
+    # -- amplicon interval search (ref :213-323) ---------------------------
+
+    def find_amplicon_intervals(self) -> None:
+        delta = self.cfg.interval.interval_delta
+        for ai in range(len(self.amplicon_intervals)):
+            chrom = self.amplicon_intervals[ai][0]
+            lcni = self.pos2cni(chrom, self.amplicon_intervals[ai][1])
+            rcni = self.pos2cni(chrom, self.amplicon_intervals[ai][2])
+            rows = self.cns_by_chr[chrom]
+            self.amplicon_intervals[ai][1] = rows[lcni][1]
+            if self.pos2cni(chrom, rows[lcni][1] - delta) is not None:
+                self.amplicon_intervals[ai][1] = rows[lcni][1] - delta
+            self.amplicon_intervals[ai][2] = rows[rcni][2]
+            if self.pos2cni(chrom, rows[rcni][2] + delta) is not None:
+                self.amplicon_intervals[ai][2] = rows[rcni][2] + delta
+
+        ccid = 0
+        for ai in range(len(self.amplicon_intervals)):
+            if self.amplicon_intervals[ai][3] == -1:
+                self._find_interval_i(ai, ccid)
+                ccid += 1
+        logger.info("identified %d amplicon intervals", len(self.amplicon_intervals))
+
+        # merge adjacent/overlapping intervals (ref :241-303)
+        sorted_idx = sorted(
+            range(len(self.amplicon_intervals)),
+            key=lambda i: (CHR_IDX[self.amplicon_intervals[i][0]],
+                           self.amplicon_intervals[i][1]),
+        )
+        ivals = [self.amplicon_intervals[i] for i in sorted_idx]
+        lastai = 0
+        to_merge = []
+        for ai in range(len(ivals) - 1):
+            if not (interval_adjacent(ivals[ai + 1], ivals[ai])
+                    or interval_overlap(ivals[ai], ivals[ai + 1])):
+                if ai > lastai:
+                    to_merge.append([lastai, ai])
+                lastai = ai + 1
+        if len(ivals) > 0 and lastai < len(ivals) - 1:
+            to_merge.append([lastai, len(ivals) - 1])
+        for rng in to_merge[::-1]:
+            ivals[rng[0]][2] = ivals[rng[1]][2]
+            for ai in range(rng[0] + 1, rng[1] + 1):
+                if ivals[ai][3] != ivals[rng[0]][3]:
+                    old_ccid = ivals[ai][3]
+                    for x in ivals:
+                        if x[3] == old_ccid:
+                            x[3] = ivals[rng[0]][3]
+            conn_map = {c: c for c in self.interval_connections}
+            for ai in range(rng[0] + 1, rng[1] + 1):
+                tgt_unsorted = sorted_idx[rng[0]]
+                ai_unsorted = sorted_idx[ai]
+                for c in conn_map:
+                    cc = conn_map[c]
+                    if ai_unsorted == cc[0]:
+                        cc = (tgt_unsorted, cc[1])
+                    if ai_unsorted == cc[1]:
+                        cc = (cc[0], tgt_unsorted)
+                    if cc[1] < cc[0]:
+                        cc = (cc[1], cc[0])
+                    conn_map[c] = cc
+            for c, cc in conn_map.items():
+                if c != cc:
+                    if cc not in self.interval_connections:
+                        self.interval_connections[cc] = self.interval_connections[c]
+                    else:
+                        self.interval_connections[cc] |= self.interval_connections[c]
+                    del self.interval_connections[c]
+                    if cc[0] == cc[1]:
+                        del self.interval_connections[cc]
+            for ai in range(rng[1], rng[0], -1):
+                del ivals[ai]
+                del sorted_idx[ai]
+
+        self.amplicon_intervals = ivals
+        ind_map = {sorted_idx[i]: i for i in range(len(sorted_idx))}
+        self.interval_connections = {
+            (min(ind_map[c[0]], ind_map[c[1]]), max(ind_map[c[0]], ind_map[c[1]])): v
+            for c, v in self.interval_connections.items()
+        }
+        # reset ccids by BFS over connections (ref :304-319)
+        explored = np.zeros(len(self.amplicon_intervals))
+        for ai in range(len(self.amplicon_intervals)):
+            ai_ccid = self.amplicon_intervals[ai][3]
+            if explored[ai] == 0:
+                queue = [ai]
+                while queue:
+                    cur = queue.pop(0)
+                    explored[cur] = 1
+                    if self.amplicon_intervals[cur][3] != ai_ccid:
+                        self.amplicon_intervals[cur][3] = ai_ccid
+                    for (a1, a2) in self.interval_connections:
+                        if a1 == cur and explored[a2] == 0:
+                            queue.append(a2)
+                        elif a2 == cur and explored[a1] == 0:
+                            queue.append(a1)
+        logger.info("%d amplicon intervals after merging", len(self.amplicon_intervals))
+
+    def _refine_interval_bounds_seg(self, chrom, nint_segs, lasti, i, lir):
+        """Left/right bound refinement for the same-chromosome block
+        (ref :505-523 and :533-553)."""
+        cfg_i = self.cfg.interval
+        rows = self.cns_by_chr[chrom]
+        amp_flag_l = rows[nint_segs[lasti][0]][3] >= cfg_i.cn_gain
+        amp_flag_r = rows[nint_segs[i][0]][3] >= cfg_i.cn_gain
+        if not amp_flag_l:
+            left = max(nint_segs[lasti][1] - cfg_i.interval_delta, rows[0][1])
+        else:
+            left = max(rows[nint_segs[lasti][0]][1] - cfg_i.interval_delta, rows[0][1])
+        if not amp_flag_r:
+            right = min(nint_segs[i][1] + cfg_i.interval_delta, rows[-1][2])
+        else:
+            right = min(lir + cfg_i.interval_delta, rows[-1][2])
+        return left, right
+
+    def _find_interval_i(self, ai: int, ccid: int) -> None:
+        """BFS over breakpoint-connected intervals (ref :343-673)."""
+        cfg_b = self.cfg.bp
+        cfg_i = self.cfg.interval
+        queue = [ai]
+        while queue:
+            ai_ = queue.pop(0)
+            chrom = self.amplicon_intervals[ai_][0]
+            s = self.amplicon_intervals[ai_][1]
+            e = self.amplicon_intervals[ai_][2]
+            if self.amplicon_intervals[ai_][3] == -1:
+                self.amplicon_intervals[ai_][3] = ccid
+            si = self.pos2cni(chrom, s)
+            ei = self.pos2cni(chrom, e)
+            if si is None or ei is None:
+                continue
+
+            # CN segments sharing a chimeric alignment with this interval
+            d1_segs: Dict[str, Dict[int, Set[str]]] = {}
+            seg_map = self.chim_by_seg.get(chrom, {})
+            for i in range(si, ei + 1):
+                if i in seg_map:
+                    for rn in seg_map[i]:
+                        rint = self.chimeras[rn].r
+                        sets = self.chim_seg_sets[rn]
+                        for k in range(len(rint)):
+                            for i_ in sets[k]:
+                                if (rint[k][0] != chrom) or (i_ <= si or i_ >= ei):
+                                    if i_ != -1:
+                                        d1_segs.setdefault(rint[k][0], {}).setdefault(
+                                            i_, set()).add(rn)
+            # drop low-support segments
+            for chr_ in list(d1_segs):
+                for segi in list(d1_segs[chr_]):
+                    if len(d1_segs[chr_][segi]) < self.min_cluster_cutoff:
+                        del d1_segs[chr_][segi]
+                if not d1_segs[chr_]:
+                    del d1_segs[chr_]
+
+            new_intervals_refined: List[list] = []
+            new_intervals_connections: List[list] = []
+            for chr_ in d1_segs:
+                # group nearby segments into candidate intervals (ref :405-419)
+                new_intervals = []
+                sorted_segs = sorted(d1_segs[chr_])
+                nir: Set[str] = set()
+                lasti = 0
+                rows_ = self.cns_by_chr[chr_]
+                for i in range(len(sorted_segs) - 1):
+                    nil = rows_[sorted_segs[i + 1]][1]
+                    lir = rows_[sorted_segs[i]][2]
+                    if (sorted_segs[i + 1] - sorted_segs[i] > cfg_i.seg_index_gap
+                            or nil - lir > cfg_i.max_seq_len):
+                        nir |= d1_segs[chr_][sorted_segs[i]]
+                        new_intervals.append(
+                            [chr_, sorted_segs[lasti], sorted_segs[i], nir])
+                        lasti = i + 1
+                        nir = set()
+                    else:
+                        nir |= d1_segs[chr_][sorted_segs[i]]
+                nir |= d1_segs[chr_][sorted_segs[-1]]
+                new_intervals.append([chr_, sorted_segs[lasti], sorted_segs[-1], nir])
+
+                # refine each candidate (ref :422-623)
+                for nint_ in new_intervals:
+                    ns = rows_[nint_[1]][1]
+                    ne = rows_[nint_[2]][2]
+                    new_bp_list = []
+                    max_nm = (self.nm_stats[0] + 3 * self.nm_stats[1]
+                              if cfg_b.nm_filter else None)
+                    for rn in nint_[-1]:
+                        new_bp_list += chimera_to_bps(
+                            rn, self.chimeras[rn], cfg_b.min_bp_match_cutoff,
+                            cfg_b.min_mapq, [nint_[0], ns, ne],
+                            self.amplicon_intervals[ai_],
+                            cfg_b.gap_mapq, max_nm)
+                    clusters = cluster_breakpoints(
+                        new_bp_list, self.min_cluster_cutoff,
+                        cfg_b.max_bp_distance_cutoff)
+                    new_bp_refined = []
+                    for c in clusters:
+                        if len(c) < self.min_cluster_cutoff:
+                            continue
+                        num_sub = 0
+                        remainder = c
+                        while len(remainder) >= self.min_cluster_cutoff:
+                            bp, bpr, stats, remainder = call_consensus_bp(
+                                remainder, cfg_b.min_bp_match_cutoff)
+                            if (num_sub == 0 and len(set(bpr)) >= self.min_cluster_cutoff) or (
+                                    len(set(bpr)) >= max(
+                                        self.normal_cov * cfg_b.min_bp_cov_factor, 3.0)):
+                                bpi = self.addbp(bp, set(bpr), stats, ccid)
+                                if bpi not in new_bp_refined:
+                                    new_bp_refined.append(bpi)
+                            num_sub += 1
+
+                    # place refined bps into CN segments (ref :461-491)
+                    nint_segs = []
+                    nint_segs_ = []
+
+                    def _cni(chrom_, pos_):
+                        cni = self.pos2cni(chrom_, pos_)
+                        if cni is None:
+                            # mirror the reference's IndexError -> except: pass
+                            raise LookupError
+                        return cni
+
+                    for bpi in new_bp_refined:
+                        bp = self.new_bp_list[bpi][:6]
+                        # appends before a lookup failure persist, later ones
+                        # are abandoned (reference try/except at :466-491)
+                        try:
+                            if interval_overlap(
+                                    [bp[0], bp[1], bp[1]], self.amplicon_intervals[ai_]) \
+                                    and interval_overlap([bp[3], bp[4], bp[4]],
+                                                         [nint_[0], ns, ne]):
+                                nint_segs.append([_cni(bp[3], bp[4]), bp[4], bpi])
+                            elif interval_overlap(
+                                    [bp[3], bp[4], bp[4]], self.amplicon_intervals[ai_]) \
+                                    and interval_overlap([bp[0], bp[1], bp[1]],
+                                                         [nint_[0], ns, ne]):
+                                nint_segs.append([_cni(bp[0], bp[1]), bp[1], bpi])
+                            else:
+                                o1 = interval_overlap([bp[0], bp[1], bp[1]],
+                                                      [nint_[0], ns, ne])
+                                o2 = interval_overlap([bp[3], bp[4], bp[4]],
+                                                      [nint_[0], ns, ne])
+                                if o1 and o2:
+                                    nint_segs.append([_cni(bp[0], bp[1]), bp[1], bpi])
+                                    nint_segs.append([_cni(bp[3], bp[4]), bp[4], bpi])
+                                elif o1:
+                                    nint_segs.append([_cni(bp[0], bp[1]), bp[1], bpi])
+                                    nint_segs_.append(
+                                        [bp[3], _cni(bp[3], bp[4]), bp[4], bpi])
+                                elif o2:
+                                    nint_segs_.append(
+                                        [bp[0], _cni(bp[0], bp[1]), bp[1], bpi])
+                                    nint_segs.append([_cni(bp[3], bp[4]), bp[4], bpi])
+                                else:
+                                    nint_segs_.append(
+                                        [bp[0], _cni(bp[0], bp[1]), bp[1], bpi])
+                                    nint_segs_.append(
+                                        [bp[3], _cni(bp[3], bp[4]), bp[4], bpi])
+                        except LookupError:
+                            pass
+                    nint_segs.sort(key=lambda x: (x[0], x[1]))
+                    nint_segs_.sort(key=lambda x: (CHR_IDX[x[0]], x[1], x[2]))
+
+                    # same-chromosome block splits (ref :494-532)
+                    lasti = 0
+                    for i in range(len(nint_segs) - 1):
+                        nil = rows_[nint_segs[i + 1][0]][1]
+                        ncn = rows_[nint_segs[i + 1][0]][3]
+                        lir = rows_[nint_segs[i][0]][2]
+                        lcn = rows_[nint_segs[i][0]][3]
+                        amp_flag = ncn >= cfg_i.cn_gain or lcn >= cfg_i.cn_gain
+                        if (nint_segs[i + 1][0] - nint_segs[i][0] > cfg_i.seg_index_gap
+                                or nil - lir > cfg_i.max_seq_len / 2
+                                or nint_segs[i + 1][1] - nint_segs[i][1] > cfg_i.max_seq_len
+                                or (not amp_flag and nil - lir > 2 * cfg_i.interval_delta)
+                                or (not amp_flag and nint_segs[i + 1][1] - nint_segs[i][1]
+                                    > 3 * cfg_i.interval_delta)):
+                            left, right = self._refine_interval_bounds_seg(
+                                chr_, nint_segs, lasti, i, lir)
+                            # truthiness quirk at ref :516 — the CN value
+                            # gates the tightening of the left bound
+                            if rows_[nint_segs[lasti][0]][3] and \
+                                    nint_segs[lasti][1] - int(cfg_i.max_seq_len / 2) > left:
+                                left = nint_segs[lasti][1] - int(cfg_i.max_seq_len / 2)
+                            if nint_segs[i][1] + int(cfg_i.max_seq_len / 2) < right:
+                                right = nint_segs[i][1] + int(cfg_i.max_seq_len / 2)
+                            if self.pos2cni(chr_, left) is None:
+                                left = rows_[nint_segs[lasti][0]][1]
+                            if self.pos2cni(chr_, right) is None:
+                                right = lir
+                            new_intervals_refined.append([chr_, left, right, -1])
+                            new_intervals_connections.append(
+                                [nint_segs[i_][2] for i_ in range(lasti, i + 1)])
+                            lasti = i + 1
+                    if len(nint_segs) > 0:
+                        amp_flag_l = rows_[nint_segs[lasti][0]][3] >= cfg_i.cn_gain
+                        amp_flag_r = rows_[nint_segs[-1][0]][3] >= cfg_i.cn_gain
+                        if not amp_flag_l:
+                            left = max(nint_segs[lasti][1] - cfg_i.interval_delta,
+                                       rows_[0][1])
+                        else:
+                            left = max(rows_[nint_segs[lasti][0]][1] - cfg_i.interval_delta,
+                                       rows_[0][1])
+                        if not amp_flag_r:
+                            right = min(nint_segs[-1][1] + cfg_i.interval_delta,
+                                        rows_[-1][2])
+                        else:
+                            right = min(rows_[nint_segs[-1][0]][2] + cfg_i.interval_delta,
+                                        rows_[-1][2])
+                        # reference bug (live): boolean assignment at :547
+                        if nint_segs[lasti][1] - int(cfg_i.max_seq_len / 2) > left:
+                            left = nint_segs[lasti][1] - int(cfg_i.max_seq_len / 2) > left
+                        if nint_segs[-1][1] + int(cfg_i.max_seq_len / 2) < right:
+                            right = nint_segs[-1][1] + int(cfg_i.max_seq_len / 2)
+                        if self.pos2cni(chr_, left) is None:
+                            left = rows_[nint_segs[lasti][0]][1]
+                        if self.pos2cni(chr_, right) is None:
+                            right = rows_[nint_segs[-1][0]][2]
+                        new_intervals_refined.append([chr_, left, right, -1])
+                        new_intervals_connections.append(
+                            [nint_segs[i_][2] for i_ in range(lasti, len(nint_segs))])
+
+                    # cross-chromosome leftovers (ref :562-623)
+                    lasti = 0
+                    for i in range(len(nint_segs_) - 1):
+                        rows_n = self.cns_by_chr[nint_segs_[i + 1][0]]
+                        rows_l = self.cns_by_chr[nint_segs_[i][0]]
+                        nil = rows_n[nint_segs_[i + 1][1]][1]
+                        ncn = rows_n[nint_segs_[i + 1][1]][3]
+                        lir = rows_l[nint_segs_[i][1]][2]
+                        lcn = rows_l[nint_segs_[i][1]][3]
+                        amp_flag = ncn >= cfg_i.cn_gain or lcn >= cfg_i.cn_gain
+                        if (nint_segs_[i + 1][0] != nint_segs_[i][0]
+                                or nint_segs_[i + 1][1] - nint_segs_[i][1] > cfg_i.seg_index_gap
+                                or nil - lir > cfg_i.max_seq_len / 2
+                                or nint_segs_[i + 1][2] - nint_segs_[i][2] > cfg_i.max_seq_len
+                                or (not amp_flag and nil - lir > 2 * cfg_i.interval_delta)
+                                or (not amp_flag and nint_segs_[i + 1][2] - nint_segs_[i][2]
+                                    > 3 * cfg_i.interval_delta)):
+                            rows_la = self.cns_by_chr[nint_segs_[lasti][0]]
+                            amp_flag_l = rows_la[nint_segs_[lasti][1]][3] >= cfg_i.cn_gain
+                            amp_flag_r = rows_l[nint_segs_[i][1]][3] >= cfg_i.cn_gain
+                            if not amp_flag_l:
+                                left = max(nint_segs_[lasti][2] - cfg_i.interval_delta,
+                                           rows_la[0][1])
+                            else:
+                                left = max(rows_la[nint_segs_[lasti][1]][1]
+                                           - cfg_i.interval_delta, rows_la[0][1])
+                            if not amp_flag_r:
+                                right = min(nint_segs_[i][2] + cfg_i.interval_delta,
+                                            rows_l[-1][2])
+                            else:
+                                right = min(lir + cfg_i.interval_delta, rows_l[-1][2])
+                            if nint_segs_[lasti][2] - int(cfg_i.max_seq_len / 2) > left:
+                                left = nint_segs_[lasti][2] - int(cfg_i.max_seq_len / 2)
+                            if nint_segs_[i][2] + int(cfg_i.max_seq_len / 2) < right:
+                                right = nint_segs_[i][2] + int(cfg_i.max_seq_len / 2)
+                            if self.pos2cni(nint_segs_[lasti][0], left) is None:
+                                left = rows_la[nint_segs_[lasti][1]][1]
+                            if self.pos2cni(nint_segs_[i][0], right) is None:
+                                right = lir
+                            new_intervals_refined.append(
+                                [nint_segs_[lasti][0], left, right, -1])
+                            new_intervals_connections.append([])
+                            lasti = i + 1
+                    if len(nint_segs_) > 0:
+                        rows_la = self.cns_by_chr[nint_segs_[lasti][0]]
+                        rows_z = self.cns_by_chr[nint_segs_[-1][0]]
+                        amp_flag_l = rows_la[nint_segs_[lasti][1]][3] >= cfg_i.cn_gain
+                        amp_flag_r = rows_z[nint_segs_[-1][1]][3] >= cfg_i.cn_gain
+                        if not amp_flag_l:
+                            left = max(nint_segs_[lasti][2] - cfg_i.interval_delta,
+                                       rows_la[0][1])
+                        else:
+                            left = max(rows_la[nint_segs_[lasti][1]][1]
+                                       - cfg_i.interval_delta, rows_la[0][1])
+                        if not amp_flag_r:
+                            right = min(nint_segs_[-1][2] + cfg_i.interval_delta,
+                                        rows_z[-1][2])
+                        else:
+                            right = min(rows_z[nint_segs_[-1][1]][2] + cfg_i.interval_delta,
+                                        rows_z[-1][2])
+                        if nint_segs_[lasti][2] - int(cfg_i.max_seq_len / 2) > left:
+                            left = nint_segs_[lasti][2] - int(cfg_i.max_seq_len / 2)
+                        if nint_segs_[-1][2] + int(cfg_i.max_seq_len / 2) < right:
+                            right = nint_segs_[-1][2] + int(cfg_i.max_seq_len / 2)
+                        if self.pos2cni(nint_segs_[lasti][0], left) is None:
+                            left = rows_la[nint_segs_[lasti][1]][1]
+                        if self.pos2cni(nint_segs_[lasti][0], right) is None:
+                            right = rows_la[nint_segs_[-1][1]][2]
+                        new_intervals_refined.append(
+                            [nint_segs_[lasti][0], left, right, -1])
+                        new_intervals_connections.append([])
+
+            # BFS expansion over refined intervals (ref :626-673)
+            for ni in range(len(new_intervals_refined)):
+                ei, intl = interval_exclusive(new_intervals_refined[ni],
+                                              self.amplicon_intervals)
+                if len(intl) == 0:
+                    for bpi in new_intervals_connections[ni]:
+                        bp = self.new_bp_list[bpi][:6]
+                        for ei_ in ei:
+                            connection = (min(ai_, ei_), max(ai_, ei_))
+                            if ei_ != ai_ and interval_overlap(
+                                    [bp[0], bp[1], bp[1]],
+                                    self.amplicon_intervals[ei_]) or interval_overlap(
+                                    [bp[3], bp[4], bp[4]], self.amplicon_intervals[ei_]):
+                                self.interval_connections.setdefault(
+                                    connection, set()).add(bpi)
+                    for ei_ in ei:
+                        if ei_ != ai_ and self.amplicon_intervals[ei_][3] < 0:
+                            queue.append(ei_)
+                else:
+                    for int_ in intl:
+                        nai = len(self.amplicon_intervals)
+                        self.amplicon_intervals.append(int_)
+                        self.interval_connections[(ai_, nai)] = set()
+                        if len(ei) == 0:
+                            for bpi in new_intervals_connections[ni]:
+                                self.interval_connections[(ai_, nai)].add(bpi)
+                        else:
+                            for bpi in new_intervals_connections[ni]:
+                                bp = self.new_bp_list[bpi][:6]
+                                for ei_ in ei:
+                                    connection = (min(ai_, ei_), max(ai_, ei_))
+                                    if interval_overlap(
+                                            [bp[0], bp[1], bp[1]],
+                                            self.amplicon_intervals[ei_]) or \
+                                            interval_overlap(
+                                                [bp[3], bp[4], bp[4]],
+                                                self.amplicon_intervals[ei_]):
+                                        self.interval_connections.setdefault(
+                                            connection, set()).add(bpi)
+                                    else:
+                                        self.interval_connections[(ai_, nai)].add(bpi)
+                        queue.append(nai)
+
+    # -- final breakpoint passes (ref :676-802) ----------------------------
+
+    def find_breakpoints(self) -> None:
+        cfg_b = self.cfg.bp
+        max_nm = (self.nm_stats[0] + 3 * self.nm_stats[1]
+                  if cfg_b.nm_filter else None)
+        new_bp_list_ = []
+        for rn, chim in self.chimeras.items():
+            new_bp_list_ += chimera_to_bps_l(
+                rn, chim, cfg_b.min_bp_match_cutoff, cfg_b.min_mapq,
+                100, self.amplicon_intervals, cfg_b.gap_mapq, max_nm)
+        logger.info("found %d raw breakpoint observations", len(new_bp_list_))
+        self._cluster_and_add(new_bp_list_)
+
+    def find_smalldel_breakpoints(self) -> None:
+        cfg_b = self.cfg.bp
+        new_bp_list_ = []
+        for ai in self.amplicon_intervals:
+            rows = self.bam.del_gap_alignments(
+                ai[0], ai[1], ai[2] + 1, cfg_b.min_del_len, int(cfg_b.min_mapq))
+            for (name, mapq, gaps, rstart, rend, nm, qlen) in rows:
+                if cfg_b.nm_filter:
+                    agg_del = sum(abs(a - b) for a, b in gaps)
+                    if qlen == 0 or (nm - agg_del) / qlen >= \
+                            self.nm_stats[0] + 3 * self.nm_stats[1]:
+                        continue
+                for (next_start, prev_end) in gaps:
+                    self.large_indels.setdefault(name, []).append(
+                        [ai[0], next_start, prev_end, rstart, rend, mapq])
+        logger.info("fetched %d reads with large indels", len(self.large_indels))
+        for rn in self.large_indels:
+            for gi, entry in enumerate(self.large_indels[rn]):
+                gap = entry[:3]
+                if gap[2] > gap[1]:
+                    gap = [gap[0], gap[2], gap[1]]
+                new_bp_list_.append(
+                    [gap[0], gap[1], "-", gap[0], gap[2], "+",
+                     (rn, gi, gi), 0, 0, -1, -1])
+        logger.info("found %d small del observations", len(new_bp_list_))
+        self._cluster_and_add(new_bp_list_)
+
+    def _cluster_and_add(self, new_bp_list_: List[list]) -> None:
+        cfg_b = self.cfg.bp
+        clusters = cluster_breakpoints(
+            new_bp_list_, self.min_cluster_cutoff, cfg_b.max_bp_distance_cutoff)
+        for c in clusters:
+            if len(c) < self.min_cluster_cutoff:
+                continue
+            num_sub = 0
+            remainder = c
+            while len(remainder) >= self.min_cluster_cutoff:
+                bp, bpr, stats, remainder = call_consensus_bp(
+                    remainder, cfg_b.min_bp_match_cutoff)
+                if (num_sub == 0 and len(set(bpr)) >= self.min_cluster_cutoff) or \
+                        (len(set(bpr)) >= max(
+                            self.normal_cov * cfg_b.min_bp_cov_factor, 3.0)):
+                    io1 = interval_overlap_l([bp[0], bp[1], bp[1]],
+                                             self.amplicon_intervals)
+                    io2 = interval_overlap_l([bp[3], bp[4], bp[4]],
+                                             self.amplicon_intervals)
+                    if io1 >= 0 and io2 >= 0:
+                        assert (self.amplicon_intervals[io1][3]
+                                == self.amplicon_intervals[io2][3])
+                        bpi = self.addbp(bp, set(bpr), stats,
+                                         self.amplicon_intervals[io1][3])
+                        self.interval_connections.setdefault(
+                            (min(io1, io2), max(io1, io2)), set()).add(bpi)
+                num_sub += 1
+
+    # -- graph assembly (ref :864-1016) ------------------------------------
+
+    def build_graph(self) -> None:
+        split_int: Dict[int, list] = {}
+        for bpi, bp in enumerate(self.new_bp_list):
+            for ai, seg in enumerate(self.amplicon_intervals):
+                if bp[0] == seg[0] and seg[1] < bp[1] < seg[2]:
+                    if bp[2] == "+":
+                        split_int.setdefault(ai, []).append(
+                            (bp[1], bp[1] + 1, bpi, 1, "+"))
+                    if bp[2] == "-":
+                        split_int.setdefault(ai, []).append(
+                            (bp[1] - 1, bp[1], bpi, 1, "-"))
+                if bp[3] == seg[0] and seg[1] < bp[4] < seg[2]:
+                    if bp[5] == "+":
+                        split_int.setdefault(ai, []).append(
+                            (bp[4], bp[4] + 1, bpi, 4, "+"))
+                    if bp[5] == "-":
+                        split_int.setdefault(ai, []).append(
+                            (bp[4] - 1, bp[4], bpi, 4, "-"))
+        for srci, srce in enumerate(self.source_edges):
+            for ai, seg in enumerate(self.amplicon_intervals):
+                if srce[3] == seg[0] and seg[1] < srce[4] < seg[2]:
+                    off = len(self.new_bp_list) + srci
+                    if srce[5] == "+":
+                        split_int.setdefault(ai, []).append(
+                            (srce[4], srce[4] + 1, off, 4, "+"))
+                    if srce[5] == "-":
+                        split_int.setdefault(ai, []).append(
+                            (srce[4] - 1, srce[4], off, 4, "-"))
+
+        amplicon_id = 1
+        for seg in self.amplicon_intervals:
+            if seg[3] not in self.ccid2id:
+                self.ccid2id[seg[3]] = amplicon_id
+                amplicon_id += 1
+        self.graphs = [BreakpointGraph() for _ in range(len(self.ccid2id))]
+
+        for ai in split_int:
+            split_int[ai].sort(key=lambda item: item[0])
+            seg = self.amplicon_intervals[ai]
+            g = self.graphs[self.ccid2id[seg[3]] - 1]
+            for ssi in range(len(split_int[ai])):
+                if ssi == 0:
+                    g.add_node((seg[0], seg[1], "-"))
+                    g.add_node((seg[0], split_int[ai][ssi][0], "+"))
+                    g.add_node((seg[0], split_int[ai][ssi][1], "-"))
+                    g.add_sequence_edge(seg[0], seg[1], split_int[ai][ssi][0])
+                    g.add_concordant_edge(seg[0], split_int[ai][ssi][0], "+",
+                                          seg[0], split_int[ai][ssi][1], "-")
+                elif split_int[ai][ssi][0] > split_int[ai][ssi - 1][0]:
+                    g.add_node((seg[0], split_int[ai][ssi - 1][1], "-"))
+                    g.add_node((seg[0], split_int[ai][ssi][0], "+"))
+                    g.add_node((seg[0], split_int[ai][ssi][1], "-"))
+                    g.add_sequence_edge(seg[0], split_int[ai][ssi - 1][1],
+                                        split_int[ai][ssi][0])
+                    g.add_concordant_edge(seg[0], split_int[ai][ssi][0], "+",
+                                          seg[0], split_int[ai][ssi][1], "-")
+            g.add_node((seg[0], split_int[ai][-1][1], "-"))
+            g.add_node((seg[0], seg[2], "+"))
+            g.add_sequence_edge(seg[0], split_int[ai][-1][1], seg[2])
+        for ai, seg in enumerate(self.amplicon_intervals):
+            if ai not in split_int:
+                g = self.graphs[self.ccid2id[seg[3]] - 1]
+                g.add_node((seg[0], seg[1], "-"))
+                g.add_node((seg[0], seg[2], "+"))
+                g.add_sequence_edge(seg[0], seg[1], seg[2])
+        for g in self.graphs:
+            g.sort_edges()
+        for seg in self.amplicon_intervals:
+            g = self.graphs[self.ccid2id[seg[3]] - 1]
+            g.amplicon_intervals.append([seg[0], seg[1], seg[2]])
+            g.add_endnode((seg[0], seg[1], "-"))
+            g.add_endnode((seg[0], seg[2], "+"))
+
+        for bpi, bp in enumerate(self.new_bp_list):
+            io1 = interval_overlap_l([bp[0], bp[1], bp[1]], self.amplicon_intervals)
+            io2 = interval_overlap_l([bp[3], bp[4], bp[4]], self.amplicon_intervals)
+            assert self.amplicon_intervals[io1][3] == self.amplicon_intervals[io2][3]
+            amplicon_idx = self.ccid2id[self.amplicon_intervals[io1][3]] - 1
+            self.new_bp_ccids[bpi] = self.amplicon_intervals[io1][3]
+            self.graphs[amplicon_idx].add_discordant_edge(
+                bp[0], bp[1], bp[2], bp[3], bp[4], bp[5],
+                lr_count=len(bp[-1]), reads=bp[-1])
+        for srci, srce in enumerate(self.source_edges):
+            amplicon_idx = self.ccid2id[self.source_edge_ccids[srci]] - 1
+            self.graphs[amplicon_idx].add_source_edge(srce[3], srce[4], srce[5])
+        for gi, g in enumerate(self.graphs):
+            logger.info(
+                "amplicon %d: %d seq, %d conc, %d disc, %d src edges",
+                gi + 1, len(g.sequence_edges), len(g.concordant_edges),
+                len(g.discordant_edges), len(g.source_edges))
+
+    # -- coverage assignment (ref :1019-1056) ------------------------------
+
+    def assign_cov(self) -> None:
+        cutoff = self.cfg.bp.min_bp_match_cutoff
+        for g in self.graphs:
+            for e in g.sequence_edges:
+                if e.lr_count == -1:
+                    e.lr_count = self.bam.read_count(e.chrom, e.start, e.end + 1)
+                    e.lr_nc = self.bam.coverage_sum(e.chrom, e.start, e.end + 1)
+            for ec in g.concordant_edges:
+                rls = self.bam.names_overlapping(ec.chrom1, ec.pos1, ec.pos1 + 1)
+                rrs = self.bam.names_overlapping(ec.chrom2, ec.pos2, ec.pos2 + 1)
+                rls1 = self.bam.names_overlapping(
+                    ec.chrom1, ec.pos1 - cutoff - 1, ec.pos1 - cutoff)
+                rrs1 = self.bam.names_overlapping(
+                    ec.chrom2, ec.pos2 + cutoff, ec.pos2 + cutoff + 1)
+                rbps = set()
+                for bpi in g.nodes[ec.node1()][2]:
+                    for r in g.discordant_edges[bpi].reads:
+                        rbps.add(r[0])
+                for bpi in g.nodes[ec.node2()][2]:
+                    for r in g.discordant_edges[bpi].reads:
+                        rbps.add(r[0])
+                ec.reads = rls | rrs
+                ec.lr_count = len((rls & rrs & rls1 & rrs1) - rbps)
+
+    # -- full pipeline -----------------------------------------------------
+
+    def compute_cn(self) -> None:
+        for g in self.graphs:
+            compute_cn(g, self.normal_cov, self.cfg.cn.max_iters)
+
+
+def reconstruct_graphs(
+    lr_bam: str,
+    cnv_seed: str,
+    cn_seg: str,
+    output_prefix: str,
+    cfg: Config = DEFAULT_CONFIG,
+    output_bp: bool = False,
+) -> Reconstruction:
+    """End-to-end graph reconstruction (reference ``reconstruct_graph``,
+    ``infer_breakpoint_graph.py:1333-1395``)."""
+    from .graph.breakpoint_graph import write_breakpoints_file, write_graph_file
+
+    bam = BamFile(lr_bam)
+    rec = Reconstruction(bam, cnv_seed, cfg)
+    rec.read_cns(cn_seg)
+    rec.collect()
+    rec.hash_to_segments()
+    rec.find_amplicon_intervals()
+    rec.find_smalldel_breakpoints()
+    rec.find_breakpoints()
+    rec.build_graph()
+    if output_bp:
+        for gi, g in enumerate(rec.graphs):
+            stats = []
+            for de in g.discordant_edges:
+                for bpi, bp in enumerate(rec.new_bp_list):
+                    if (de.chrom1 == bp[0] and de.pos1 == bp[1] and de.o1 == bp[2]
+                            and de.chrom2 == bp[3] and de.pos2 == bp[4]
+                            and de.o2 == bp[5]):
+                        stats.append(rec.new_bp_stats[bpi])
+                        break
+            write_breakpoints_file(
+                g, f"{output_prefix}_amplicon{gi + 1}_breakpoints.txt", stats)
+    else:
+        rec.assign_cov()
+        rec.compute_cn()
+        for gi, g in enumerate(rec.graphs):
+            write_graph_file(g, f"{output_prefix}_amplicon{gi + 1}_graph.txt")
+    return rec

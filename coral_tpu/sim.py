@@ -1,0 +1,95 @@
+"""Synthetic ecDNA data simulation.
+
+Generates coordinate-sorted BAMs + CN-segment + seed files describing a
+simple circular amplification, used by the test suite, the benchmark
+harness, and the compile-check entry point.  No reference-code analog (the
+reference ships no test data); read geometry follows the nanopore
+split-read conventions the reference consumes (SA:Z tags naming the
+partner alignments).
+"""
+from __future__ import annotations
+
+import math
+import os
+import random
+from typing import List, Tuple
+
+from .io.bamwrite import BamRecord, write_bam
+
+CHR = "chr7"
+CHR_LEN = 159_345_973
+
+
+def simulate_ecdna(
+    out_dir: str,
+    amp_start: int = 55_000_000,
+    amp_end: int = 55_400_000,        # exclusive
+    bg_cov: int = 20,
+    amp_extra_cov: int = 200,
+    n_junction_reads: int = 60,
+    bg_read_len: int = 50_000,
+    amp_read_len: int = 10_000,
+    junction_flank: int = 10_000,
+    jitter: int = 2,
+    seed: int = 0,
+    domain_end: int = 60_400_000,
+) -> Tuple[str, str, str]:
+    """Write (bam, cns, seed_bed) for one head-to-tail circular amplicon.
+
+    The amplicon is a single segment [amp_start, amp_end) at total coverage
+    ``bg_cov + amp_extra_cov`` whose 3' end joins back to its 5' start —
+    the canonical single-cycle ecDNA.
+    """
+    rng = random.Random(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    recs: List[BamRecord] = []
+
+    # background: tiled long reads, sequence omitted (SEQ '*')
+    step = bg_read_len // bg_cov
+    for i, start in enumerate(range(0, domain_end - bg_read_len, step)):
+        recs.append(BamRecord(f"bg{i:07d}", 0, CHR, start, 60,
+                              f"{bg_read_len}M", seq="*", tags={"NM": 100}))
+    # amplified interior coverage
+    astep = max(amp_read_len // amp_extra_cov, 1)
+    for i, start in enumerate(range(amp_start, amp_end - amp_read_len, astep)):
+        recs.append(BamRecord(f"amp{i:07d}", 0, CHR, start, 60,
+                              f"{amp_read_len}M", seq="*", tags={"NM": 20}))
+    # junction reads: [end-flank, end) -> [start, start+flank)
+    for i in range(n_junction_reads):
+        j1 = rng.randint(-jitter, jitter)
+        j2 = rng.randint(-jitter, jitter)
+        p1 = amp_end - junction_flank + j1          # part 1 ref start
+        p2 = amp_start + j2                         # part 2 ref start
+        rl = 2 * junction_flank
+        sa1 = f"{CHR},{p1 + 1},+,{junction_flank}M{junction_flank}S,60,50;"
+        sa2 = f"{CHR},{p2 + 1},+,{junction_flank}S{junction_flank}M,60,50;"
+        recs.append(BamRecord(
+            f"jx{i:04d}", 0, CHR, p1, 60,
+            f"{junction_flank}M{junction_flank}S",
+            seq="A" * rl, tags={"NM": 50, "SA": sa2}))
+        recs.append(BamRecord(
+            f"jx{i:04d}", 0x800, CHR, p2, 60,
+            f"{junction_flank}S{junction_flank}M",
+            seq="*", tags={"NM": 50, "SA": sa1}))
+
+    bam_path = os.path.join(out_dir, "sim_ecdna.bam")
+    write_bam(bam_path, [(CHR, CHR_LEN)], recs)
+
+    # CN segments: 5 Mb diploid tiles + the amplified segment
+    cns_path = os.path.join(out_dir, "sim_ecdna.cns")
+    amp_cn = 2.0 * (bg_cov + amp_extra_cov) / bg_cov
+    with open(cns_path, "w") as fp:
+        fp.write("chromosome\tstart\tend\tgene\tlog2\tdepth\n")
+        pos = 0
+        while pos < amp_start:
+            end = min(pos + 5_000_000, amp_start)
+            fp.write(f"{CHR}\t{pos}\t{end}\t-\t0.0\t{bg_cov}\n")
+            pos = end
+        fp.write(f"{CHR}\t{amp_start}\t{amp_end}\t-\t"
+                 f"{math.log2(amp_cn / 2.0)}\t{bg_cov + amp_extra_cov}\n")
+        fp.write(f"{CHR}\t{amp_end}\t{domain_end}\t-\t0.0\t{bg_cov}\n")
+
+    seed_path = os.path.join(out_dir, "sim_ecdna_seeds.bed")
+    with open(seed_path, "w") as fp:
+        fp.write(f"{CHR}\t{amp_start}\t{amp_end - 1}\n")
+    return bam_path, cns_path, seed_path

@@ -116,3 +116,23 @@ def test_self_loop_not_doubled():
     # balance at (9999,+): x_seq = coefficient-1 * x_disc (self loop counted
     # once in the balance row), and the reported disc CN is x (not 2x)
     assert d.cn == pytest.approx(seq_cn / 2, rel=1e-4)
+
+
+def test_numpy_and_jax_engines_agree():
+    import numpy as np
+    from coral_tpu.graph.cn_solver import solve_cn_balance
+    rng = np.random.default_rng(5)
+    k = 4
+    n = 2 * k - 1
+    wcn = np.abs(rng.normal(50, 10, n)) + 5
+    wlncn = np.concatenate([np.full(k, -0.5), np.abs(rng.normal(300, 50, k - 1))])
+    wlrseg = np.concatenate([np.abs(rng.normal(5e4, 1e4, k)), np.zeros(k - 1)])
+    A = np.zeros((2 * (k - 1), n))
+    for j in range(k - 1):
+        A[2 * j][j] = 1
+        A[2 * j][k + j] = -1
+        A[2 * j + 1][j + 1] = 1
+        A[2 * j + 1][k + j] = -1
+    x_np = solve_cn_balance(wlrseg, wcn, wlncn, A, engine="numpy")
+    x_jx = solve_cn_balance(wlrseg, wcn, wlncn, A, engine="jax")
+    np.testing.assert_allclose(x_np, x_jx, rtol=1e-6, atol=1e-8)
