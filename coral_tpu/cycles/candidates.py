@@ -1,0 +1,213 @@
+"""Candidate cycle/path enumeration for cycle extraction.
+
+The reference solves a mixed-integer quadratic program with Gurobi
+(``src/cycle_decomposition.py:14-460``) whose integer variables pick an
+edge multiset forming one or more connected Eulerian closed walks (cycles)
+or s-t walks (paths).  This engine replaces the ILP search over edge
+multisets with explicit enumeration of the walks themselves, exploiting a
+structural property of CoRAL breakpoint graphs: every node touches exactly
+one sequence edge, so a walk is fully determined by its breakpoint-edge
+(concordant/discordant) choices — sequence edges are forced.
+
+Feasibility rules mirror the reference model:
+  * cycles never traverse endnodes (the endnode Eulerian row
+    ``x_s + x_t == x_seq`` forbids it, ref ``:92-97``);
+  * paths terminate exactly at endnodes or source-edge nodes, with one
+    's'-side and one 't'-side terminal (``:111-119,159-167``);
+  * per-edge multiplicity caps: discordant edges by inferred multiplicity
+    (``:146-149``), everything by the reference's ub of 10 (``:74``).
+
+Candidates are deduplicated by edge multiset; the multiset keys use the
+reference's cycle-dict vocabulary: ('e',i) sequence, ('c',i) concordant,
+('d',i) discordant, ('s'/'t',srci) source edges, ('ns'/'nt',eni) endnode
+terminals.
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import Dict, FrozenSet, List, Optional, Set, Tuple
+
+from ..graph.breakpoint_graph import SEQ, CONC, DISC, SRC, BreakpointGraph
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class Candidate:
+    edges: Tuple[Tuple[tuple, int], ...]   # sorted ((key, count), ...)
+    is_cycle: bool
+    seq_weight: float                      # sum of x_seq * segment length
+
+    def edge_dict(self) -> Dict[tuple, int]:
+        return dict(self.edges)
+
+
+def _bp_edges_at(g: BreakpointGraph, node) -> List[tuple]:
+    """Unique breakpoint edges (('c'|'d', idx)) incident to node."""
+    out = []
+    for ci in dict.fromkeys(g.nodes[node][CONC]):
+        out.append(("c", ci))
+    for di in dict.fromkeys(g.nodes[node][DISC]):
+        out.append(("d", di))
+    return out
+
+
+def _other_bp_end(g: BreakpointGraph, edge: tuple, node):
+    e = (g.concordant_edges if edge[0] == "c" else g.discordant_edges)[edge[1]]
+    n1, n2 = e.node1(), e.node2()
+    return n2 if node == n1 else n1
+
+
+def _seq_at(g: BreakpointGraph, node) -> int:
+    return g.nodes[node][SEQ][0]
+
+
+def _seq_other_end(g: BreakpointGraph, seqi: int, node):
+    e = g.sequence_edges[seqi]
+    left, right = (e.chrom, e.start, "-"), (e.chrom, e.end, "+")
+    return right if node == left else left
+
+
+def enumerate_candidates(
+    g: BreakpointGraph,
+    disc_multiplicities: Optional[List[int]] = None,
+    max_multiplicity: int = 10,
+    conc_cap: Optional[int] = None,
+    max_bp_steps: Optional[int] = None,
+    max_states: int = 200_000,
+) -> List[Candidate]:
+    """Enumerate candidate cycles and paths as edge multisets."""
+    if disc_multiplicities is None:
+        disc_multiplicities = g.infer_discordant_edge_multiplicities()
+    caps: Dict[tuple, int] = {}
+    max_mult = max(disc_multiplicities, default=1)
+    if conc_cap is None:
+        conc_cap = min(max_multiplicity, max_mult + 1)
+    for ci in range(len(g.concordant_edges)):
+        caps[("c", ci)] = conc_cap
+    for di in range(len(g.discordant_edges)):
+        caps[("d", di)] = min(disc_multiplicities[di], max_multiplicity)
+    if max_bp_steps is None:
+        max_bp_steps = min(
+            sum(caps.values()), 4 * (len(g.concordant_edges)
+                                     + len(g.discordant_edges)) + 2, 40)
+
+    endnode_list = list(g.endnodes.keys())
+    endnode_idx = {n: i for i, n in enumerate(endnode_list)}
+    seq_len = [e.size for e in g.sequence_edges]
+
+    seen: Set[FrozenSet[Tuple[tuple, int]]] = set()
+    out: List[Candidate] = []
+    budget = [max_states]
+    truncated = [False]
+
+    def emit(used: Dict[tuple, int], is_cycle: bool):
+        key = frozenset(used.items())
+        if key in seen:
+            return
+        seen.add(key)
+        w = float(sum(seq_len[k[1]] * v for k, v in used.items() if k[0] == "e"))
+        out.append(Candidate(tuple(sorted(used.items(), key=repr)), is_cycle, w))
+
+    # ---- cycles: closed alternating walks avoiding endnodes -------------
+    def dfs_cycle(start_entry, node, used: Dict[tuple, int], steps: int):
+        """``node`` is the current position, reached via a sequence edge;
+        ``start_entry`` is the node at which the walk began (the entry end
+        of the first sequence edge)."""
+        if budget[0] <= 0:
+            truncated[0] = True
+            return
+        budget[0] -= 1
+        for bp in _bp_edges_at(g, node):
+            if used.get(bp, 0) >= caps[bp]:
+                continue
+            v = _other_bp_end(g, bp, node)
+            if v in g.endnodes:
+                continue
+            used[bp] = used.get(bp, 0) + 1
+            if v == start_entry:
+                # walk closes here; may also continue through the start
+                # (doubled cycles / figure-eights)
+                emit(used, True)
+            seqi = _seq_at(g, v)
+            if used.get(("e", seqi), 0) < max_multiplicity and steps < max_bp_steps:
+                w = _seq_other_end(g, seqi, v)
+                if w not in g.endnodes:
+                    used[("e", seqi)] = used.get(("e", seqi), 0) + 1
+                    dfs_cycle(start_entry, w, used, steps + 1)
+                    used[("e", seqi)] -= 1
+                    if used[("e", seqi)] == 0:
+                        del used[("e", seqi)]
+            used[bp] -= 1
+            if used[bp] == 0:
+                del used[bp]
+
+    for seqi, e in enumerate(g.sequence_edges):
+        left = (e.chrom, e.start, "-")
+        right = (e.chrom, e.end, "+")
+        if left in g.endnodes or right in g.endnodes:
+            continue
+        dfs_cycle(left, right, {("e", seqi): 1}, 0)
+
+    # ---- paths: terminal-to-terminal walks -------------------------------
+    # terminals: (kind, idx, node); kind 'n' = endnode, 'src' = source edge
+    terminals: List[tuple] = [("n", i, n) for i, n in enumerate(endnode_list)]
+    terminals += [("src", i, s.node()) for i, s in enumerate(g.source_edges)]
+
+    def terminal_exits(node):
+        outl = []
+        for (kind, idx, tn) in terminals:
+            if tn == node:
+                outl.append((kind, idx))
+        return outl
+
+    def dfs_path(start_key, node, used: Dict[tuple, int], steps: int):
+        """``node`` reached via a sequence edge; may terminate here if a
+        terminal exists, or continue via breakpoint edges."""
+        if budget[0] <= 0:
+            truncated[0] = True
+            return
+        budget[0] -= 1
+        for (kind, idx) in terminal_exits(node):
+            tkey = ("nt", idx) if kind == "n" else ("t", idx)
+            if tkey in used:
+                continue
+            used[tkey] = 1
+            emit(used, False)
+            del used[tkey]
+        if node in g.endnodes:
+            return  # paths cannot pass through endnodes
+        for bp in _bp_edges_at(g, node):
+            if used.get(bp, 0) >= caps[bp]:
+                continue
+            v = _other_bp_end(g, bp, node)
+            if v in g.endnodes:
+                continue
+            seqi = _seq_at(g, v)
+            if used.get(("e", seqi), 0) >= max_multiplicity or steps >= max_bp_steps:
+                continue
+            w = _seq_other_end(g, seqi, v)
+            used[bp] = used.get(bp, 0) + 1
+            used[("e", seqi)] = used.get(("e", seqi), 0) + 1
+            dfs_path(start_key, w, used, steps + 1)
+            used[bp] -= 1
+            if used[bp] == 0:
+                del used[bp]
+            used[("e", seqi)] -= 1
+            if used[("e", seqi)] == 0:
+                del used[("e", seqi)]
+
+    for (kind, idx, node) in terminals:
+        skey = ("ns", idx) if kind == "n" else ("s", idx)
+        seqi = _seq_at(g, node)
+        other = _seq_other_end(g, seqi, node)
+        dfs_path(skey, other, {skey: 1, ("e", seqi): 1}, 0)
+
+    if truncated[0]:
+        logger.warning(
+            "candidate enumeration truncated at %d states; "
+            "%d candidates found (results may be suboptimal)",
+            max_states, len(out))
+    logger.info("enumerated %d candidate cycles/paths", len(out))
+    return out

@@ -1,0 +1,432 @@
+"""Cycle decomposition: greedy extraction + exact joint selection.
+
+Replaces the reference's Gurobi MIQP stack (``src/cycle_decomposition.py``)
+with a two-stage architecture:
+
+1. ``enumerate_candidates`` (candidates.py) materializes the feasible
+   cycle/path edge multisets (walk enumeration — exact for these small
+   graphs, bounded for pathological ones);
+2. selection over the pool:
+   * ``greedy_extract`` mirrors ``maximize_weights_greedy``
+     (ref ``:980-1492``): per iteration, pick the candidate maximizing
+     w * (length-weighted CN) + subpath-constraint bonus, where the
+     optimal w is closed-form (min of remaining-CN/multiplicity, capped at
+     max_cn) — exactly the optimum of the reference's per-iteration MIQP
+     whenever the pool is exhaustive;
+   * ``joint_minimize`` mirrors ``minimize_cycles`` (ref ``:14-460``):
+     with candidate multisets fixed, the joint model becomes a
+     mixed-integer LINEAR program in (z_i, w_i) solved exactly with
+     HiGHS (scipy.optimize.milp);
+   * ``postprocess_minimize`` mirrors ``minimize_cycles_post``
+     (ref ``:463-977``) with soft subpath-constraint credits.
+
+The driver ``cycle_decomposition`` keeps the reference's model-size gate,
+k-doubling loop, and termination rules so outputs remain comparable.
+"""
+from __future__ import annotations
+
+import logging
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from scipy.optimize import Bounds, LinearConstraint, milp
+
+from ..config import CycleConfig
+from .candidates import Candidate, enumerate_candidates
+from .path_constraints import longest_path_dict
+
+logger = logging.getLogger(__name__)
+
+STATUS_OPTIMAL = 2
+STATUS_INFEASIBLE = 3
+STATUS_SUBOPTIMAL = 9
+
+
+def _pc_edge_key(edge: tuple) -> tuple:
+    """Path-constraint edge key -> candidate multiset key ('s' -> 'e')."""
+    return ("e", edge[1]) if edge[0] == "s" else edge
+
+
+def candidate_satisfies(cand_edges: Dict[tuple, int], pc: Dict[tuple, int]) -> bool:
+    return all(cand_edges.get(_pc_edge_key(e), 0) >= c for e, c in pc.items())
+
+
+def _cn_keys(edges: Dict[tuple, int]) -> Dict[tuple, int]:
+    """Candidate edge counts grouped by CN-constraint key
+    (('s',i) seq / ('c',i) / ('d',i) / ('src',i); terminals dropped)."""
+    out: Dict[tuple, int] = {}
+    for (t, i), c in edges.items():
+        if t == "e":
+            out[("s", i)] = out.get(("s", i), 0) + c
+        elif t in ("c", "d"):
+            out[(t, i)] = out.get((t, i), 0) + c
+        elif t in ("s", "t"):
+            out[("src", i)] = out.get(("src", i), 0) + c
+    return out
+
+
+def total_graph_weight(g) -> float:
+    return float(sum(e.size * e.cn for e in g.sequence_edges))
+
+
+def greedy_extract(
+    g,
+    candidates: List[Candidate],
+    total_weights: float,
+    pc_list: List[Dict[tuple, int]],
+    cfg: CycleConfig,
+) -> Tuple[float, int, list, list, list]:
+    """Greedy cycle extraction (reference ``maximize_weights_greedy``).
+
+    Returns (total_weight_included, num_pc_satisfied, cycles, weights,
+    pc_satisfied) with the [cycles, paths] pair structure of the reference.
+    """
+    resolution = cfg.resolution
+    remaining_cn: Dict[tuple, int] = {}
+    for i, e in enumerate(g.sequence_edges):
+        remaining_cn[("s", i)] = e.cn
+    for i, e in enumerate(g.concordant_edges):
+        remaining_cn[("c", i)] = e.cn
+    for i, e in enumerate(g.discordant_edges):
+        remaining_cn[("d", i)] = e.cn
+    for i, e in enumerate(g.source_edges):
+        remaining_cn[("src", i)] = e.cn
+    dead_disc = {("d", i) for i, e in enumerate(g.discordant_edges)
+                 if e.cn < resolution}
+
+    cand_info = []
+    for cand in candidates:
+        edges = cand.edge_dict()
+        cnk = _cn_keys(edges)
+        sat = [pi for pi, pc in enumerate(pc_list)
+               if candidate_satisfies(edges, pc)]
+        cand_info.append((cand, cnk, sat))
+
+    unsatisfied = list(range(len(pc_list)))
+    remaining_weights = total_weights
+    num_unsat = len(pc_list)
+    cycles = [[], []]
+    weights = [[], []]
+    sat_lists = [[], []]
+    next_w = resolution * 1.1
+    while next_w >= resolution and (
+            remaining_weights > (1.0 - cfg.p_total_weight) * total_weights
+            or num_unsat > math.floor((1.0 - cfg.p_subpaths) * len(pc_list))):
+        pp = 1.0
+        if cfg.alpha > 0 and num_unsat > 0:
+            pp = cfg.alpha * remaining_weights / num_unsat
+        best = None
+        best_score = 0.0
+        for (cand, cnk, sat) in cand_info:
+            if any(k in dead_disc for k in cnk):
+                continue
+            w = g.max_cn
+            ok = True
+            for k, x in cnk.items():
+                w = min(w, remaining_cn[k] / x)
+                if w < resolution:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            score = w * cand.seq_weight + sum(
+                max(pp, 1.0) for pi in sat if unsatisfied[pi] >= 0)
+            if score > best_score + 1e-12:
+                best_score = score
+                best = (cand, cnk, sat, w)
+        if best is None:
+            logger.info("greedy iteration: no feasible candidate, stop")
+            break
+        cand, cnk, sat, w = best
+        next_w = w
+        if w < resolution:
+            break
+        for k, x in cnk.items():
+            remaining_cn[k] -= x * w
+            if remaining_cn[k] < resolution:
+                remaining_cn[k] = 0.0
+        pcs = []
+        for pi in sat:
+            if unsatisfied[pi] >= 0:
+                pcs.append(pi)
+                unsatisfied[pi] = -1
+            else:
+                pcs.append(pi)
+        slot = 0 if cand.is_cycle else 1
+        cycles[slot].append(cand.edge_dict())
+        weights[slot].append(w)
+        sat_lists[slot].append(pcs)
+        included = w * cand.seq_weight
+        remaining_weights -= included
+        num_unsat = sum(1 for u in unsatisfied if u >= 0)
+        logger.info("greedy extracted %s w=%.4f weight=%.1f/%.1f",
+                    "cycle" if cand.is_cycle else "path", w,
+                    total_weights - remaining_weights, total_weights)
+        if included < cfg.cn_tol * total_weights:
+            break
+    return (total_weights - remaining_weights,
+            len(pc_list) - num_unsat, cycles, weights, sat_lists)
+
+
+def _solve_selection_milp(
+    g,
+    candidates: List[Candidate],
+    total_weights: float,
+    pc_list: List[Dict[tuple, int]],
+    k: int,
+    p_total_weight: float,
+    p_bp_cn: Optional[float],
+    resolution: Optional[float],
+    soft_pc_fraction: Optional[float],
+    time_limit: float,
+) -> Optional[tuple]:
+    """Shared MILP core for joint_minimize / postprocess_minimize.
+
+    Variables: z_i (binary), w_i (continuous), and R_p (binary, soft-pc
+    mode only).  Returns (sol_z, sol_w, sol_R) or None if infeasible.
+    """
+    m = len(candidates)
+    npc = len(pc_list)
+    soft = soft_pc_fraction is not None
+    nR = npc if soft else 0
+    nvar = 2 * m + nR
+    info = [(c, _cn_keys(c.edge_dict()),
+             [pi for pi, pc in enumerate(pc_list)
+              if candidate_satisfies(c.edge_dict(), pc)])
+            for c in candidates]
+
+    cons = []
+    # w_i - max_cn * z_i <= 0
+    A = np.zeros((m, nvar))
+    for i in range(m):
+        A[i, i] = -g.max_cn
+        A[i, m + i] = 1.0
+    cons.append(LinearConstraint(A, -np.inf, 0.0))
+    if resolution is not None:
+        # w_i >= resolution * z_i
+        A = np.zeros((m, nvar))
+        for i in range(m):
+            A[i, i] = resolution
+            A[i, m + i] = -1.0
+        cons.append(LinearConstraint(A, -np.inf, 0.0))
+    # sum z <= k
+    A = np.zeros((1, nvar))
+    A[0, :m] = 1.0
+    cons.append(LinearConstraint(A, -np.inf, k))
+    # coverage
+    A = np.zeros((1, nvar))
+    for i, (c, _, _) in enumerate(info):
+        A[0, m + i] = c.seq_weight
+    cons.append(LinearConstraint(A, p_total_weight * total_weights, np.inf))
+    # per-edge CN caps
+    all_keys = sorted({k_ for (_, cnk, _) in info for k_ in cnk}, key=repr)
+    cn_of = {}
+    for i, e in enumerate(g.sequence_edges):
+        cn_of[("s", i)] = e.cn
+    for i, e in enumerate(g.concordant_edges):
+        cn_of[("c", i)] = e.cn
+    for i, e in enumerate(g.discordant_edges):
+        cn_of[("d", i)] = e.cn
+    for i, e in enumerate(g.source_edges):
+        cn_of[("src", i)] = e.cn
+    if all_keys:
+        A = np.zeros((len(all_keys), nvar))
+        lb = np.full(len(all_keys), -np.inf)
+        ub = np.zeros(len(all_keys))
+        for r, key in enumerate(all_keys):
+            for i, (_, cnk, _) in enumerate(info):
+                if key in cnk:
+                    A[r, m + i] = cnk[key]
+            ub[r] = cn_of[key]
+        cons.append(LinearConstraint(A, lb, ub))
+    if p_bp_cn is not None and g.discordant_edges:
+        A = np.zeros((len(g.discordant_edges), nvar))
+        lb = np.zeros(len(g.discordant_edges))
+        for d in range(len(g.discordant_edges)):
+            for i, (_, cnk, _) in enumerate(info):
+                if ("d", d) in cnk:
+                    A[d, m + i] = cnk[("d", d)]
+            lb[d] = p_bp_cn * g.discordant_edges[d].cn
+        cons.append(LinearConstraint(A, lb, np.inf))
+    # subpath constraints
+    if npc:
+        if soft:
+            # R_p <= sum_{i sat} z_i; sum R >= soft_pc_fraction * npc
+            A = np.zeros((npc, nvar))
+            for p in range(npc):
+                A[p, 2 * m + p] = 1.0
+                for i, (_, _, sat) in enumerate(info):
+                    if p in sat:
+                        A[p, i] -= 1.0
+            cons.append(LinearConstraint(A, -np.inf, 0.0))
+            A = np.zeros((1, nvar))
+            A[0, 2 * m:] = 1.0
+            cons.append(LinearConstraint(A, soft_pc_fraction * npc, np.inf))
+        else:
+            A = np.zeros((npc, nvar))
+            for p in range(npc):
+                for i, (_, _, sat) in enumerate(info):
+                    if p in sat:
+                        A[p, i] = 1.0
+            cons.append(LinearConstraint(A, 1.0, np.inf))
+
+    cvec = np.zeros(nvar)
+    # minimize number of cycles; the epsilon term breaks coverage ties
+    # toward structurally simpler decompositions (fewer edge traversals),
+    # making solutions canonical where Gurobi's choice is arbitrary
+    for i, (c, _, _) in enumerate(info):
+        cvec[i] = 1.0 + 1e-6 * sum(c.edge_dict().values())
+        cvec[m + i] = -c.seq_weight / total_weights
+    if soft:
+        cvec[2 * m:] = -1.0 / npc
+    integrality = np.concatenate([
+        np.ones(m), np.zeros(m), np.ones(nR)])
+    lower = np.zeros(nvar)
+    upper = np.concatenate([
+        np.ones(m), np.full(m, g.max_cn), np.ones(nR)])
+    res = milp(
+        c=cvec, constraints=cons, integrality=integrality,
+        bounds=Bounds(lower, upper),
+        options={"time_limit": time_limit, "presolve": True},
+    )
+    if res.status != 0 or res.x is None:
+        return None
+    return res.x[:m], res.x[m: 2 * m], (res.x[2 * m:] if soft else None)
+
+
+def _collect_solution(g, candidates, pc_list, sol_z, sol_w):
+    cycles = [[], []]
+    weights = [[], []]
+    sat_lists = [[], []]
+    sat_set = set()
+    total_included = 0.0
+    assigned = set()
+    for i, cand in enumerate(candidates):
+        if sol_z[i] >= 0.9 and sol_w[i] > 0.0:
+            edges = cand.edge_dict()
+            pcs = [pi for pi, pc in enumerate(pc_list)
+                   if candidate_satisfies(edges, pc)]
+            # assign each pc to the first selected candidate satisfying it
+            pcs_new = [pi for pi in pcs if pi not in assigned]
+            assigned |= set(pcs_new)
+            slot = 0 if cand.is_cycle else 1
+            cycles[slot].append(edges)
+            weights[slot].append(float(sol_w[i]))
+            sat_lists[slot].append(pcs_new)
+            sat_set |= set(pcs_new)
+            total_included += sol_w[i] * cand.seq_weight
+    return total_included, len(sat_set), cycles, weights, sat_lists
+
+
+def joint_minimize(
+    g, candidates, k, total_weights, pc_list, cfg: CycleConfig,
+) -> Tuple[int, float, int, list, list, list]:
+    """Exact joint minimization (reference ``minimize_cycles``)."""
+    sol = _solve_selection_milp(
+        g, candidates, total_weights, pc_list, k,
+        cfg.p_total_weight, cfg.p_bp_cn, None, None,
+        max(cfg.time_limit_s, 300 * len(g.discordant_edges)))
+    if sol is None:
+        return STATUS_INFEASIBLE, 0.0, 0, [[], []], [[], []], [[], []]
+    total, n_sat, cycles, weights, sat_lists = _collect_solution(
+        g, candidates, pc_list, sol[0], sol[1])
+    return STATUS_OPTIMAL, total, n_sat, cycles, weights, sat_lists
+
+
+def postprocess_minimize(
+    g, candidates, total_weights, pc_list, greedy_sol, cfg: CycleConfig,
+) -> Tuple[int, float, int, list, list, list]:
+    """Post-process the greedy solution (reference ``minimize_cycles_post``)."""
+    _total, n_sat, gcycles, _gw, gsat = greedy_sol
+    k = len(gcycles[0]) + len(gcycles[1])
+    sat_idx = {pi for lists in gsat for pcs in lists for pi in pcs}
+    soft_fraction = (len(sat_idx) * 0.9999 / len(pc_list)) if pc_list else None
+    p_total = min(_total / total_weights * 0.9999, cfg.p_total_weight) \
+        if total_weights > 0 else cfg.p_total_weight
+    sol = _solve_selection_milp(
+        g, candidates, total_weights, pc_list, k, p_total,
+        None, cfg.resolution, soft_fraction,
+        max(cfg.time_limit_s, 300 * len(g.discordant_edges)))
+    if sol is None:
+        return STATUS_INFEASIBLE, 0.0, 0, [[], []], [[], []], [[], []]
+    total, n_sat, cycles, weights, sat_lists = _collect_solution(
+        g, candidates, pc_list, sol[0], sol[1])
+    return STATUS_OPTIMAL, total, n_sat, cycles, weights, sat_lists
+
+
+def cycle_decomposition(rec, cfg: CycleConfig) -> None:
+    """Per-amplicon decomposition driver (reference ``cycle_decomposition``,
+    ``src/cycle_decomposition.py:1495-1599``)."""
+    for amplicon_idx, g in enumerate(rec.graphs):
+        total_weights = total_graph_weight(g)
+        logger.info("amplicon %d: total CN weight %f", amplicon_idx + 1, total_weights)
+
+        rec.longest_path_constraints[amplicon_idx] = longest_path_dict(
+            rec.path_constraints[amplicon_idx])
+        pc_list = rec.longest_path_constraints[amplicon_idx][0]
+        logger.info("amplicon %d: %d maximal subpath constraints",
+                    amplicon_idx + 1, len(pc_list))
+
+        lseg = len(g.sequence_edges)
+        lc = len(g.concordant_edges)
+        ld = len(g.discordant_edges)
+        lsrc = len(g.source_edges)
+        nnodes = len(g.nodes)
+        nedges = lseg + lc + ld + 2 * lsrc + 2 * len(g.endnodes)
+        k = max(10, ld // 2)
+        if nedges < k:
+            k = nedges
+
+        candidates = enumerate_candidates(
+            g,
+            max_multiplicity=cfg.max_edge_multiplicity,
+            max_states=cfg.max_walk_candidates,
+        )
+
+        sol_flag = False
+        while k <= nedges:
+            model_size = 3 * k + 3 * k * nedges + 2 * k * nnodes + k * len(pc_list)
+            if nedges > 100 or model_size >= 10000:
+                greedy_sol = greedy_extract(g, candidates, total_weights, pc_list, cfg)
+                if cfg.postprocess:
+                    status, total, n_sat, cycles, weights, sat_lists = \
+                        postprocess_minimize(g, candidates, total_weights,
+                                             pc_list, greedy_sol, cfg)
+                    if status != STATUS_INFEASIBLE:
+                        rec.cycles[amplicon_idx] = cycles
+                        rec.cycle_weights[amplicon_idx] = weights
+                        rec.path_constraints_satisfied[amplicon_idx] = sat_lists
+                        sol_flag = True
+                        break
+                rec.cycles[amplicon_idx] = greedy_sol[2]
+                rec.cycle_weights[amplicon_idx] = greedy_sol[3]
+                rec.path_constraints_satisfied[amplicon_idx] = greedy_sol[4]
+                sol_flag = True
+                break
+            status, total, n_sat, cycles, weights, sat_lists = joint_minimize(
+                g, candidates, k, total_weights, pc_list, cfg)
+            if status == STATUS_INFEASIBLE:
+                logger.info("joint decomposition infeasible, doubling k %d -> %d",
+                            k, 2 * k)
+                k *= 2
+                continue
+            rec.cycles[amplicon_idx] = cycles
+            rec.cycle_weights[amplicon_idx] = weights
+            rec.path_constraints_satisfied[amplicon_idx] = sat_lists
+            sol_flag = True
+            break
+        if not sol_flag:
+            greedy_sol = greedy_extract(g, candidates, total_weights, pc_list, cfg)
+            if cfg.postprocess:
+                status, total, n_sat, cycles, weights, sat_lists = \
+                    postprocess_minimize(g, candidates, total_weights,
+                                         pc_list, greedy_sol, cfg)
+                if status != STATUS_INFEASIBLE:
+                    rec.cycles[amplicon_idx] = cycles
+                    rec.cycle_weights[amplicon_idx] = weights
+                    rec.path_constraints_satisfied[amplicon_idx] = sat_lists
+                    continue
+            rec.cycles[amplicon_idx] = greedy_sol[2]
+            rec.cycle_weights[amplicon_idx] = greedy_sol[3]
+            rec.path_constraints_satisfied[amplicon_idx] = greedy_sol[4]

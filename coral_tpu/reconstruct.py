@@ -805,11 +805,226 @@ class Reconstruction:
                 ec.reads = rls | rrs
                 ec.lr_count = len((rls & rrs & rls1 & rrs1) - rbps)
 
+    # -- path constraints (ref :1059-1323) ---------------------------------
+
+    def compute_path_constraints(self) -> None:
+        from .cycles.path_constraints import (
+            alignment_to_path,
+            chimeric_alignment_to_path,
+            chimeric_alignment_to_path_i,
+            valid_path,
+        )
+        cutoff = self.cfg.bp.min_bp_match_cutoff
+        for amplicon_idx, g in enumerate(self.graphs):
+            self.path_constraints[amplicon_idx] = [[], [], []]
+            self.longest_path_constraints[amplicon_idx] = [[], [], []]
+            bp_reads: Dict[str, list] = {}
+            for di, d in enumerate(g.discordant_edges):
+                for r_ in d.reads:
+                    slot = 1 if r_[1] == r_[2] else 0
+                    entry = bp_reads.setdefault(r_[0], [[], []])
+                    entry[slot].append([r_[1], r_[2], di])
+
+            pcs = self.path_constraints[amplicon_idx]
+
+            def _record(paths):
+                for path in paths:
+                    if len(path) > 5 and valid_path(g, path):
+                        if path in pcs[0]:
+                            pcs[1][pcs[0].index(path)] += 1
+                        elif path[::-1] in pcs[0]:
+                            pcs[1][pcs[0].index(path[::-1])] += 1
+                        else:
+                            pcs[0].append(path)
+                            pcs[1].append(1)
+                            pcs[2].append(amplicon_idx)
+
+            for rn, (bp_rn, bp_rn_sdel) in bp_reads.items():
+                paths = []
+                if len(bp_rn) == 1 and len(bp_rn_sdel) == 0:
+                    rints = [r[:4] for r in self.chimeras[rn].r]
+                    paths.append(chimeric_alignment_to_path_i(
+                        g, rints, bp_rn[0][0], bp_rn[0][1], bp_rn[0][2]))
+                elif len(bp_rn) > 1 and len(bp_rn_sdel) == 0:
+                    bp_rn = sorted(bp_rn, key=lambda it: min(it[0], it[1]))
+                    blocks = [[0]]
+                    last_ai = max(bp_rn[0][0], bp_rn[0][1])
+                    for i in range(1, len(bp_rn)):
+                        if min(bp_rn[i][0], bp_rn[i][1]) == last_ai:
+                            blocks[-1].append(i)
+                        else:
+                            blocks.append([i])
+                        last_ai = max(bp_rn[i][0], bp_rn[i][1])
+                    qints = self.chimeras[rn].q
+                    if any(qints[qi + 1][0] - qints[qi][1] < -cutoff
+                           for qi in range(len(qints) - 1)):
+                        continue  # overlapping local alignments
+                    for blk in blocks:
+                        rints = [r[:4] for r in self.chimeras[rn].r]
+                        ai_list = [bp_rn[bi][:2] for bi in blk]
+                        bp_list = [bp_rn[bi][2] for bi in blk]
+                        if len(set(bp_list)) < len(bp_list):
+                            continue  # repeated breakpoints
+                        paths.append(chimeric_alignment_to_path(
+                            g, rints, ai_list, bp_list))
+                elif len(bp_rn) == 0 and len(bp_rn_sdel) == 1:
+                    entry = self.large_indels[rn][0]
+                    # entry = [chr, del_end, del_start, ref_start, ref_end, mapq]
+                    if entry[3] < entry[4]:
+                        if entry[2] < entry[1]:
+                            rints = [[entry[0], entry[3], entry[2], "+"],
+                                     [entry[0], entry[1], entry[4], "+"]]
+                        else:
+                            continue  # inconsistent alignment
+                    else:
+                        if entry[2] > entry[1]:
+                            rints = [[entry[0], entry[3], entry[2], "-"],
+                                     [entry[0], entry[1], entry[4], "-"]]
+                        else:
+                            continue
+                    bpi = bp_rn_sdel[0][2]
+                    if rints[0][3] == "+":
+                        paths.append(chimeric_alignment_to_path_i(g, rints, 1, 0, bpi))
+                    else:
+                        paths.append(chimeric_alignment_to_path_i(g, rints, 0, 1, bpi))
+                elif len(bp_rn) == 0 and len(bp_rn_sdel) > 1:
+                    entries = self.large_indels[rn]
+                    spans = {(x[0], min(x[3], x[4]), max(x[3], x[4])) for x in entries}
+                    if len(spans) > 1 or len(entries) <= 1:
+                        continue  # inconsistent alignment
+                    rints_ = [[x[0], min(x[3], x[4]), max(x[3], x[4]), "+"]
+                              for x in entries]
+                    entries_sorted = sorted(entries, key=lambda x: min(x[1], x[2]))
+                    for ri, x in enumerate(entries_sorted):
+                        rints_.append([x[0], min(x[3], x[4]), max(x[3], x[4]), "+"])
+                        rints_[ri][2] = min(x[1], x[2])
+                        rints_[ri + 1][1] = max(x[1], x[2])
+                    sdel_sorted = sorted(bp_rn_sdel, key=lambda it: it[0])
+                    blocks = [[]]
+                    last_ai = 0
+                    for i in range(len(sdel_sorted)):
+                        if i == 0 or sdel_sorted[i][0] == last_ai + 1:
+                            blocks[-1].append(i)
+                        else:
+                            blocks.append([i])
+                        last_ai = sdel_sorted[i][0]
+                    for blk in blocks:
+                        ai_list = [[sdel_sorted[bi][0], sdel_sorted[bi][0] + 1]
+                                   for bi in blk]
+                        bp_list = [sdel_sorted[bi][2] for bi in blk]
+                        if len(set(bp_list)) < len(bp_list):
+                            continue
+                        paths.append(chimeric_alignment_to_path(
+                            g, rints_, ai_list, bp_list))
+                else:
+                    # mixed: chimeric alignments + small-del splits (ref :1203-1278)
+                    rints = [r[:4] for r in self.chimeras[rn].r]
+                    entries = self.large_indels[rn]
+                    rint_split = []
+                    skip = False
+                    for x in entries:
+                        found = False
+                        for ri, rint in enumerate(rints):
+                            if (x[0] == rint[0]
+                                    and min(x[1], x[2]) > min(rint[1], rint[2])
+                                    and max(x[1], x[2]) < max(rint[1], rint[2])):
+                                found = True
+                                rint_split.append(ri)
+                                break
+                        if not found:
+                            skip = True
+                            break
+                    if skip:
+                        continue
+                    for rsi, ri in enumerate(rint_split):
+                        rints.insert(ri, rints[ri][:])
+                        x = entries[rsi]
+                        if rints[ri][3] == "+":
+                            rints[ri][2] = min(x[1], x[2])
+                            rints[ri + 1][1] = max(x[1], x[2])
+                        else:
+                            rints[ri][2] = max(x[1], x[2])
+                            rints[ri + 1][1] = min(x[1], x[2])
+                        for item in bp_rn:
+                            if item[0] >= ri and item[1] >= ri:
+                                item[0] += 1
+                                item[1] += 1
+                        for i, sd in enumerate(bp_rn_sdel):
+                            if sd[0] == rsi:
+                                if rints[ri][3] == "+":
+                                    bp_rn.append([ri + 1, ri, sd[2]])
+                                else:
+                                    bp_rn.append([ri, ri + 1, sd[2]])
+                    bp_rn = sorted(bp_rn, key=lambda it: min(it[0], it[1]))
+                    blocks = [[0]]
+                    last_ai = max(bp_rn[0][0], bp_rn[0][1])
+                    for i in range(1, len(bp_rn)):
+                        if min(bp_rn[i][0], bp_rn[i][1]) == last_ai:
+                            blocks[-1].append(i)
+                        else:
+                            blocks.append([i])
+                        last_ai = max(bp_rn[i][0], bp_rn[i][1])
+                    qints = self.chimeras[rn].q
+                    if any(qints[qi + 1][0] - qints[qi][1] < -cutoff
+                           for qi in range(len(qints) - 1)):
+                        continue
+                    for blk in blocks:
+                        ai_list = [bp_rn[bi][:2] for bi in blk]
+                        bp_list = [bp_rn[bi][2] for bi in blk]
+                        if len(set(bp_list)) < len(bp_list):
+                            continue
+                        paths.append(chimeric_alignment_to_path(
+                            g, rints, ai_list, bp_list))
+                _record(paths)
+            logger.info("amplicon %d: %d breakpoint-read subpaths",
+                        amplicon_idx + 1, len(pcs[0]))
+
+            # concordant reads spanning >= 3 sequence edges (ref :1295-1322)
+            concordant_reads = {}
+            for ec in g.concordant_edges:
+                for rn in ec.reads:
+                    if rn not in self.large_indels and rn not in self.chimeras:
+                        concordant_reads[rn] = amplicon_idx
+            for aint in self.amplicon_intervals:
+                if amplicon_idx != self.ccid2id[aint[3]] - 1:
+                    continue
+                lo, hi = self.bam.overlap_range(aint[0], aint[1], aint[2] + 1)
+                names = self.bam.names()
+                for i in range(lo, hi):
+                    if self.bam.end[i] <= aint[1]:
+                        continue
+                    if self.bam.mapq[i] < 20:
+                        continue
+                    rn = names[i]
+                    if rn not in concordant_reads:
+                        continue
+                    path = alignment_to_path(
+                        g, [aint[0], int(self.bam.pos[i]), int(self.bam.end[i])],
+                        self.cfg.pc.min_overlap)
+                    _record([path])
+            logger.info("amplicon %d: %d total subpaths",
+                        amplicon_idx + 1, len(pcs[0]))
+
     # -- full pipeline -----------------------------------------------------
 
     def compute_cn(self) -> None:
         for g in self.graphs:
             compute_cn(g, self.normal_cov, self.cfg.cn.max_iters)
+
+
+def reconstruct_cycles(rec: Reconstruction, output_prefix: str,
+                       output_all_path_constraints: bool = False) -> None:
+    """Cycle decomposition stage (reference ``reconstruct_cycles``,
+    ``src/cycle_decomposition.py:2066-2089``)."""
+    from .cycles.decomposition import cycle_decomposition
+    from .cycles.output import output_cycles
+
+    rec.compute_path_constraints()
+    cycle_decomposition(rec, rec.cfg.cycles)
+    output_cycles(rec, output_prefix,
+                  output_all_paths=output_all_path_constraints,
+                  eulerian_seed=rec.cfg.cycles.eulerian_seed,
+                  max_trials=rec.cfg.cycles.eulerian_max_trials)
 
 
 def reconstruct_graphs(

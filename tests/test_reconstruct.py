@@ -85,3 +85,23 @@ def test_output_bp_mode(sim):
     fields = lines[1].split("\t")
     assert fields[0] == "chr7" and fields[2] == "chr7"
     assert fields[5] == "60"
+
+
+def test_full_pipeline_with_cycles(sim):
+    (bam, cns, seeds), out = sim
+    from coral_tpu.reconstruct import reconstruct_cycles
+    rec = reconstruct_graphs(bam, seeds, cns, os.path.join(out, "cyc"))
+    reconstruct_cycles(rec, os.path.join(out, "cyc"))
+    content = open(os.path.join(out, "cyc_amplicon1_cycles.txt")).read()
+    lines = content.splitlines()
+    assert lines[0].startswith("Interval\t1\tchr7")
+    cyc_lines = [ln for ln in lines if ln.startswith("Cycle=")]
+    # dominant cycle: the amplified body (segment 2), CN ~ 19.9;
+    # plus the full-interval path carrying the diploid background ~2.0
+    assert len(cyc_lines) == 2
+    assert "Segments=2+" in cyc_lines[0].split(";")[2]
+    w1 = float(cyc_lines[0].split(";")[1].split("=")[1])
+    w2 = float(cyc_lines[1].split(";")[1].split("=")[1])
+    assert abs(w1 - 19.9) < 0.5
+    assert abs(w2 - 2.0) < 0.3
+    assert "Segments=0+,1+,2+,3+,0-" in cyc_lines[1]
