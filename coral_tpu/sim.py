@@ -33,6 +33,8 @@ def simulate_ecdna(
     jitter: int = 2,
     seed: int = 0,
     domain_end: int = 60_400_000,
+    n_integration_reads: int = 0,
+    integration_pos: int = 58_000_000,
 ) -> Tuple[str, str, str]:
     """Write (bam, cns, seed_bed) for one head-to-tail circular amplicon.
 
@@ -69,6 +71,22 @@ def simulate_ecdna(
             seq="A" * rl, tags={"NM": 50, "SA": sa2}))
         recs.append(BamRecord(
             f"jx{i:04d}", 0x800, CHR, p2, 60,
+            f"{junction_flank}S{junction_flank}M",
+            seq="*", tags={"NM": 50, "SA": sa1}))
+
+    # optional HSR-like integration chimeras: ecDNA interior -> chromosome
+    for i in range(n_integration_reads):
+        p1 = amp_start + 50_000 + i          # inside the amplicon
+        p2 = integration_pos + (i % 3)       # chromosomal side
+        rl = 2 * junction_flank
+        sa1 = f"{CHR},{p1 + 1},+,{junction_flank}M{junction_flank}S,60,50;"
+        sa2 = f"{CHR},{p2 + 1},+,{junction_flank}S{junction_flank}M,60,50;"
+        recs.append(BamRecord(
+            f"hsr{i:04d}", 0, CHR, p1, 60,
+            f"{junction_flank}M{junction_flank}S",
+            seq="A" * rl, tags={"NM": 50, "SA": sa2}))
+        recs.append(BamRecord(
+            f"hsr{i:04d}", 0x800, CHR, p2, 60,
             f"{junction_flank}S{junction_flank}M",
             seq="*", tags={"NM": 50, "SA": sa1}))
 
