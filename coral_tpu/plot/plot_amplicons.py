@@ -1,0 +1,743 @@
+"""Amplicon visualization: breakpoint-graph and cycle plots.
+
+Behavioral port of the reference visualizer (``src/plot_amplicons.py``):
+``plot_graph`` renders CN steps on sequence edges, discordant-edge arcs
+color-coded by orientation, windowed coverage bars, and a gene track;
+``plot_cycles`` renders stacked cycle/path segment ladders with oriented
+connectors.  Differences:
+
+* coverage windows come from one exact per-interval profile of our BAM
+  layer instead of per-window htslib pileups (same numbers, one decode);
+* refGene annotation files are not shipped by the reference snapshot
+  (``parse_genes`` would crash); here a missing annotation degrades to an
+  empty gene track with a warning.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import sys
+from collections import defaultdict
+from typing import Dict, List, Optional, Tuple
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import matplotlib.ticker as ticker  # noqa: E402
+import numpy as np  # noqa: E402
+from matplotlib import gridspec  # noqa: E402
+from matplotlib.patches import Arc, Rectangle  # noqa: E402
+
+from ..constants import sort_chrom_names  # noqa: E402
+from .. import cycle2bed  # noqa: E402
+from ..io.bam import BamFile  # noqa: E402
+
+logger = logging.getLogger(__name__)
+
+matplotlib.rcParams["pdf.fonttype"] = 42
+
+ANNOTATIONS_DIRS = [
+    os.path.join(os.path.dirname(__file__), "..", "annotations_data"),
+    os.getcwd(),
+]
+
+
+class Gene:
+    def __init__(self, chrom, start, end, fields):
+        self.gchrom = chrom
+        self.gstart = start
+        self.gend = end
+        self.gname = fields[-4]
+        self.strand = fields[3]
+        self.height = 0.5
+        estarts = [int(x) for x in fields[9].rsplit(",") if x]
+        eends = [int(x) for x in fields[10].rsplit(",") if x]
+        self.eposns = list(zip(estarts, eends))
+
+
+def _find_annotation(name: str) -> Optional[str]:
+    for d in ANNOTATIONS_DIRS:
+        p = os.path.join(d, name)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+class AmpliconVisualizer:
+    def __init__(self):
+        self.bam: Optional[BamFile] = None
+        self.max_cn = 0.0
+        self.sequence_edges_by_chr: Dict[str, list] = {}
+        self.intervals_from_graph: Dict[str, list] = {}
+        self.num_amplified_intervals = 0
+        self.intervals_from_cycle: Dict[str, list] = {}
+        self.discordant_edges: List[list] = []
+        self.cycles: Dict[str, list] = {}
+        self.cycle_flags: Dict[str, list] = {}
+        self.genes: Dict[str, List[Gene]] = defaultdict(list)
+        self.plot_bounds: Optional[Tuple[str, int, int]] = None
+
+    # -- inputs -----------------------------------------------------------
+
+    def open_bam(self, bam_fn: str) -> None:
+        self.bam = BamFile(bam_fn)
+
+    def parse_genes(self, ref, gene_subset_list=None, restrict_to_bushman=False):
+        if ref in ("GRCh37", "hg19"):
+            refgene_name = "refGene_hg19.txt"
+        elif ref in ("GRCm38", "mm10"):
+            refgene_name = "refGene_mm10.txt"
+        else:
+            refgene_name = f"refGene_{ref}.txt"
+        bushman = set()
+        if restrict_to_bushman:
+            p = _find_annotation("Bushman_group_allOnco_May2018.tsv")
+            if p is None:
+                logger.warning("Bushman gene list not found; skipping filter")
+                restrict_to_bushman = False
+            else:
+                with open(p) as fp:
+                    next(fp)
+                    for line in fp:
+                        fields = line.rstrip().rsplit()
+                        if fields:
+                            bushman.add(fields[-1].strip('"'))
+        path = _find_annotation(refgene_name)
+        if path is None:
+            logger.warning("refGene annotation %s not found; gene track will "
+                           "be empty", refgene_name)
+            return
+        seen = set()
+        with open(path) as fp:
+            for line in fp:
+                fields = line.rsplit("\t")
+                chrom = fields[2]
+                if ref in ("GRCh37", "GRCm38") and not chrom.startswith("hpv"):
+                    chrom = chrom[3:]
+                tstart, tend = int(fields[4]), int(fields[5])
+                gname = fields[-4]
+                if gname.startswith(("LOC", "LINC", "MIR")):
+                    continue
+                if restrict_to_bushman and gname not in bushman:
+                    continue
+                if gene_subset_list and gname not in gene_subset_list:
+                    continue
+                if gname not in seen:
+                    seen.add(gname)
+                    self.genes[chrom].append(Gene(chrom, tstart, tend, fields))
+
+    def genes_overlapping(self, chrom, start, end) -> List[Gene]:
+        return [g for g in self.genes.get(chrom, [])
+                if g.gstart < end and g.gend > start]
+
+    def parse_graph_file(self, graph_fn: str) -> None:
+        with open(graph_fn) as fp:
+            for line in fp:
+                s = line.strip().split("\t")
+                if s[0] == "sequence":
+                    chrom = s[1].split(":")[0]
+                    start = int(s[1].split(":")[1][:-1])
+                    end = int(s[2].split(":")[1][:-1])
+                    self.sequence_edges_by_chr.setdefault(chrom, []).append(
+                        [chrom, start, end, float(s[3]), int(s[6]), int(s[5])])
+                    self.max_cn = max(self.max_cn, float(s[3]))
+                elif s[0] == "discordant":
+                    b1, b2 = s[1].split("->")
+                    chr1, p1 = b1.split(":")
+                    chr2, p2 = b2.split(":")
+                    self.discordant_edges.append(
+                        [chr1, int(p1[:-1]), p1[-1], chr2, int(p2[:-1]), p2[-1],
+                         float(s[2]), int(s[3])])
+
+    def parse_cycle_file(self, cycle_fn, output_prefix, num_cycles=None) -> None:
+        if cycle_fn.endswith("_cycles.txt"):
+            init_char = "" if output_prefix.endswith("/") else "_"
+            conv = output_prefix + init_char + "converted_"
+            if num_cycles:
+                conv += str(num_cycles) + "_"
+            conv += "cycles.bed"
+            cycle2bed.convert_cycles_to_bed(cycle_fn, conv, num_cycles=num_cycles)
+            cycle_fn = conv
+        elif not cycle_fn.endswith(".bed"):
+            sys.exit("Cycles file must be either a valid *_cycles.txt file "
+                     "or a converted .bed file!")
+        with open(cycle_fn) as fp:
+            for line in fp:
+                s = line.strip().split("\t")
+                if s[0][0] == "#":
+                    continue
+                self.cycles.setdefault(s[4], []).append(
+                    [s[0], int(s[1]), int(s[2]), s[3]])
+                if s[4] not in self.cycle_flags:
+                    self.cycle_flags[s[4]] = [s[5] == "True", float(s[6])]
+
+    # -- interval layout --------------------------------------------------
+
+    def graph_amplified_intervals(self) -> None:
+        for chrom, edges in self.sequence_edges_by_chr.items():
+            lstart, lend = -2, -2
+            out = self.intervals_from_graph.setdefault(chrom, [])
+            for se in edges:
+                if se[1] != lend + 1:
+                    if lstart >= 0:
+                        out.append([lstart, lend])
+                        self.num_amplified_intervals += 1
+                    lstart, lend = se[1], se[2]
+                else:
+                    lend = se[2]
+            out.append([lstart, lend])
+            self.num_amplified_intervals += 1
+
+    @staticmethod
+    def merge_intervals(intervals, padding=0.0):
+        sorted_iv = sorted(intervals)
+        merged = [sorted_iv[0]]
+        for cur in sorted_iv[1:]:
+            prev = merged[-1]
+            if cur[0] <= prev[1] + padding:
+                merged[-1] = (prev[0], max(prev[1], cur[1]))
+            else:
+                merged.append(cur)
+        return merged
+
+    def cycle_amplified_intervals(self, cycle_ids=None, cycle_only=False,
+                                  graph_given=False) -> None:
+        self.num_amplified_intervals = 0
+        if cycle_ids is None:
+            cycle_ids = list(self.cycle_flags)
+        if cycle_only:
+            cycle_ids = [c for c in self.cycle_flags if self.cycle_flags[c][0]]
+        if graph_given:
+            for cid in cycle_ids:
+                for seg in self.cycles[cid]:
+                    for iv in self.intervals_from_graph.get(seg[0], []):
+                        if seg[1] >= iv[0] and seg[2] <= iv[1]:
+                            bucket = self.intervals_from_cycle.setdefault(seg[0], [])
+                            if iv not in bucket:
+                                bucket.append(iv)
+                            break
+        else:
+            by_chr = defaultdict(list)
+            for cid in self.cycles:
+                for seg in self.cycles[cid]:
+                    by_chr[seg[0]].append((seg[1], seg[2]))
+            for chrom, ivs in by_chr.items():
+                self.intervals_from_cycle[chrom] = self.merge_intervals(
+                    ivs, padding=10000)
+        for chrom in self.intervals_from_cycle:
+            self.intervals_from_cycle[chrom].sort()
+            self.num_amplified_intervals += len(self.intervals_from_cycle[chrom])
+
+    def set_gene_heights(self, rel_genes, padding=0.0) -> None:
+        if not rel_genes:
+            return
+        merged = self.merge_intervals(
+            [(g.gstart, g.gend) for g in rel_genes], padding=padding)
+        for mi in merged:
+            hits = [g for g in rel_genes if g.gstart < mi[1] and g.gend > mi[0]]
+            heights = np.linspace(0.15, 0.75, len(hits))
+            for g, h in zip(hits, heights):
+                g.height = h
+
+    # -- graph plot -------------------------------------------------------
+
+    def plot_graph(self, title, output_fn, margin=2, height=7.5, fontsize=18,
+                   dpi=300, max_cov_cutoff=float("inf"), quality_threshold=0,
+                   hide_genes=False, gene_font_size=12) -> None:
+        width = 15 if self.plot_bounds else max(15, 2 * self.num_amplified_intervals)
+        fig = plt.figure(figsize=(width, height))
+        gs = gridspec.GridSpec(
+            2, 1, height_ratios=[8, 2 if not hide_genes else 0.000001])
+        ax = fig.add_subplot(gs[0, 0])
+        plt.subplots_adjust(left=0.073, right=1 - 0.073, bottom=0.25, top=0.95)
+        ax.set_title(title, fontsize=fontsize)
+        ax2 = ax.twinx()
+        ax3 = fig.add_subplot(gs[1, 0], sharex=ax)
+        ax.xaxis.set_visible(False)
+        ax2.xaxis.set_visible(False)
+        ax3.yaxis.set_visible(False)
+        for side in ("left", "right", "top"):
+            ax3.spines[side].set_visible(False)
+
+        total_len_amp = sum(
+            iv[1] - iv[0] + 1
+            for ivs in self.intervals_from_graph.values() for iv in ivs)
+        zoom = 1.0
+        if self.plot_bounds:
+            zoom = float(self.plot_bounds[2] - self.plot_bounds[1]) / total_len_amp
+        sorted_chrs = sort_chrom_names(self.intervals_from_graph.keys())
+        starts: Dict[str, list] = {}
+        ymax = 0
+        x = margin
+        for chrom in sorted_chrs:
+            interval_idx = 0
+            starts[chrom] = [x]
+            for seq in self.sequence_edges_by_chr[chrom]:
+                ivs = self.intervals_from_graph[chrom]
+                if interval_idx >= len(ivs) or seq[1] > ivs[interval_idx][1]:
+                    x += margin
+                    starts[chrom].append(x)
+                    interval_idx += 1
+                x1 = x
+                x += (seq[2] - seq[1]) * 100.0 / total_len_amp
+                x2 = x
+                if self.plot_bounds:
+                    if chrom != self.plot_bounds[0]:
+                        continue
+                    if not (seq[2] >= self.plot_bounds[1]
+                            and seq[1] <= self.plot_bounds[2]):
+                        continue
+                ymax = max(ymax, seq[3])
+                ax2.hlines(seq[3], x1, x2, color="black", lw=6, zorder=2)
+            x += margin
+
+        if not self.plot_bounds:
+            for chrom in starts:
+                if chrom != sorted_chrs[0]:
+                    for a in (ax, ax3):
+                        a.axvline(x=starts[chrom][0] - margin * 0.5,
+                                  linestyle="--", lw=2, zorder=2)
+                for i in range(1, len(starts[chrom])):
+                    ax.axvline(x=starts[chrom][i] - margin * 0.5,
+                               linestyle=":", lw=2, zorder=2)
+
+        # discordant-edge arcs (orientation color code, ref :339)
+        colorcode = {"+-": "red", "++": "magenta",
+                     "-+": (139 / 256.0, 69 / 256.0, 19 / 256.0), "--": "teal"}
+        avg_rc = sum(bp[7] for bp in self.discordant_edges) * 1.0 / max(
+            len(self.discordant_edges), 1)
+        for bp in self.discordant_edges:
+            chr1, pos1, chr2, pos2 = bp[0], bp[1], bp[3], bp[4]
+            ort = bp[2] + bp[5]
+            if chr1 not in self.intervals_from_graph or \
+                    chr2 not in self.intervals_from_graph:
+                print("Could not place " + str(bp))
+                continue
+            i1 = i2 = 0
+            while pos1 > self.intervals_from_graph[chr1][i1][1]:
+                i1 += 1
+            x1 = starts[chr1][i1] + (pos1 - self.intervals_from_graph[chr1][i1][0]) \
+                * 100.0 / total_len_amp
+            while pos2 > self.intervals_from_graph[chr2][i2][1]:
+                i2 += 1
+            x2 = starts[chr2][i2] + (pos2 - self.intervals_from_graph[chr2][i2][0]) \
+                * 100.0 / total_len_amp
+            if self.plot_bounds:
+                hit1 = (chr1 == self.plot_bounds[0]
+                        and self.plot_bounds[1] <= pos1 <= self.plot_bounds[2])
+                hit2 = (chr2 == self.plot_bounds[0]
+                        and self.plot_bounds[1] <= pos2 <= self.plot_bounds[2])
+                if not hit1 and not hit2:
+                    continue
+            arc = Arc(((x1 + x2) * 0.5, 0), x1 - x2, 2 * ymax, theta1=0,
+                      theta2=180, color=colorcode[ort],
+                      lw=min(3 * (bp[7] / avg_rc), 3), zorder=3)
+            ax2.add_patch(arc)
+        ax2.set_ylim(0, 1.4 * ymax)
+        ax2.set_ylabel("CN", fontsize=fontsize)
+        ax2.tick_params(axis="y", labelsize=fontsize)
+
+        # windowed coverage (one exact profile per interval)
+        max_cov = 0.0
+        for chrom in sorted_chrs:
+            for inti, iv in enumerate(self.intervals_from_graph[chrom]):
+                if self.plot_bounds:
+                    if chrom != self.plot_bounds[0]:
+                        continue
+                    if not (iv[1] >= self.plot_bounds[1]
+                            and iv[0] <= self.plot_bounds[2]):
+                        continue
+                ival_len = iv[1] - iv[0]
+                if self.plot_bounds:
+                    ival_len = self.plot_bounds[2] - self.plot_bounds[1]
+                window = 150
+                if ival_len >= 1_000_000:
+                    window = 10_000
+                elif ival_len >= 100_000:
+                    window = 1_000
+                profile = self.bam.coverage_profile(
+                    chrom, iv[0], iv[1] + window,
+                    quality_threshold=int(quality_threshold))
+                for w in range(iv[0], iv[1], window):
+                    cov = float(profile[w - iv[0]: w - iv[0] + window].sum()) / window
+                    max_cov = max(max_cov, cov)
+                    xw = starts[chrom][inti] + (w - iv[0]) * 100.0 / total_len_amp
+                    ax.add_patch(Rectangle(
+                        (xw, 0), window * 100.0 / total_len_amp, cov,
+                        color="silver", zorder=1))
+        ax.set_ylabel("Coverage", fontsize=fontsize)
+        ax.set_ylim(0, min(1.25 * max_cov, max_cov_cutoff) or 1.0)
+        ax.tick_params(axis="y", labelsize=fontsize)
+
+        if not hide_genes:
+            self._draw_gene_track(
+                ax3, sorted_chrs, self.intervals_from_graph, starts,
+                total_len_amp, gene_font_size, zoom)
+
+        # ticks/labels
+        if not self.plot_bounds:
+            lim = 100 + (self.num_amplified_intervals + 1) * margin
+            for a in (ax, ax2, ax3):
+                a.set_xlim(0, lim)
+            xtickpos, xticklabels = self._interval_ticks(
+                sorted_chrs, self.intervals_from_graph, starts, margin)
+            ax3.set_xticks(xtickpos)
+            ax3.set_xticklabels(xticklabels, size=fontsize)
+            self._style_tick_labels(ax3, xticklabels, sorted_chrs)
+        else:
+            pchrom, pstart, pend = self.plot_bounds
+            relint = None
+            for inti, iv in enumerate(self.intervals_from_graph.get(pchrom, [])):
+                if iv[0] <= pstart <= iv[1]:
+                    relint, rint_ = inti, iv
+                    break
+            if relint is None:
+                print(f"Could not identify region {pchrom}:{pstart}-{pend} in "
+                      "graph regions. Region should be fully contained in graph.")
+            else:
+                ps = starts[pchrom][relint] + (pstart - rint_[0]) * 100.0 / total_len_amp
+                pe = starts[pchrom][relint] + (pend - rint_[0]) * 100.0 / total_len_amp
+                ax3.set_xticks([ps, pe])
+                ax3.set_xticklabels(
+                    [f"{pchrom}:{pstart}", f"{pchrom}:{pend}"], size=fontsize - 4)
+                for a in (ax, ax2, ax3):
+                    a.set_xlim(ps, pe)
+        ax3.yaxis.set_major_formatter(ticker.NullFormatter())
+        ax3.set_ylim(0, 1)
+        fig.subplots_adjust(hspace=0)
+        plt.savefig(output_fn + ".png", dpi=dpi)
+        plt.savefig(output_fn + ".pdf")
+        plt.close(fig)
+
+    def _draw_gene_track(self, ax3, sorted_chrs, intervals, starts,
+                         total_len_amp, gene_font_size, zoom=1.0) -> None:
+        for chrom in sorted_chrs:
+            for inti, iv in enumerate(intervals[chrom]):
+                if self.plot_bounds:
+                    if chrom != self.plot_bounds[0]:
+                        continue
+                    if not (iv[1] >= self.plot_bounds[1]
+                            and iv[0] <= self.plot_bounds[2]):
+                        continue
+                rel = self.genes_overlapping(chrom, iv[0], iv[1])
+                self.set_gene_heights(rel, total_len_amp * 0.02)
+                for g in rel:
+                    h = g.height
+                    cut_gs = max(iv[0], g.gstart)
+                    cut_ge = min(iv[1], g.gend)
+                    gx1 = starts[chrom][inti] + (cut_gs - iv[0]) * 100.0 / total_len_amp
+                    gx2 = starts[chrom][inti] + (cut_ge - iv[0]) * 100.0 / total_len_amp
+                    ax3.hlines(h, gx1, gx2, color="cornflowerblue", lw=4.5)
+                    if self.plot_bounds:
+                        if cut_ge < self.plot_bounds[1] or cut_gs > self.plot_bounds[2]:
+                            continue
+                        cut_gs = max(self.plot_bounds[1], cut_gs)
+                        cut_ge = min(self.plot_bounds[2], cut_ge)
+                        gx1 = starts[chrom][inti] + (cut_gs - iv[0]) * 100.0 / total_len_amp
+                        gx2 = starts[chrom][inti] + (cut_ge - iv[0]) * 100.0 / total_len_amp
+                    ax3.text((gx1 + gx2) / 2, h + 0.05, g.gname, ha="center",
+                             va="bottom", fontsize=gene_font_size, style="italic")
+                    if g.strand == "+":
+                        ax3.plot(gx1, h, marker=">", color="black", markersize=7)
+                    elif g.strand == "-":
+                        ax3.plot(gx2, h, marker="<", color="black", markersize=7)
+                    for es, ee in g.eposns:
+                        if not ee > iv[0] or not es < iv[1]:
+                            continue
+                        ex1 = starts[chrom][inti] + (max(iv[0], es) - iv[0]) \
+                            * 100.0 / total_len_amp
+                        ex2 = starts[chrom][inti] + (min(iv[1], ee) - iv[0]) \
+                            * 100.0 / total_len_amp
+                        min_w = 0.2 * zoom
+                        if ex2 - ex1 < min_w:
+                            d = (min_w - (ex2 - ex1)) / 2
+                            ex1 -= d
+                            ex2 += d
+                        ax3.hlines(h, ex1, ex2, color="black", lw=7.5)
+
+    @staticmethod
+    def _interval_ticks(sorted_chrs, intervals, starts, margin):
+        xtickpos, xticklabels = [], []
+        num_amplified = sum(len(intervals[c]) for c in sorted_chrs)
+        for chrom in sorted_chrs:
+            nint = len(intervals[chrom])
+            for inti in range(len(starts[chrom])):
+                if inti > 0:
+                    xtickpos.append(starts[chrom][inti] - margin)
+                    if nint % 2 == 0 and inti == (nint - 2) // 2 + 1:
+                        xtickpos.append(starts[chrom][inti] - margin * 0.5)
+                    xtickpos.append(starts[chrom][inti])
+                    if nint % 2 == 1 and inti == (nint - 1) // 2:
+                        xtickpos.append(
+                            (starts[chrom][inti] + starts[chrom][inti + 1]
+                             - margin) * 0.5)
+                else:
+                    if chrom != sorted_chrs[0]:
+                        xtickpos.append(starts[chrom][0] - margin)
+                    xtickpos.append(starts[chrom][0])
+                    if nint % 2 == 1 and inti == (nint - 1) // 2:
+                        chri = sorted_chrs.index(chrom)
+                        if chri == len(sorted_chrs) - 1:
+                            end = 100 + num_amplified * margin
+                        else:
+                            end = starts[sorted_chrs[chri + 1]][0] - margin
+                        xtickpos.append((starts[chrom][inti] + end) * 0.5)
+        xtickpos.append(100 + num_amplified * margin)
+        for chrom in sorted_chrs:
+            nint = len(intervals[chrom])
+            for inti in range(nint):
+                iv = intervals[chrom][inti]
+                xticklabels.append(str(iv[0]) + "   ")
+                if nint % 2 == 1 and inti == (nint - 1) // 2:
+                    xticklabels.append(chrom)
+                xticklabels.append(str(iv[1]) + "   ")
+                if nint % 2 == 0 and inti == (nint - 2) // 2:
+                    xticklabels.append(chrom)
+        return xtickpos, xticklabels
+
+    @staticmethod
+    def _style_tick_labels(ax3, xticklabels, sorted_chrs):
+        labels = ax3.get_xticklabels()
+        for ti in range(min(len(xticklabels), len(labels))):
+            if xticklabels[ti] not in sorted_chrs:
+                labels[ti].set_rotation(90)
+            else:
+                ax3.xaxis.get_major_ticks()[ti].tick1line.set_visible(False)
+
+    # -- cycles plot ------------------------------------------------------
+
+    def plot_cycles(self, title, output_fn, num_cycles=-1, cycle_only=False,
+                    margin=2, fontsize=18, dpi=300, hide_genes=False,
+                    gene_font_size=12) -> None:
+        width = max(15, 2 * self.num_amplified_intervals)
+        to_plot = list(self.cycles.keys())
+        if num_cycles > 0:
+            to_plot = [c for c in to_plot if int(c) <= num_cycles]
+        if cycle_only:
+            to_plot = [c for c in to_plot if self.cycle_flags[c][0]]
+        to_plot = sorted(to_plot)
+        height = sum(2 * len(self.cycles[c]) - 1 for c in to_plot) \
+            + 6 * (len(to_plot) - 1)
+        fig = plt.figure(figsize=(width, max(4, height * 0.25)))
+        gs = gridspec.GridSpec(
+            2, 1, height_ratios=[8, 50 / height if not hide_genes else 0.000001])
+        ax = fig.add_subplot(gs[0, 0])
+        ax.set_title(title, fontsize=fontsize)
+        ax.xaxis.set_visible(False)
+        ax3 = fig.add_subplot(gs[1, 0], sharex=ax)
+        ax3.yaxis.set_visible(False)
+        for side in ("left", "right", "top"):
+            ax3.spines[side].set_visible(False)
+
+        total_len_amp = sum(
+            iv[1] - iv[0] + 1
+            for ivs in self.intervals_from_cycle.values() for iv in ivs)
+        sorted_chrs = sort_chrom_names(self.intervals_from_cycle.keys())
+        starts: Dict[str, list] = {}
+        x = margin
+        for chrom in sorted_chrs:
+            starts[chrom] = [x]
+            ivs = self.intervals_from_cycle[chrom]
+            for inti, iv in enumerate(ivs):
+                x += (iv[1] - iv[0]) * 100.0 / total_len_amp + margin
+                if inti < len(ivs) - 1:
+                    starts[chrom].append(x)
+        for chrom in starts:
+            if chrom != sorted_chrs[0]:
+                for a in (ax, ax3):
+                    a.axvline(x=starts[chrom][0] - margin * 0.5,
+                              linestyle="--", lw=2)
+            for i in range(1, len(starts[chrom])):
+                ax.axvline(x=starts[chrom][i] - margin * 0.5, linestyle=":", lw=2)
+
+        def seg_x(seg, which):
+            """x coordinate of a segment's start (1) or end (2)."""
+            idx = 0
+            while seg[1] > self.intervals_from_cycle[seg[0]][idx][1]:
+                idx += 1
+            base = starts[seg[0]][idx]
+            origin = self.intervals_from_cycle[seg[0]][idx][0]
+            pos = seg[1] if which == 1 else seg[2]
+            return base + (pos - origin) * 100.0 / total_len_amp
+
+        y_cur = -2
+        ext = 1.5
+        cycleticks, cycleticklabels = [], []
+        for cid in to_plot:
+            ystart = y_cur
+            cyc_min_x, cyc_max_x = float("inf"), 0.0
+            segs = self.cycles[cid]
+            for i, seg in enumerate(segs):
+                x1 = seg_x(seg, 1)
+                xlen = (seg[2] - seg[1]) * 100.0 / total_len_amp
+                cyc_min_x = min(cyc_min_x, x1)
+                cyc_max_x = max(cyc_max_x, x1 + xlen)
+                ax.add_patch(Rectangle((x1, y_cur), xlen, 1,
+                                       facecolor="antiquewhite", linewidth=2,
+                                       edgecolor="dimgrey"))
+                if i < len(segs) - 1:
+                    nseg = segs[i + 1]
+                    if seg[3] == "+" and nseg[3] == "-":
+                        x2, x2n = x1 + xlen, seg_x(nseg, 2)
+                        ax.vlines(max(x2, x2n) + ext, y_cur + 0.5, y_cur - 1.5,
+                                  colors="b", lw=2)
+                        ax.hlines(y_cur + 0.5, x2, max(x2, x2n) + ext, colors="b", lw=2)
+                        ax.hlines(y_cur - 1.5, x2n, max(x2, x2n) + ext, colors="b", lw=2)
+                        y_cur -= 2
+                    elif seg[3] == "-" and nseg[3] == "+":
+                        x1n = seg_x(nseg, 1)
+                        ax.vlines(min(x1, x1n) - ext, y_cur + 0.5, y_cur - 1.5,
+                                  colors="b", lw=2)
+                        ax.hlines(y_cur + 0.5, min(x1, x1n) - ext, x1, colors="b", lw=2)
+                        ax.hlines(y_cur - 1.5, min(x1, x1n) - ext, x1n, colors="b", lw=2)
+                        y_cur -= 2
+                    elif seg[3] == "+" and nseg[3] == "+":
+                        x2, x1n = x1 + xlen, seg_x(nseg, 1)
+                        if x2 <= x1n:
+                            ax.hlines(y_cur + 0.5, x2, x1n, colors="b", lw=2)
+                        else:
+                            ax.vlines(x2 + ext, y_cur - 0.5, y_cur + 0.5, colors="b", lw=2)
+                            ax.vlines(x1n - ext, y_cur - 1.5, y_cur - 0.5, colors="b", lw=2)
+                            ax.hlines(y_cur + 0.5, x2, x2 + ext, colors="b", lw=2)
+                            ax.hlines(y_cur - 0.5, x1n - ext, x2 + ext, colors="b", lw=2)
+                            ax.hlines(y_cur - 1.5, x1n - ext, x1n, colors="b", lw=2)
+                            y_cur -= 2
+                    else:
+                        x2n = seg_x(nseg, 2)
+                        if x1 >= x2n:
+                            ax.hlines(y_cur + 0.5, x2n, x1, colors="b", lw=2)
+                        else:
+                            ax.vlines(x1 - ext, y_cur - 0.5, y_cur + 0.5, colors="b", lw=2)
+                            ax.vlines(x2n + ext, y_cur - 1.5, y_cur - 0.5, colors="b", lw=2)
+                            ax.hlines(y_cur + 0.5, x1 - ext, x1, colors="b", lw=2)
+                            ax.hlines(y_cur - 0.5, x1 - ext, x2n + ext, colors="b", lw=2)
+                            ax.hlines(y_cur - 1.5, x2n, x2n + ext, colors="b", lw=2)
+                            y_cur -= 2
+            # terminal connectors
+            if not self.cycle_flags[cid][0]:  # path
+                seg = segs[0]
+                if seg[3] == "+":
+                    xx = seg_x(seg, 1)
+                    ax.hlines(ystart + 0.5, xx - 2 * ext, xx, colors="b", lw=2)
+                else:
+                    xx = seg_x(seg, 2)
+                    ax.hlines(ystart + 0.5, xx, xx + 2 * ext, colors="b", lw=2)
+                seg = segs[-1]
+                if seg[3] == "+":
+                    xx = seg_x(seg, 2)
+                    ax.hlines(y_cur + 0.5, xx, xx + 2 * ext, colors="b", lw=2)
+                else:
+                    xx = seg_x(seg, 1)
+                    ax.hlines(y_cur + 0.5, xx - 2 * ext, xx, colors="b", lw=2)
+            else:  # cycle wrap-around
+                xmin_, xmax_ = cyc_min_x - ext, cyc_max_x + ext
+                if len(segs) > 1:
+                    xmin_ -= ext
+                    xmax_ += ext
+                seg1, seg2 = segs[0], segs[-1]
+                if seg1[3] == "-" and seg2[3] == "+":
+                    ax.vlines(xmax_, y_cur + 0.5, ystart + 0.5, colors="b", lw=2)
+                    ax.hlines(ystart + 0.5, seg_x(seg1, 2), xmax_, colors="b", lw=2)
+                    ax.hlines(y_cur + 0.5, seg_x(seg2, 2), xmax_, colors="b", lw=2)
+                elif seg1[3] == "+" and seg2[3] == "-":
+                    ax.vlines(xmin_, y_cur + 0.5, ystart + 0.5, colors="b", lw=2)
+                    ax.hlines(ystart + 0.5, xmin_, seg_x(seg1, 1), colors="b", lw=2)
+                    ax.hlines(y_cur + 0.5, xmin_, seg_x(seg2, 1), colors="b", lw=2)
+                elif seg1[3] == "-" and seg2[3] == "-":
+                    x1n = seg_x(seg2, 1)
+                    ax.vlines(xmax_, y_cur - 0.5, ystart + 0.5, colors="b", lw=2)
+                    ax.vlines(x1n - ext, y_cur - 0.5, y_cur + 0.5, colors="b", lw=2)
+                    ax.hlines(ystart + 0.5, seg_x(seg1, 2), xmax_, colors="b", lw=2)
+                    ax.hlines(y_cur + 0.5, x1n - ext, x1n, colors="b", lw=2)
+                    ax.hlines(y_cur - 0.5, x1n - ext, xmax_, colors="b", lw=2)
+                else:
+                    x2n = seg_x(seg2, 2)
+                    ax.vlines(xmin_, y_cur - 0.5, ystart + 0.5, colors="b", lw=2)
+                    ax.vlines(x2n + ext, y_cur - 0.5, y_cur + 0.5, colors="b", lw=2)
+                    ax.hlines(ystart + 0.5, xmin_, seg_x(seg1, 1), colors="b", lw=2)
+                    ax.hlines(y_cur + 0.5, x2n, x2n + ext, colors="b", lw=2)
+                    ax.hlines(y_cur - 0.5, xmin_, x2n + ext, colors="b", lw=2)
+            ax.hlines(y_cur - 2, -1,
+                      101 + (self.num_amplified_intervals + 1) * margin, colors="k")
+            cycleticks.append((y_cur + ystart) * 0.5)
+            kind = "cycle" if self.cycle_flags[cid][0] else "path"
+            cycleticklabels.append(
+                f"{kind} {cid}:\nCN = {round(self.cycle_flags[cid][1], 2)}")
+            y_cur -= 4
+
+        if not hide_genes:
+            self._draw_gene_track(ax3, sorted_chrs, self.intervals_from_cycle,
+                                  starts, total_len_amp, gene_font_size)
+
+        ax.set_xlim(-1, 101 + (self.num_amplified_intervals + 1) * margin)
+        ax.set_ylim(y_cur + 2, 0)
+        xtickpos, xticklabels = self._interval_ticks(
+            sorted_chrs, self.intervals_from_cycle, starts, margin)
+        ax3.set_xticks(xtickpos)
+        ax3.set_xticklabels(xticklabels, size=fontsize)
+        self._style_tick_labels(ax3, xticklabels, sorted_chrs)
+        ax.set_yticks(cycleticks)
+        ax.set_yticklabels(cycleticklabels, fontsize=fontsize)
+        for side in ("top", "right", "left", "bottom"):
+            ax.spines[side].set_visible(False)
+        plt.tight_layout()
+        ax3.yaxis.set_major_formatter(ticker.NullFormatter())
+        ax3.set_ylim(0, 1)
+        fig.subplots_adjust(hspace=0)
+        plt.savefig(output_fn + ".png", dpi=dpi)
+        plt.savefig(output_fn + ".pdf")
+        plt.close(fig)
+
+    def close_bam(self) -> None:
+        if self.bam is not None:
+            self.bam.close()
+
+
+def plot_amplicons(args) -> None:
+    """Plot-mode driver (reference ``plot_amplicons``, ``plot_amplicons.py:
+    906-961``)."""
+    if args.plot_graph:
+        if not args.graph:
+            sys.exit("Please specify the breakpoint graph file to plot.")
+        if not args.bam:
+            sys.exit("Please specify the bam file to plot.")
+    if args.plot_cycles and not args.cycles:
+        sys.exit("Please specify the cycle file, in *.bed format, to plot.")
+    ref = "hg38" if args.ref == "GRCh38" else args.ref
+
+    vis = AmpliconVisualizer()
+    vis.parse_genes(ref, set(args.gene_subset_list), args.bushman_genes)
+    gtitle = args.output_prefix.split("/")[-1]
+    if args.plot_graph:
+        vis.open_bam(args.bam)
+        vis.parse_graph_file(args.graph)
+        if args.region:
+            pchrom = args.region.split(":")[0]
+            pb1, pb2 = args.region.split(":")[1].rsplit("-")
+            vis.plot_bounds = (pchrom, int(pb1), int(pb2))
+        vis.graph_amplified_intervals()
+        vis.plot_graph(gtitle, args.output_prefix + "_graph",
+                       max_cov_cutoff=args.max_coverage,
+                       quality_threshold=args.min_mapq,
+                       hide_genes=args.hide_genes,
+                       gene_font_size=args.gene_fontsize)
+    if args.plot_cycles:
+        vis.parse_cycle_file(args.cycles, args.output_prefix, args.num_cycles)
+        cycle_ids = None
+        if args.num_cycles:
+            cycle_ids = [str(i + 1) for i in range(args.num_cycles)]
+        graph_given = args.graph is not None
+        if graph_given:
+            vis.parse_graph_file(args.graph)
+            vis.graph_amplified_intervals()
+        vis.cycle_amplified_intervals(
+            cycle_ids=cycle_ids, cycle_only=args.only_cyclic_paths,
+            graph_given=graph_given)
+        vis.plot_cycles(gtitle, args.output_prefix + "_cycles",
+                        num_cycles=args.num_cycles or -1,
+                        cycle_only=args.only_cyclic_paths,
+                        hide_genes=args.hide_genes,
+                        gene_font_size=args.gene_fontsize)
+    vis.close_bam()
+    print("Visualization completed.")
