@@ -20,9 +20,8 @@ def _print_args(args) -> None:
 
 
 def _setup_logging(log_fn: str) -> None:
-    logging.basicConfig(
-        filename=log_fn, filemode="w", level=logging.DEBUG,
-        format="[%(name)s:%(levelname)s]\t%(message)s")
+    from .tracing import setup_file_logging
+    setup_file_logging(log_fn)
 
 
 def seed_mode(args) -> None:
