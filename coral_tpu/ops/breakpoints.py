@@ -222,6 +222,33 @@ def chimera_to_bps_l(
 
 # -- clustering (reference :252-286) ---------------------------------------
 
+class _PosBuffer:
+    """Amortized-growth (pos1, pos2) arrays for one cluster."""
+
+    __slots__ = ("a1", "a2", "n")
+
+    def __init__(self, p1: int, p2: int):
+        self.a1 = np.empty(8, np.int64)
+        self.a2 = np.empty(8, np.int64)
+        self.a1[0] = p1
+        self.a2[0] = p2
+        self.n = 1
+
+    def add(self, p1: int, p2: int) -> None:
+        if self.n == len(self.a1):
+            self.a1 = np.resize(self.a1, 2 * self.n)
+            self.a2 = np.resize(self.a2, 2 * self.n)
+        self.a1[self.n] = p1
+        self.a2[self.n] = p2
+        self.n += 1
+
+    def hits(self, p1: int, p2: int, cutoff: int) -> bool:
+        a1 = self.a1[: self.n]
+        a2 = self.a2[: self.n]
+        return bool((( np.abs(a1 - p1) < cutoff) &
+                     (np.abs(a2 - p2) < cutoff)).any())
+
+
 def cluster_breakpoints(
     bp_list: List[list],
     min_cluster_size: float,
@@ -243,24 +270,20 @@ def cluster_breakpoints(
             clusters.append(members)
             continue
         sub: List[List[list]] = []
-        sub_pos: List[list] = []  # per cluster: [np.array pos1s, np.array pos2s]
+        sub_pos: List[_PosBuffer] = []
         for bp in members:
             target = -1
             p1, p2 = int(bp[1]), int(bp[4])
             for ci in range(len(sub)):
-                a1, a2 = sub_pos[ci]
-                hit = (np.abs(np.asarray(a1) - p1) < distance_cutoff) & \
-                      (np.abs(np.asarray(a2) - p2) < distance_cutoff)
-                if hit.any():
+                if sub_pos[ci].hits(p1, p2, distance_cutoff):
                     target = ci
                     break
             if target >= 0:
                 sub[target].append(bp)
-                sub_pos[target][0].append(p1)
-                sub_pos[target][1].append(p2)
+                sub_pos[target].add(p1, p2)
             else:
                 sub.append([bp])
-                sub_pos.append([[p1], [p2]])
+                sub_pos.append(_PosBuffer(p1, p2))
         clusters.extend(sub)
     return clusters
 
@@ -340,28 +363,51 @@ def call_consensus_bp(
         bp[1] = _consensus_coord(kept1, bp[2])
     if kept2:
         bp[4] = _consensus_coord(kept2, bp[5])
-    reads = []
-    stats = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
-    leftover: List[list] = []
-    for member in cluster:
-        if bp_match(member, bp, member[7] * 1.2, [distance_cutoff, distance_cutoff]):
-            reads.append(member[6])
-            stats[0] += member[1]
-            stats[2] += member[1] * member[1]
-            stats[1] += member[4]
-            stats[3] += member[4] * member[4]
-            if member[-3] == 0:
-                stats[4] += member[-2]
-                stats[5] += member[-1]
-            else:
-                stats[4] += member[-1]
-                stats[5] += member[-2]
-        else:
-            leftover.append(member)
+    # vectorized bp_match of every member against the consensus: all
+    # members share the cluster's strand key, so the strand branches of
+    # bp_match (ref :402-413) are uniform and the per-member arithmetic
+    # vectorizes exactly
+    mp1 = np.asarray([int(m[1]) for m in cluster], np.int64)
+    mp2 = np.asarray([int(m[4]) for m in cluster], np.int64)
+    rgap = np.asarray([m[7] for m in cluster], np.float64) * 1.2
+    c0 = c1 = distance_cutoff
+    near1 = np.abs(mp1 - bp[1]) < c0
+    near2 = np.abs(mp2 - bp[4]) < c1
+    simple = near1 & near2
+    if bp[2] == "+":
+        cons0 = mp1 <= bp[1] - c0
+        sub0 = (bp[1] - c0 - mp1 + 1)
+    else:
+        cons0 = mp1 >= bp[1] + c0
+        sub0 = (mp1 - bp[1] - c0 + 1)
+    if bp[5] == "+":
+        cons1 = mp2 <= bp[4] - c1
+        sub1 = (bp[4] - c1 - mp2 + 1)
+    else:
+        cons1 = mp2 >= bp[4] + c1
+        sub1 = (mp2 - bp[4] - c1 + 1)
+    rgap_left = rgap - cons0 * sub0 - cons1 * sub1
+    complex_match = ((cons0 & (rgap_left >= 0)) | near1) & \
+                    ((cons1 & (rgap_left >= 0)) | near2)
+    matched = np.where(rgap <= 0, simple, complex_match)
+
+    reads = [cluster[i][6] for i in np.flatnonzero(matched)]
+    leftover = [cluster[i] for i in np.flatnonzero(~matched)]
     if not reads:
         return bp, reads, [0, 0, 0, 0, 0, 0], []
+    q1 = np.asarray([m[-2] for m in cluster], np.float64)
+    q2 = np.asarray([m[-1] for m in cluster], np.float64)
+    flip = np.asarray([m[-3] for m in cluster]) != 0
+    mq1 = np.where(flip, q2, q1)
+    mq2 = np.where(flip, q1, q2)
     n = float(len(reads))
-    stats = [s / n for s in stats]
-    stats[2] = math.sqrt(max(stats[2] - stats[0] * stats[0], 0.0))
-    stats[3] = math.sqrt(max(stats[3] - stats[1] * stats[1], 0.0))
+    s0 = float(mp1[matched].sum()) / n
+    s1 = float(mp2[matched].sum()) / n
+    s2 = float((mp1[matched].astype(np.float64) ** 2).sum()) / n
+    s3 = float((mp2[matched].astype(np.float64) ** 2).sum()) / n
+    stats = [s0, s1,
+             math.sqrt(max(s2 - s0 * s0, 0.0)),
+             math.sqrt(max(s3 - s1 * s1, 0.0)),
+             float(mq1[matched].sum()) / n,
+             float(mq2[matched].sum()) / n]
     return bp, reads, stats, leftover

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -128,6 +128,72 @@ def _pair_predicates(
     gap_disc = jnp.abs(qgap - grr) > jnp.maximum(gap_, jnp.abs(qgap) * 0.2)
     hit = base & mq_ok & nm_ok & (strand_diff | gap_disc)
     return hit, io_i
+
+
+def find_breakpoints_device(
+    chimeras: Dict[str, object],
+    intervals: List[list],
+    min_bp_match_cutoff: int,
+    min_mapq: float,
+    gap_: float,
+    gap_mapq: float = 10,
+    max_nm: Optional[float] = None,
+) -> List[list]:
+    """Whole-table breakpoint extraction with device predicate evaluation.
+
+    Produces exactly the same rows in exactly the same order as running
+    ``chimera_to_bps_l`` per read (reference ``alignment2bp_l`` semantics):
+    the adjacent-pair predicates run as one jitted kernel; the low-mapq
+    rescue pass (which needs the adjacency assignment mask and applies to
+    reads with a sub-``gap_mapq`` middle alignment) runs on host for the
+    few affected reads.
+    """
+    from .breakpoints import interval_to_bp, interval_overlap_l, \
+        _same_interval_pair_ok, _pair_passes_nm
+
+    table = build_chimera_table(chimeras)
+    pi, pj, hits = score_pairs_l(
+        table, intervals, min_bp_match_cutoff, min_mapq, gap_,
+        np.inf if max_nm is None else max_nm)
+    # per-pair hit mask back into per-read slices
+    hit_by_row = np.zeros(max(table.n_alignments, 1), bool)
+    hit_by_row[pi] = hits
+    out: List[list] = []
+    off = table.read_off
+    for k, rn in enumerate(table.read_names):
+        lo, hi = int(off[k]), int(off[k + 1])
+        n = hi - lo
+        if n < 2:
+            continue
+        chim = chimeras[rn]
+        q, r, mq, nm = chim.q, chim.r, chim.mapq, chim.nm
+        assigned = hit_by_row[lo: hi - 1]
+        for i in np.flatnonzero(assigned):
+            i = int(i)
+            qgap = int(q[i + 1][0]) - int(q[i][1])
+            out.append(interval_to_bp(r[i], r[i + 1], (rn, i, i + 1), qgap)
+                       + [mq[i], mq[i + 1]])
+        # rescue pass (host; requires a low-mapq middle alignment)
+        if n >= 3 and any(m < gap_mapq for m in mq[1:-1]):
+            for i in range(1, n - 1):
+                if assigned[i - 1] or assigned[i]:
+                    continue
+                if not (mq[i] < gap_mapq and mq[i - 1] >= min_mapq
+                        and mq[i + 1] >= min_mapq):
+                    continue
+                io1 = interval_overlap_l(r[i - 1], intervals)
+                io2 = interval_overlap_l(r[i + 1], intervals)
+                if io1 < 0 or io2 < 0 or io1 != io2:
+                    continue
+                if max_nm is not None and not _pair_passes_nm(nm, i - 1, i + 1, max_nm):
+                    continue
+                qgap = int(q[i + 1][0]) - int(q[i - 1][1])
+                if r[i + 1][3] != r[i - 1][3] or _same_interval_pair_ok(
+                        q, r, i - 1, i + 1, gap_, min_bp_match_cutoff):
+                    out.append(interval_to_bp(r[i - 1], r[i + 1],
+                                              (rn, i - 1, i + 1), qgap)
+                               + [mq[i - 1], mq[i + 1]])
+    return out
 
 
 def score_pairs_l(

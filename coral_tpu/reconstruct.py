@@ -619,15 +619,24 @@ class Reconstruction:
 
     # -- final breakpoint passes (ref :676-802) ----------------------------
 
-    def find_breakpoints(self) -> None:
+    def find_breakpoints(self, use_device: Optional[bool] = None) -> None:
         cfg_b = self.cfg.bp
         max_nm = (self.nm_stats[0] + 3 * self.nm_stats[1]
                   if cfg_b.nm_filter else None)
-        new_bp_list_ = []
-        for rn, chim in self.chimeras.items():
-            new_bp_list_ += chimera_to_bps_l(
-                rn, chim, cfg_b.min_bp_match_cutoff, cfg_b.min_mapq,
-                100, self.amplicon_intervals, cfg_b.gap_mapq, max_nm)
+        if use_device is None:
+            use_device = len(self.chimeras) >= 512
+        if use_device:
+            from .ops.pairs import find_breakpoints_device
+            new_bp_list_ = find_breakpoints_device(
+                self.chimeras, self.amplicon_intervals,
+                cfg_b.min_bp_match_cutoff, cfg_b.min_mapq, 100,
+                cfg_b.gap_mapq, max_nm)
+        else:
+            new_bp_list_ = []
+            for rn, chim in self.chimeras.items():
+                new_bp_list_ += chimera_to_bps_l(
+                    rn, chim, cfg_b.min_bp_match_cutoff, cfg_b.min_mapq,
+                    100, self.amplicon_intervals, cfg_b.gap_mapq, max_nm)
         logger.info("found %d raw breakpoint observations", len(new_bp_list_))
         self._cluster_and_add(new_bp_list_)
 

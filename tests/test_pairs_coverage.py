@@ -105,3 +105,14 @@ def test_sharded_histogram_deterministic():
     h1 = idx.bin_histogram(0, 10_000, 110)
     np.testing.assert_array_equal(h8, h1)
     np.testing.assert_array_equal(h2, h1)
+
+
+def test_find_breakpoints_device_equals_host():
+    from coral_tpu.ops.pairs import find_breakpoints_device
+    chims = random_chimeras(n=400, seed=9)
+    host = []
+    for rn, chim in chims.items():
+        host += chimera_to_bps_l(rn, chim, 100, 20, 100, INTERVALS)
+    dev = find_breakpoints_device(chims, INTERVALS, 100, 20, 100)
+    assert dev == host
+    assert len(host) > 20
