@@ -18,6 +18,8 @@ from .io.bamwrite import BamRecord, write_bam
 
 CHR = "chr7"
 CHR_LEN = 159_345_973
+CHR2 = "chr8"
+CHR2_LEN = 145_138_636
 
 
 def simulate_ecdna(
@@ -110,4 +112,85 @@ def simulate_ecdna(
     seed_path = os.path.join(out_dir, "sim_ecdna_seeds.bed")
     with open(seed_path, "w") as fp:
         fp.write(f"{CHR}\t{amp_start}\t{amp_end - 1}\n")
+    return bam_path, cns_path, seed_path
+
+
+def simulate_translocated_ecdna(
+    out_dir: str,
+    amp_a=(55_000_000, 55_300_000),     # chr7 segment
+    amp_b=(127_000_000, 127_200_000),   # chr8 segment
+    bg_cov: int = 20,
+    amp_extra_cov: int = 150,
+    n_junction_reads: int = 60,
+    bg_read_len: int = 50_000,
+    amp_read_len: int = 10_000,
+    junction_flank: int = 10_000,
+    seed: int = 0,
+) -> Tuple[str, str, str]:
+    """Two-chromosome circular amplicon: chr7:A+ -> chr8:B+ -> back to A.
+
+    Only the chr7 segment is seeded; the chr8 segment must be DISCOVERED
+    through the breakpoint-connected interval search (the reference's BFS
+    over chimeric alignments, ``find_interval_i``).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    recs: List[BamRecord] = []
+    domains = [(CHR, 0, 60_000_000), (CHR2, 120_000_000, 132_000_000)]
+    step = bg_read_len // bg_cov
+    i = 0
+    for (chrom, dstart, dend) in domains:
+        for start in range(dstart, dend - bg_read_len, step):
+            recs.append(BamRecord(f"bg{i:07d}", 0, chrom, start, 60,
+                                  f"{bg_read_len}M", seq="*", tags={"NM": 100}))
+            i += 1
+    astep = max(amp_read_len // amp_extra_cov, 1)
+    i = 0
+    for (chrom, (s, e)) in [(CHR, amp_a), (CHR2, amp_b)]:
+        for start in range(s, e - amp_read_len, astep):
+            recs.append(BamRecord(f"amp{i:07d}", 0, chrom, start, 60,
+                                  f"{amp_read_len}M", seq="*", tags={"NM": 20}))
+            i += 1
+
+    def junctions(tag, c1, p1, c2, p2):
+        """Chimeric reads: [p1-flank, p1) on c1 then [p2, p2+flank) on c2."""
+        rl = 2 * junction_flank
+        for k in range(n_junction_reads):
+            a = p1 - junction_flank
+            sa1 = f"{c1},{a + 1},+,{junction_flank}M{junction_flank}S,60,50;"
+            sa2 = f"{c2},{p2 + 1},+,{junction_flank}S{junction_flank}M,60,50;"
+            recs.append(BamRecord(f"{tag}{k:04d}", 0, c1, a, 60,
+                                  f"{junction_flank}M{junction_flank}S",
+                                  seq="A" * rl, tags={"NM": 50, "SA": sa2}))
+            recs.append(BamRecord(f"{tag}{k:04d}", 0x800, c2, p2, 60,
+                                  f"{junction_flank}S{junction_flank}M",
+                                  seq="*", tags={"NM": 50, "SA": sa1}))
+
+    junctions("jab", CHR, amp_a[1], CHR2, amp_b[0])   # A end -> B start
+    junctions("jba", CHR2, amp_b[1], CHR, amp_a[0])   # B end -> A start
+
+    bam_path = os.path.join(out_dir, "sim_tx.bam")
+    write_bam(bam_path, [(CHR, CHR_LEN), (CHR2, CHR2_LEN)], recs)
+
+    cns_path = os.path.join(out_dir, "sim_tx.cns")
+    amp_cn = 2.0 * (bg_cov + amp_extra_cov) / bg_cov
+    with open(cns_path, "w") as fp:
+        fp.write("chromosome\tstart\tend\tgene\tlog2\tdepth\n")
+        for (chrom, dstart, dend), (amps, ampe) in zip(
+                domains, [amp_a, amp_b]):
+            pos = dstart
+            while pos < amps:
+                end = min(pos + 5_000_000, amps)
+                fp.write(f"{chrom}\t{pos}\t{end}\t-\t0.0\t{bg_cov}\n")
+                pos = end
+            fp.write(f"{chrom}\t{amps}\t{ampe}\t-\t"
+                     f"{math.log2(amp_cn / 2.0)}\t{bg_cov + amp_extra_cov}\n")
+            pos = ampe
+            while pos < dend:
+                end = min(pos + 5_000_000, dend)
+                fp.write(f"{chrom}\t{pos}\t{end}\t-\t0.0\t{bg_cov}\n")
+                pos = end
+
+    seed_path = os.path.join(out_dir, "sim_tx_seeds.bed")
+    with open(seed_path, "w") as fp:
+        fp.write(f"{CHR}\t{amp_a[0]}\t{amp_a[1] - 1}\n")
     return bam_path, cns_path, seed_path
