@@ -1,0 +1,167 @@
+"""Pallas TPU kernels for the scoring hot loops.
+
+Hand-written Mosaic kernels for the two inner loops the north star calls
+out (breakpoint-pair predicate evaluation and coverage binning), tiled to
+the VPU's (8, 128) lanes with the interval table resident in VMEM.  The
+XLA versions in ``ops/pairs.py`` / ``ops/coverage.py`` remain the default
+(XLA already fuses these well); these kernels are the explicitly scheduled
+variants used by the benchmark and available via ``engine='pallas'``.
+
+Layout: flat pair/read arrays are reshaped to (rows, 128) and blocked
+(8, 128) per grid step; the interval table is padded to a fixed width with
+inert sentinel rows (chrom code -2 never matches).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUBLANES = 8
+BLOCK = SUBLANES * LANES
+
+
+def _pad2d(x: np.ndarray, rows: int) -> np.ndarray:
+    out = np.zeros(rows * LANES, x.dtype)
+    out[: len(x)] = x
+    return out.reshape(rows, LANES)
+
+
+def _pair_kernel(ic_ref, is_ref, ie_ref,
+                 qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i, mapq_i,
+                 chrom_j, r1_j, r2_j, strand_j, mapq_j,
+                 hit_out, io_out, *, n_int: int,
+                 min_bp_match_cutoff: int, min_mapq: int, gap_: float):
+    """One (8, 128) block of pair predicates; intervals in SMEM-resident
+    scalars would be too wide, so the padded interval table sits in VMEM
+    and is scanned with a static loop (n_int is small)."""
+    def first_overlap(chrom, a, b):
+        io = jnp.full(chrom.shape, -1, jnp.int32)
+        # reverse scan so the FIRST overlapping interval wins
+        for k in range(n_int - 1, -1, -1):
+            ov = (chrom == ic_ref[0, k]) & (a <= ie_ref[0, k]) \
+                & (is_ref[0, k] <= b)
+            io = jnp.where(ov, k, io)
+        return io
+
+    io_i = first_overlap(chrom_i[:], r1_i[:], r2_i[:])
+    io_j = first_overlap(chrom_j[:], r1_j[:], r2_j[:])
+    qgap = qj_start[:] - qi_end[:]
+    base = (qgap + min_bp_match_cutoff >= 0) & (io_i >= 0) & (io_i == io_j)
+    mq_ok = (mapq_i[:] >= min_mapq) & (mapq_j[:] >= min_mapq)
+    strand_diff = strand_i[:] != strand_j[:]
+    grr = jnp.where(strand_j[:] > 0, r1_j[:] - r2_i[:], r2_i[:] - r1_j[:])
+    diff = jnp.abs(qgap - grr).astype(jnp.float32)
+    gap_disc = diff > jnp.maximum(gap_, jnp.abs(qgap).astype(jnp.float32) * 0.2)
+    hit = base & mq_ok & (strand_diff | gap_disc)
+    hit_out[:] = hit.astype(jnp.int32)
+    io_out[:] = io_i
+
+
+def pair_predicates_pallas(
+    cols: dict, int_chrom, int_start, int_end,
+    min_bp_match_cutoff: int = 100, min_mapq: int = 20, gap_: float = 100.0,
+    interpret: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Evaluate pair predicates with the Pallas kernel.
+
+    ``cols`` holds flat int32 arrays (qi_end, qj_start, chrom_i, r1_i,
+    r2_i, strand_i, mapq_i, chrom_j, r1_j, r2_j, strand_j, mapq_j).
+    Returns (hit_mask, io) trimmed to the input length.
+    """
+    n = len(cols["qi_end"])
+    rows = max(-(-n // LANES), SUBLANES)
+    rows = -(-rows // SUBLANES) * SUBLANES
+    order = ["qi_end", "qj_start", "chrom_i", "r1_i", "r2_i", "strand_i",
+             "mapq_i", "chrom_j", "r1_j", "r2_j", "strand_j", "mapq_j"]
+    padded = [_pad2d(np.asarray(cols[k], np.int32), rows) for k in order]
+    # inert sentinel rows: chrom -2 never matches any alignment chrom
+    n_int = max(len(int_chrom), 1)
+    ic = np.full((1, n_int), -2, np.int32)
+    is_ = np.zeros((1, n_int), np.int32)
+    ie = np.zeros((1, n_int), np.int32)
+    ic[0, : len(int_chrom)] = int_chrom
+    is_[0, : len(int_start)] = int_start
+    ie[0, : len(int_end)] = int_end
+
+    kernel = functools.partial(
+        _pair_kernel, n_int=n_int,
+        min_bp_match_cutoff=min_bp_match_cutoff, min_mapq=min_mapq,
+        gap_=float(gap_))
+    grid = (rows // SUBLANES,)
+    block = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    int_spec = pl.BlockSpec((1, n_int), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    hit, io = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[int_spec] * 3 + [block] * 12,
+        out_specs=(block, block),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(ic), jnp.asarray(is_), jnp.asarray(ie),
+      *[jnp.asarray(p) for p in padded])
+    hit = np.asarray(hit).reshape(-1)[:n].astype(bool)
+    io = np.asarray(io).reshape(-1)[:n]
+    return hit, io
+
+
+def _bin_kernel(starts, ends, edge_lo, edge_hi, out_ref, *, n_bins: int):
+    """Per-block partial bin histogram: each grid step owns an (8, 128)
+    block of reads and accumulates exact overlap into all bins."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    s = starts[:]
+    e = ends[:]
+    sums = []
+    for b in range(n_bins):
+        lo = edge_lo[0, b]
+        hi = edge_hi[0, b]
+        ov = jnp.minimum(e, hi) - jnp.maximum(s, lo)
+        sums.append(jnp.sum(jnp.maximum(ov, 0)))
+    acc = jnp.stack(sums).reshape(1, n_bins)
+    out_ref[:] += acc
+
+
+def bin_coverage_pallas(starts, ends, origin: int, bin_size: int,
+                        n_bins: int, interpret: bool = False) -> np.ndarray:
+    """Exact aligned-base bin histogram via a Pallas accumulation kernel."""
+    n = len(starts)
+    rows = max(-(-n // LANES), SUBLANES)
+    rows = -(-rows // SUBLANES) * SUBLANES
+    s2 = _pad2d(np.asarray(starts, np.int32), rows)
+    e2 = _pad2d(np.asarray(ends, np.int32), rows)   # pads are [0,0): inert
+    edges = origin + bin_size * np.arange(n_bins + 1, dtype=np.int64)
+    edge_lo = edges[:-1].astype(np.int32).reshape(1, n_bins)
+    edge_hi = edges[1:].astype(np.int32).reshape(1, n_bins)
+
+    kernel = functools.partial(_bin_kernel, n_bins=n_bins)
+    block = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    escpec = pl.BlockSpec((1, n_bins), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows // SUBLANES,),
+        in_specs=[block, block, escpec, escpec],
+        out_specs=pl.BlockSpec((1, n_bins), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_bins), jnp.int32),
+        interpret=interpret,
+    )(jnp.asarray(s2), jnp.asarray(e2), jnp.asarray(edge_lo),
+      jnp.asarray(edge_hi))
+    return np.asarray(out).reshape(-1)

@@ -1,0 +1,69 @@
+"""Pallas kernels vs the XLA/numpy reference implementations (interpret
+mode on CPU; the same kernels compile for TPU)."""
+import numpy as np
+import pytest
+
+from coral_tpu.ops.pallas_kernels import bin_coverage_pallas, pair_predicates_pallas
+
+
+def synth(n=1000, seed=0):
+    rng = np.random.default_rng(seed)
+    cols = dict(
+        qi_end=rng.integers(0, 30_000, n).astype(np.int32),
+        qj_start=rng.integers(0, 30_000, n).astype(np.int32),
+        chrom_i=rng.integers(0, 3, n).astype(np.int32),
+        r1_i=rng.integers(0, 3_000_000, n).astype(np.int32),
+        r2_i=rng.integers(0, 3_000_000, n).astype(np.int32),
+        strand_i=rng.choice([-1, 1], n).astype(np.int32),
+        mapq_i=rng.integers(0, 61, n).astype(np.int32),
+        chrom_j=rng.integers(0, 3, n).astype(np.int32),
+        r1_j=rng.integers(0, 3_000_000, n).astype(np.int32),
+        r2_j=rng.integers(0, 3_000_000, n).astype(np.int32),
+        strand_j=rng.choice([-1, 1], n).astype(np.int32),
+        mapq_j=rng.integers(0, 61, n).astype(np.int32),
+    )
+    ic = np.asarray([0, 1, 2, 0], np.int32)
+    is_ = np.asarray([0, 100_000, 500_000, 2_000_000], np.int32)
+    ie = np.asarray([1_500_000, 2_000_000, 2_500_000, 2_900_000], np.int32)
+    return cols, ic, is_, ie
+
+
+def numpy_reference(cols, ic, is_, ie):
+    def first_overlap(chrom, a, b):
+        ov = (chrom[:, None] == ic[None, :]) & (a[:, None] <= ie[None, :]) \
+            & (is_[None, :] <= b[:, None])
+        return np.where(ov.any(axis=1), ov.argmax(axis=1), -1)
+
+    io_i = first_overlap(cols["chrom_i"], cols["r1_i"], cols["r2_i"])
+    io_j = first_overlap(cols["chrom_j"], cols["r1_j"], cols["r2_j"])
+    qgap = cols["qj_start"] - cols["qi_end"]
+    grr = np.where(cols["strand_j"] > 0, cols["r1_j"] - cols["r2_i"],
+                   cols["r2_i"] - cols["r1_j"])
+    gap_disc = np.abs(qgap - grr).astype(np.float32) > \
+        np.maximum(np.float32(100.0), np.abs(qgap).astype(np.float32) * np.float32(0.2))
+    hit = (qgap + 100 >= 0) & (io_i >= 0) & (io_i == io_j) \
+        & (cols["mapq_i"] >= 20) & (cols["mapq_j"] >= 20) \
+        & ((cols["strand_i"] != cols["strand_j"]) | gap_disc)
+    return hit, io_i
+
+
+def test_pair_kernel_matches_numpy():
+    cols, ic, is_, ie = synth()
+    hit_p, io_p = pair_predicates_pallas(cols, ic, is_, ie, interpret=True)
+    hit_n, io_n = numpy_reference(cols, ic, is_, ie)
+    np.testing.assert_array_equal(hit_p, hit_n)
+    np.testing.assert_array_equal(io_p[hit_p], io_n[hit_n])
+    assert hit_n.sum() > 5
+
+
+def test_bin_kernel_matches_exact():
+    rng = np.random.default_rng(1)
+    starts = rng.integers(0, 900_000, 3000).astype(np.int64)
+    ends = starts + rng.integers(100, 40_000, 3000)
+    hist = bin_coverage_pallas(starts, ends, 0, 50_000, 20, interpret=True)
+    expect = np.zeros(20, np.int64)
+    for b in range(20):
+        lo, hi = b * 50_000, (b + 1) * 50_000
+        expect[b] = np.sum(np.clip(np.minimum(ends, hi) - np.maximum(starts, lo),
+                                   0, None))
+    np.testing.assert_array_equal(hist.astype(np.int64), expect)
