@@ -16,7 +16,9 @@
 #include <cstdio>
 #include <cstring>
 #include <cstdlib>
+#include <algorithm>
 #include <string>
+#include <unordered_map>
 #include <vector>
 #include <thread>
 #include <zlib.h>
@@ -40,10 +42,27 @@ struct GapRow {
   int64_t blk_last;
 };
 
+struct ChimAln {
+  int64_t qs, qe;
+  int32_t ref_id;
+  int64_t r1, r2;
+  int8_t strand;   // +1 / -1
+  int32_t mapq;
+  double nm;       // per-aligned-base edit distance
+};
+
 struct BamCore {
   std::string path;
   FILE* fp = nullptr;
   std::string error;
+
+  // chimera tables (filled by bc_parse_sa)
+  std::vector<int64_t> chim_rec;    // representative record idx per read
+  std::vector<int64_t> chim_off;    // n_chim + 1
+  std::vector<int64_t> aln_qs, aln_qe, aln_r1, aln_r2;
+  std::vector<int32_t> aln_ref, aln_mapq;
+  std::vector<int8_t> aln_strand;
+  std::vector<double> aln_nm;
 
   // references
   std::vector<std::string> ref_names;
@@ -491,6 +510,94 @@ bool decode_range(BamCore* bc, int64_t lo, int64_t hi, F&& fn) {
   return true;
 }
 
+// ---- SA-tag chimera assembly --------------------------------------------
+
+// Generic CIGAR span decode over an SA-tag cigar string:
+// (left_clip, ref_span, right_clip); returns false if no S or no M.
+bool sa_cigar_spans(const char* s, const char* end,
+                    int64_t* left, int64_t* ref, int64_t* right) {
+  *left = *ref = *right = 0;
+  bool seen_core = false, has_s = false, has_m = false;
+  int64_t n = 0;
+  for (const char* p = s; p < end; p++) {
+    char c = *p;
+    if (c >= '0' && c <= '9') {
+      n = n * 10 + (c - '0');
+      continue;
+    }
+    switch (c) {
+      case 'S': case 'H':
+        has_s = has_s || (c == 'S');
+        if (seen_core) *right += n; else *left += n;
+        break;
+      case 'M': case '=': case 'X':
+        has_m = has_m || (c == 'M');
+        seen_core = true;
+        *ref += n;
+        break;
+      case 'D': case 'N':
+        seen_core = true;
+        *ref += n;
+        break;
+      case 'I':
+        seen_core = true;
+        break;
+      default:
+        return false;
+    }
+    n = 0;
+  }
+  return has_s && has_m;
+}
+
+struct SaView {
+  const char* p;
+  size_t n;
+  bool operator==(const SaView& o) const {
+    return n == o.n && memcmp(p, o.p, n) == 0;
+  }
+};
+
+bool parse_sa_entry(const BamCore* bc, const char* s, const char* end,
+                    int64_t read_length,
+                    const std::unordered_map<std::string, int32_t>& ref_ids,
+                    ChimAln* out) {
+  // fields: rname,pos,strand,cigar,mapQ,NM
+  const char* f[6];
+  int nf = 0;
+  f[nf++] = s;
+  for (const char* p = s; p < end && nf < 6; p++) {
+    if (*p == ',') f[nf++] = p + 1;
+  }
+  if (nf < 6) return false;
+  std::string rname(f[0], f[1] - 1 - f[0]);
+  auto it = ref_ids.find(rname);
+  int32_t rid = (it == ref_ids.end()) ? -1 : it->second;
+  int64_t pos1 = strtoll(f[1], nullptr, 10);
+  char strand = *f[2];
+  int64_t left, al, right;
+  if (!sa_cigar_spans(f[3], f[4] - 1, &left, &al, &right)) return false;
+  int64_t mapq = strtoll(f[4], nullptr, 10);
+  double nm = strtod(f[5], nullptr);
+  if (strand == '+') {
+    out->qs = left;
+    out->qe = read_length - right - 1;
+    out->r1 = pos1 - 1;
+    out->r2 = pos1 + al - 2;
+    out->strand = 1;
+  } else {
+    out->qs = right;
+    out->qe = read_length - left - 1;
+    out->r1 = pos1 + al - 2;
+    out->r2 = pos1 - 1;
+    out->strand = -1;
+  }
+  out->ref_id = rid;
+  out->mapq = static_cast<int32_t>(mapq);
+  out->nm = nm;
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -530,6 +637,117 @@ const uint8_t* bc_sa_blob(BamCore* bc) { return bc->sa_blob.data(); }
 int64_t bc_sa_blob_len(BamCore* bc) { return static_cast<int64_t>(bc->sa_blob.size()); }
 const int64_t* bc_sa_off(BamCore* bc) { return bc->sa_off.data(); }
 const int64_t* bc_sa_len(BamCore* bc) { return bc->sa_len.data(); }
+
+int64_t bc_parse_sa(BamCore* bc) {
+  // Assemble per-read chimeric alignments from SA tags: union of unique SA
+  // entries across all of a read's records (each record lists the others),
+  // decoded with the generic CIGAR-span formula and sorted by query start.
+  // A read whose SA set contains a clipless/matchless entry keeps an empty
+  // alignment list (the reference's ([], [], []) sentinel).
+  const int64_t n = static_cast<int64_t>(bc->flag.size());
+  std::unordered_map<std::string, int32_t> ref_ids;
+  for (size_t i = 0; i < bc->ref_names.size(); i++) {
+    ref_ids[bc->ref_names[i]] = static_cast<int32_t>(i);
+  }
+  auto name_of = [&](int64_t i) {
+    return std::string(
+        reinterpret_cast<const char*>(bc->name_blob.data()) + bc->name_off[i],
+        bc->name_off[i + 1] - bc->name_off[i]);
+  };
+  // slot per chimeric read, in first-appearance order
+  std::unordered_map<std::string, int32_t> slot_of;
+  std::vector<int64_t> first_rec;
+  std::vector<std::vector<SaView>> sa_sets;
+  std::vector<int64_t> read_len;
+  for (int64_t i = 0; i < n; i++) {
+    if (bc->sa_len[i] == 0) continue;
+    std::string nm = name_of(i);
+    auto it = slot_of.find(nm);
+    int32_t slot;
+    if (it == slot_of.end()) {
+      slot = static_cast<int32_t>(first_rec.size());
+      slot_of.emplace(std::move(nm), slot);
+      first_rec.push_back(i);
+      sa_sets.emplace_back();
+      read_len.push_back(-1);
+    } else {
+      slot = it->second;
+    }
+    const char* blob = reinterpret_cast<const char*>(bc->sa_blob.data());
+    const char* p = blob + bc->sa_off[i];
+    const char* end = p + bc->sa_len[i];
+    // split on ';', dropping a trailing empty entry
+    while (p < end) {
+      const char* q = p;
+      while (q < end && *q != ';') q++;
+      if (q > p) {
+        SaView v{p, static_cast<size_t>(q - p)};
+        auto& bucket = sa_sets[slot];
+        if (std::find(bucket.begin(), bucket.end(), v) == bucket.end()) {
+          bucket.push_back(v);
+        }
+      }
+      p = q + 1;
+    }
+  }
+  // read lengths from primary records of chimeric reads
+  for (int64_t i = 0; i < n; i++) {
+    if (bc->flag[i] >= 256) continue;
+    auto it = slot_of.find(name_of(i));
+    if (it != slot_of.end() && read_len[it->second] < 0) {
+      read_len[it->second] = bc->qlen[i];
+    }
+  }
+  bc->chim_rec.clear();
+  bc->chim_off.assign(1, 0);
+  bc->aln_qs.clear(); bc->aln_qe.clear(); bc->aln_r1.clear();
+  bc->aln_r2.clear(); bc->aln_ref.clear(); bc->aln_mapq.clear();
+  bc->aln_strand.clear(); bc->aln_nm.clear();
+  std::vector<ChimAln> tmp;
+  for (size_t s = 0; s < first_rec.size(); s++) {
+    if (read_len[s] < 0) continue;  // no primary alignment: dropped
+    bc->chim_rec.push_back(first_rec[s]);
+    tmp.clear();
+    bool valid = true;
+    for (const SaView& v : sa_sets[s]) {
+      ChimAln a;
+      if (!parse_sa_entry(bc, v.p, v.p + v.n, read_len[s], ref_ids, &a)) {
+        valid = false;
+        break;
+      }
+      tmp.push_back(a);
+    }
+    if (valid) {
+      std::stable_sort(tmp.begin(), tmp.end(),
+                       [](const ChimAln& x, const ChimAln& y) {
+                         return x.qs != y.qs ? x.qs < y.qs : x.qe < y.qe;
+                       });
+      for (const ChimAln& a : tmp) {
+        bc->aln_qs.push_back(a.qs);
+        bc->aln_qe.push_back(a.qe);
+        bc->aln_r1.push_back(a.r1);
+        bc->aln_r2.push_back(a.r2);
+        bc->aln_ref.push_back(a.ref_id);
+        bc->aln_mapq.push_back(a.mapq);
+        bc->aln_strand.push_back(a.strand);
+        bc->aln_nm.push_back(a.nm / static_cast<double>(a.qe - a.qs));
+      }
+    }
+    bc->chim_off.push_back(static_cast<int64_t>(bc->aln_qs.size()));
+  }
+  return static_cast<int64_t>(bc->chim_rec.size());
+}
+
+const int64_t* bc_chim_rec(BamCore* bc) { return bc->chim_rec.data(); }
+const int64_t* bc_chim_off(BamCore* bc) { return bc->chim_off.data(); }
+const int64_t* bc_aln_qs(BamCore* bc) { return bc->aln_qs.data(); }
+const int64_t* bc_aln_qe(BamCore* bc) { return bc->aln_qe.data(); }
+const int64_t* bc_aln_r1(BamCore* bc) { return bc->aln_r1.data(); }
+const int64_t* bc_aln_r2(BamCore* bc) { return bc->aln_r2.data(); }
+const int32_t* bc_aln_ref(BamCore* bc) { return bc->aln_ref.data(); }
+const int32_t* bc_aln_mapq(BamCore* bc) { return bc->aln_mapq.data(); }
+const int8_t* bc_aln_strand(BamCore* bc) { return bc->aln_strand.data(); }
+const double* bc_aln_nm(BamCore* bc) { return bc->aln_nm.data(); }
 
 int64_t bc_coverage_sum(BamCore* bc, int64_t lo, int64_t hi,
                         int64_t start, int64_t stop,

@@ -58,6 +58,17 @@ def _load():
     lib.bc_del_gaps.restype = C.c_int64
     lib.bc_del_gaps.argtypes = [C.c_void_p] + [C.c_int64] * 4 + [C.c_int]
     lib.bc_del_gaps_fetch.argtypes = [C.c_void_p] + [C.POINTER(C.c_int64)] * 5
+    lib.bc_parse_sa.restype = C.c_int64
+    lib.bc_parse_sa.argtypes = [C.c_void_p]
+    for fn, ty in [
+        ("bc_chim_rec", C.c_int64), ("bc_chim_off", C.c_int64),
+        ("bc_aln_qs", C.c_int64), ("bc_aln_qe", C.c_int64),
+        ("bc_aln_r1", C.c_int64), ("bc_aln_r2", C.c_int64),
+        ("bc_aln_ref", C.c_int32), ("bc_aln_mapq", C.c_int32),
+        ("bc_aln_strand", C.c_int8), ("bc_aln_nm", C.c_double),
+    ]:
+        getattr(lib, fn).restype = C.POINTER(ty)
+        getattr(lib, fn).argtypes = [C.c_void_p]
     _lib = lib
     return lib
 
@@ -115,6 +126,29 @@ def scan_into(bam, path: str) -> None:
     bam.sa_len = _as_np(lib.bc_sa_len(h), np.int64, n)
     sb_len = lib.bc_sa_blob_len(h)
     bam.sa_blob = bytes(_as_np(lib.bc_sa_blob(h), np.uint8, sb_len)) if sb_len else b""
+
+
+def parse_sa(bam):
+    """Native chimera assembly.  Returns (chim_rec, chim_off, columns)
+    where columns = (qs, qe, ref_id, r1, r2, strand, mapq, nm)."""
+    nb = bam._native
+    lib, h = nb._lib, nb._h
+    n_chim = lib.bc_parse_sa(h)
+    n_aln = int(_as_np(lib.bc_chim_off(h), np.int64, n_chim + 1)[-1]) \
+        if n_chim else 0
+    chim_rec = _as_np(lib.bc_chim_rec(h), np.int64, n_chim)
+    chim_off = _as_np(lib.bc_chim_off(h), np.int64, n_chim + 1)
+    cols = (
+        _as_np(lib.bc_aln_qs(h), np.int64, n_aln),
+        _as_np(lib.bc_aln_qe(h), np.int64, n_aln),
+        _as_np(lib.bc_aln_ref(h), np.int32, n_aln),
+        _as_np(lib.bc_aln_r1(h), np.int64, n_aln),
+        _as_np(lib.bc_aln_r2(h), np.int64, n_aln),
+        _as_np(lib.bc_aln_strand(h), np.int8, n_aln),
+        _as_np(lib.bc_aln_mapq(h), np.int32, n_aln),
+        _as_np(lib.bc_aln_nm(h), np.float64, n_aln),
+    )
+    return chim_rec, chim_off, cols
 
 
 def coverage_sum(bam, lo, hi, start, stop, quality_threshold, flag_exclude, min_mapq):

@@ -107,6 +107,60 @@ def alignment_from_sa(sa_entries: List[str], read_length: int) -> Optional[Chime
     return Chimera(q, r, mapq, nm)
 
 
+class ChimeraStore(dict):
+    """Lazy chimera dictionary over the native flat alignment table.
+
+    Behaves as {read_name: Chimera} (materializing Chimera objects on
+    first access) while exposing the flat structure-of-arrays columns for
+    the device scoring path so whole-table kernels never touch Python
+    objects.
+    """
+
+    def __init__(self, bam, chim_rec, chim_off, cols):
+        super().__init__()
+        self._bam = bam
+        self.chim_off = chim_off
+        self.cols = cols
+        self.names = [bam.name(int(i)) for i in chim_rec]
+        self._slot = {n: k for k, n in enumerate(self.names)}
+        self._ref_names = [r[0] for r in bam.references]
+
+    def __len__(self):
+        return len(self.names)
+
+    def __iter__(self):
+        return iter(self.names)
+
+    def __contains__(self, rn):
+        return rn in self._slot
+
+    def keys(self):
+        return self.names
+
+    def items(self):
+        return ((rn, self[rn]) for rn in self.names)
+
+    def values(self):
+        return (self[rn] for rn in self.names)
+
+    def __getitem__(self, rn):
+        if super().__contains__(rn):
+            return super().__getitem__(rn)
+        k = self._slot[rn]
+        lo, hi = int(self.chim_off[k]), int(self.chim_off[k + 1])
+        qs, qe, ref, r1, r2, strand, mapq, nm = self.cols
+        q, r = [], []
+        for i in range(lo, hi):
+            q.append([int(qs[i]), int(qe[i])])
+            name = self._ref_names[ref[i]] if ref[i] >= 0 else "?"
+            r.append([name, int(r1[i]), int(r2[i]),
+                      "+" if strand[i] > 0 else "-"])
+        chim = Chimera(q, r, [int(m) for m in mapq[lo:hi]],
+                       [float(x) for x in nm[lo:hi]])
+        super().__setitem__(rn, chim)
+        return chim
+
+
 def collect_chimeras(bam) -> Tuple[dict, dict, list]:
     """Whole-BAM chimera collection (reference ``fetch``,
     ``infer_breakpoint_graph.py:139-174``).
@@ -121,11 +175,35 @@ def collect_chimeras(bam) -> Tuple[dict, dict, list]:
 
     import numpy as np
 
+    has_sa = bam.sa_len > 0
+    primary = bam.flag < 256
+
+    # NM baseline over confident non-chimeric records (shared by both paths)
+    def _nm_baseline():
+        nm_idx = np.flatnonzero((~has_sa) & (bam.mapq == 60) & (bam.qlen > 0))
+        if not nm_idx.size:
+            return [0.0, 0.0, 0]
+        e = bam.nm[nm_idx] / bam.qlen[nm_idx]
+        mean = float(np.mean(e))
+        std = float(math.sqrt(max(float(np.mean(e * e)) - mean * mean, 0.0)))
+        return [mean, std, int(nm_idx.size)]
+
+    if bam.backend == "native":
+        from ..native import bamcore
+        chim_rec, chim_off, cols = bamcore.parse_sa(bam)
+        store = ChimeraStore(bam, chim_rec, chim_off, cols)
+        # read lengths only needed for chimeric reads downstream
+        read_length = {}
+        for i in np.flatnonzero(primary):
+            rn = bam.name(int(i))
+            if rn in store._slot and rn not in read_length:
+                read_length[rn] = int(bam.qlen[i])
+        logger.info("collected %d chimeric reads (native)", len(store))
+        return read_length, store, _nm_baseline()
+
     read_length = {}
     sa_lists = {}
     names = bam.names()
-    has_sa = bam.sa_len > 0
-    primary = bam.flag < 256
     # read lengths from the first primary record per name
     for i in np.flatnonzero(primary):
         rn = names[i]
@@ -140,15 +218,7 @@ def collect_chimeras(bam) -> Tuple[dict, dict, list]:
         for sa in entries:
             if sa and sa not in bucket:
                 bucket.append(sa)
-    # NM baseline over confident non-chimeric records
-    nm_idx = np.flatnonzero((~has_sa) & (bam.mapq == 60) & (bam.qlen > 0))
-    if nm_idx.size:
-        e = bam.nm[nm_idx] / bam.qlen[nm_idx]
-        mean = float(np.mean(e))
-        std = float(math.sqrt(max(float(np.mean(e * e)) - mean * mean, 0.0)))
-        nm_stats = [mean, std, int(nm_idx.size)]
-    else:
-        nm_stats = [0.0, 0.0, 0]
+    nm_stats = _nm_baseline()
     chimeras = {}
     for rn, entries in sa_lists.items():
         if rn not in read_length:

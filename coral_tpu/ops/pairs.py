@@ -51,6 +51,20 @@ class ChimeraTable:
 
 
 def build_chimera_table(chimeras: Dict[str, object]) -> ChimeraTable:
+    from .chimera import ChimeraStore
+
+    if isinstance(chimeras, ChimeraStore):
+        # zero-copy fast path over the native flat columns: only the BAM
+        # ref-id -> canonical chromosome-code remap is computed
+        qs, qe, ref, r1, r2, strand, mapq, nm = chimeras.cols
+        lut = np.full(max(len(chimeras._ref_names), 1) + 1, -1, np.int32)
+        for i, name in enumerate(chimeras._ref_names):
+            lut[i] = CHR_IDX.get(name, -1)
+        chrom = lut[ref]               # ref -1 -> lut[-1] == -1
+        return ChimeraTable(
+            chimeras.names, chimeras.chim_off.astype(np.int32),
+            qs, qe, chrom, r1, r2,
+            strand, mapq, nm.astype(np.float32))
     names = list(chimeras.keys())
     off = [0]
     cols: List[list] = [[] for _ in range(8)]
@@ -196,6 +210,31 @@ def find_breakpoints_device(
     return out
 
 
+def _pair_predicates_numpy(
+    qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i, mapq_i, nm_i,
+    chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_j,
+    int_chrom, int_start, int_end,
+    min_bp_match_cutoff, min_mapq, gap_, max_nm,
+):
+    """Vectorized host implementation of the same predicate math."""
+    def first_overlap(chrom, a, b):
+        ov = (chrom[:, None] == int_chrom[None, :]) \
+            & (a[:, None] <= int_end[None, :]) \
+            & (int_start[None, :] <= b[:, None])
+        return np.where(ov.any(axis=1), ov.argmax(axis=1), -1)
+
+    io_i = first_overlap(chrom_i, r1_i, r2_i)
+    io_j = first_overlap(chrom_j, r1_j, r2_j)
+    qgap = qj_start - qi_end
+    base = (qgap + min_bp_match_cutoff >= 0) & (io_i >= 0) & (io_i == io_j)
+    mq_ok = (mapq_i >= min_mapq) & (mapq_j >= min_mapq)
+    nm_ok = (nm_i < max_nm) & (nm_j < max_nm)
+    strand_diff = strand_i != strand_j
+    grr = np.where(strand_j > 0, r1_j - r2_i, r2_i - r1_j)
+    gap_disc = np.abs(qgap - grr) > np.maximum(gap_, np.abs(qgap) * 0.2)
+    return base & mq_ok & nm_ok & (strand_diff | gap_disc), io_i
+
+
 def score_pairs_l(
     table: ChimeraTable,
     intervals: List[list],
@@ -204,9 +243,15 @@ def score_pairs_l(
     gap_: float,
     max_nm: float = np.inf,
     batch: int = 1 << 18,
+    engine: str = "numpy",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Device evaluation of the adjacent-pair predicate over the whole
+    """Vectorized evaluation of the adjacent-pair predicate over the whole
     table.  Returns (pair_i, pair_j, hit_mask) in table row coordinates.
+
+    ``engine='numpy'`` (default) evaluates on host: for typical pair counts
+    the kernel is sub-second and avoids paying an accelerator compile.
+    ``engine='jax'`` dispatches the jitted kernel (use on a mesh or when
+    pair counts reach the hundreds of millions).
     """
     pi, pj = adjacent_pair_indices(table.read_off)
     if pi.size == 0:
@@ -215,10 +260,11 @@ def score_pairs_l(
     int_start = np.asarray([iv[1] for iv in intervals], np.int64)
     int_end = np.asarray([iv[2] for iv in intervals], np.int64)
     hits = np.zeros(pi.size, bool)
+    fn = _pair_predicates if engine == "jax" else _pair_predicates_numpy
     for lo in range(0, pi.size, batch):
         sl = slice(lo, min(lo + batch, pi.size))
         i, j = pi[sl], pj[sl]
-        hit, _ = _pair_predicates(
+        hit, _ = fn(
             table.q_end[i], table.q_start[j],
             table.chrom[i], table.r1[i], table.r2[i],
             table.strand[i].astype(np.int32), table.mapq[i], table.nm[i],

@@ -125,3 +125,51 @@ def test_collect_chimeras_from_bam(tmp_path):
     assert chim.q == [[0, 99], [100, 299]]
     assert chim.r[0][0] == "chr1" and chim.r[1][0] == "chr2"
     assert nm_stats[2] == 1 and nm_stats[0] == pytest.approx(25 / 500)
+
+
+def test_native_chimera_store_matches_python(tmp_path):
+    import os
+    import pytest as _pytest
+    so = os.path.join(os.path.dirname(__file__), "..", "coral_tpu",
+                      "native", "libbamcore.so")
+    if not os.path.exists(so):
+        _pytest.skip("native bamcore not built")
+    import random
+    from coral_tpu.io.bam import BamFile
+    from coral_tpu.io.bamwrite import BamRecord, write_bam
+    from coral_tpu.ops.chimera import collect_chimeras
+
+    rng = random.Random(17)
+    refs = [("chr1", 3_000_000), ("chr2", 3_000_000)]
+    recs = []
+    for k in range(200):
+        # two-part chimera with SA cross-references
+        c1, c2 = rng.choice(refs)[0], rng.choice(refs)[0]
+        p1, p2 = rng.randrange(1, 2_000_000), rng.randrange(1, 2_000_000)
+        st2 = rng.choice("+-")
+        m = rng.randrange(500, 5000)
+        rl = 2 * m
+        cig1, cig2 = f"{m}M{m}S", f"{m}S{m}M"
+        sa1 = f"{c1},{p1},+,{cig1},{rng.randrange(0,61)},{rng.randrange(0,99)};"
+        sa2 = f"{c2},{p2},{st2},{cig2},{rng.randrange(0,61)},{rng.randrange(0,99)};"
+        recs.append(BamRecord(f"c{k:04d}", 0, c1, p1 - 1, 60, cig1,
+                              seq="A" * rl, tags={"SA": sa2, "NM": 5}))
+        recs.append(BamRecord(f"c{k:04d}", 0x800, c2, p2 - 1, 60, cig2,
+                              seq="*", tags={"SA": sa1, "NM": 7}))
+    recs.append(BamRecord("plain", 0, "chr1", 50, 60, "1000M", tags={"NM": 30}))
+    path = str(tmp_path / "chim.bam")
+    write_bam(path, refs, recs)
+
+    rl_py, chim_py, nm_py = collect_chimeras(BamFile(path, backend="python"))
+    rl_nat, chim_nat, nm_nat = collect_chimeras(BamFile(path, backend="native"))
+    # native path keeps read lengths only for chimeric reads (their only
+    # downstream consumer); python path mirrors the reference (all reads)
+    assert {k: rl_py[k] for k in chim_py} == rl_nat
+    assert nm_py == pytest.approx(nm_nat)
+    assert sorted(chim_py.keys()) == sorted(chim_nat.keys())
+    for rn in chim_py:
+        a, b = chim_py[rn], chim_nat[rn]
+        assert a.q == b.q, rn
+        assert a.r == b.r, rn
+        assert a.mapq == b.mapq, rn
+        assert a.nm == pytest.approx(b.nm), rn

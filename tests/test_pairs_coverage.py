@@ -116,3 +116,12 @@ def test_find_breakpoints_device_equals_host():
     dev = find_breakpoints_device(chims, INTERVALS, 100, 20, 100)
     assert dev == host
     assert len(host) > 20
+
+
+def test_score_pairs_engines_agree():
+    from coral_tpu.ops.pairs import build_chimera_table, score_pairs_l
+    chims = random_chimeras(n=250, seed=21)
+    table = build_chimera_table(chims)
+    _, _, h_np = score_pairs_l(table, INTERVALS, 100, 20, 100, engine="numpy")
+    _, _, h_jx = score_pairs_l(table, INTERVALS, 100, 20, 100, engine="jax")
+    np.testing.assert_array_equal(h_np, h_jx)
