@@ -111,7 +111,9 @@ class Reconstruction:
         chosen = [all_rows[order[ip]], all_rows[order[im]]]
         total_len = sum(r[2] - r[1] + 1 for r in chosen)
         i = 1
-        while total_len < 10_000_000:
+        # (the reference assumes enough segments always exist and would
+        # IndexError on tiny inputs; stop at the table bounds instead)
+        while total_len < 10_000_000 and im - i >= 0 and ip + i < len(order):
             chosen.append(all_rows[order[ip + i]])
             chosen.append(all_rows[order[im - i]])
             total_len += (all_rows[order[ip + i]][2] - all_rows[order[ip + i]][1] + 1)
@@ -694,6 +696,67 @@ class Reconstruction:
                         self.interval_connections.setdefault(
                             (min(io1, io2), max(io1, io2)), set()).add(bpi)
                 num_sub += 1
+
+    def find_cn_breakpoints(self, b: int = 300, n: int = 50) -> None:
+        """Source edges at copy-number boundaries without SV support
+        (reference ``find_cn_breakpoints``, ``infer_breakpoint_graph.py:
+        805-861`` — commented out of the reference's live path at
+        ``:1382-1383``; implemented here to the same rules: 300bp-bin
+        coverage profiles around each CN-segment boundary, Welch t-test
+        p <= 0.01 and |coverage step| >= 3 * normal_cov)."""
+        from scipy import stats
+
+        boundaries = []
+        for ai, seg in enumerate(self.amplicon_intervals):
+            si = self.pos2cni(seg[0], seg[1])
+            ei = self.pos2cni(seg[0], seg[2])
+            if si is None or ei is None:
+                continue
+            rows = self.cns_by_chr[seg[0]]
+            for i in range(si, ei):
+                boundaries.append((ai, seg[0], rows[i][1], rows[i][2],
+                                   rows[i + 1][2]))
+        for (ai, chrom, seg_start, bnd, next_end) in boundaries:
+            # skip boundaries already explained by an SV breakpoint
+            if any((bp[0] == chrom and bp[1] - 6001 < bnd < bp[1] + 6000)
+                   or (bp[3] == chrom and bp[4] - 6001 < bnd < bp[4] + 6000)
+                   for bp in self.new_bp_list):
+                continue
+            nl = min(n, (bnd - seg_start + 1) // b)
+            nr = min(n, (next_end - bnd) // b)
+            prof_l = self.bam.coverage_profile(chrom, bnd - nl * b + 1, bnd + 1)
+            prof_r = self.bam.coverage_profile(chrom, bnd + 1, bnd + nr * b + 1)
+            cov = np.concatenate([
+                prof_l.reshape(nl, b).sum(axis=1) / b if nl else np.zeros(0),
+                prof_r.reshape(nr, b).sum(axis=1) / b if nr else np.zeros(0),
+            ])
+            best = [-1, 0.0]
+            for i in range(max(1, nl - 6000 // b), nl + min(nr - 1, 6000 // b)):
+                dmu = float(np.mean(cov[:i]) - np.mean(cov[i:]))
+                if abs(dmu) > abs(best[1]):
+                    best = [i, dmu]
+            pval = 1.0
+            left, right = cov[: best[0]], cov[best[0]:]
+            if len(left) > 1 and len(right) > 1:
+                pval = stats.ttest_ind(left, right, equal_var=False)[1]
+            elif len(left) == 1:
+                z = abs(left[0] - np.mean(cov)) / np.std(cov)
+                pval = stats.norm.sf(z)
+            elif len(right) == 1:
+                z = abs(right[0] - np.mean(cov)) / np.std(cov)
+                pval = stats.norm.sf(z)
+            if pval <= 0.01 and abs(best[1]) >= 3 * self.normal_cov:
+                if best[0] < nl:
+                    pos = bnd - (nl - best[0]) * b
+                else:
+                    pos = bnd + (best[0] - nl) * b
+                edge = ["source", -1, "-", chrom, pos, "+", abs(best[1])]
+                if best[1] < 0:
+                    edge[4] += 1
+                    edge[5] = "-"
+                self.source_edges.append(edge)
+                self.source_edge_ccids.append(self.amplicon_intervals[ai][3])
+        logger.info("found %d CN-boundary source edges", len(self.source_edges))
 
     # -- graph assembly (ref :864-1016) ------------------------------------
 
