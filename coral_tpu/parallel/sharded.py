@@ -1,0 +1,94 @@
+"""Data-parallel scoring over a device mesh.
+
+BASELINE config #5: read batches stream data-parallel across hosts/chips;
+per-shard breakpoint-support evaluation and coverage histograms merge with
+deterministic collectives so any shard count reproduces the single-device
+result exactly.  Pair predicates are embarrassingly parallel (hit masks
+concatenate in table order); coverage histograms psum integer bin totals
+(``ops.coverage.bin_coverage_sharded``).
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..constants import CHR_IDX
+from ..ops.pairs import ChimeraTable, adjacent_pair_indices
+
+
+def score_pairs_sharded(
+    table: ChimeraTable,
+    intervals: List[list],
+    min_bp_match_cutoff: int,
+    min_mapq: float,
+    gap_: float,
+    mesh,
+    axis: str = "dp",
+    max_nm: float = np.inf,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Adjacent-pair predicate evaluation sharded over ``axis``.
+
+    Returns (pair_i, pair_j, hits) identical to
+    ``ops.pairs.score_pairs_l`` for any mesh size.
+    """
+    pi, pj = adjacent_pair_indices(table.read_off)
+    if pi.size == 0:
+        return pi, pj, np.zeros(0, bool)
+    int_chrom = jnp.asarray(
+        [CHR_IDX.get(iv[0], -2) for iv in intervals], jnp.int32)
+    int_start = jnp.asarray([iv[1] for iv in intervals], jnp.int32)
+    int_end = jnp.asarray([iv[2] for iv in intervals], jnp.int32)
+
+    n_dev = mesh.shape[axis]
+    n = pi.size
+    pad = (-n) % n_dev
+
+    def col(x, idx):
+        arr = np.asarray(x, np.int32)[idx]
+        if pad:
+            arr = np.concatenate([arr, np.zeros(pad, np.int32)])
+        return arr
+
+    cols = [
+        col(table.q_end, pi), col(table.q_start, pj),
+        col(table.chrom, pi), col(table.r1, pi), col(table.r2, pi),
+        col(table.strand, pi), col(table.mapq, pi),
+        col(table.chrom, pj), col(table.r1, pj), col(table.r2, pj),
+        col(table.strand, pj), col(table.mapq, pj),
+    ]
+    nm_i = np.asarray(table.nm, np.float32)[pi]
+    nm_j = np.asarray(table.nm, np.float32)[pj]
+    if pad:
+        nm_i = np.concatenate([nm_i, np.full(pad, np.inf, np.float32)])
+        nm_j = np.concatenate([nm_j, np.full(pad, np.inf, np.float32)])
+
+    def shard_fn(qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i, mapq_i,
+                 chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_i, nm_j):
+        def first_overlap(chrom, a, b):
+            ov = (chrom[:, None] == int_chrom[None, :]) \
+                & (a[:, None] <= int_end[None, :]) \
+                & (int_start[None, :] <= b[:, None])
+            return jnp.where(jnp.any(ov, axis=1), jnp.argmax(ov, axis=1), -1)
+
+        io_i = first_overlap(chrom_i, r1_i, r2_i)
+        io_j = first_overlap(chrom_j, r1_j, r2_j)
+        qgap = qj_start - qi_end
+        base = (qgap + min_bp_match_cutoff >= 0) & (io_i >= 0) & (io_i == io_j)
+        mq_ok = (mapq_i >= min_mapq) & (mapq_j >= min_mapq)
+        nm_ok = (nm_i < max_nm) & (nm_j < max_nm)
+        strand_diff = strand_i != strand_j
+        grr = jnp.where(strand_j > 0, r1_j - r2_i, r2_i - r1_j)
+        gap_disc = jnp.abs(qgap - grr) > jnp.maximum(
+            jnp.float32(gap_), jnp.abs(qgap) * jnp.float32(0.2))
+        return base & mq_ok & nm_ok & (strand_diff | gap_disc)
+
+    fn = jax.jit(shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=tuple([P(axis)] * 14), out_specs=P(axis)))
+    hits = np.asarray(fn(*cols, nm_i, nm_j))[:n]
+    return pi, pj, hits

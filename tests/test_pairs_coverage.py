@@ -125,3 +125,15 @@ def test_score_pairs_engines_agree():
     _, _, h_np = score_pairs_l(table, INTERVALS, 100, 20, 100, engine="numpy")
     _, _, h_jx = score_pairs_l(table, INTERVALS, 100, 20, 100, engine="jax")
     np.testing.assert_array_equal(h_np, h_jx)
+
+
+def test_sharded_pair_scoring_matches_single_device():
+    from coral_tpu.ops.pairs import build_chimera_table, score_pairs_l
+    from coral_tpu.parallel.sharded import score_pairs_sharded
+    chims = random_chimeras(n=333, seed=5)  # odd pair count -> padding
+    table = build_chimera_table(chims)
+    _, _, ref = score_pairs_l(table, INTERVALS, 100, 20, 100)
+    for ndev in (8, 2):
+        mesh = make_mesh(ndev)
+        _, _, hits = score_pairs_sharded(table, INTERVALS, 100, 20, 100, mesh)
+        np.testing.assert_array_equal(hits, ref)
