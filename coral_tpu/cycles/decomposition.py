@@ -355,7 +355,21 @@ def postprocess_minimize(
     return STATUS_OPTIMAL, total, n_sat, cycles, weights, sat_lists
 
 
-def cycle_decomposition(rec, cfg: CycleConfig) -> None:
+def _write_model_artifact(model_prefix, amplicon_idx, payload) -> None:
+    """Solver observability artifact (the reference serializes its Gurobi
+    models to ``*_model.lp`` + ``*_model.log``, ``cycle_decomposition.py:
+    361-365``; our models are candidate pools + MILP stats, dumped as
+    JSON)."""
+    if not model_prefix:
+        return
+    import json
+
+    path = f"{model_prefix}_amplicon{amplicon_idx + 1}_model.json"
+    with open(path, "w") as fp:
+        json.dump(payload, fp, indent=1, default=str)
+
+
+def cycle_decomposition(rec, cfg: CycleConfig, model_prefix: str = "") -> None:
     """Per-amplicon decomposition driver (reference ``cycle_decomposition``,
     ``src/cycle_decomposition.py:1495-1599``)."""
     for amplicon_idx, g in enumerate(rec.graphs):
@@ -383,17 +397,34 @@ def cycle_decomposition(rec, cfg: CycleConfig) -> None:
             max_multiplicity=cfg.max_edge_multiplicity,
             max_states=cfg.max_walk_candidates,
         )
+        model_info = {
+            "amplicon": amplicon_idx + 1,
+            "nodes": nnodes,
+            "edges": {"sequence": lseg, "concordant": lc,
+                      "discordant": ld, "source": lsrc},
+            "endnodes": len(g.endnodes),
+            "model_edges": nedges,
+            "k_init": k,
+            "candidates": len(candidates),
+            "candidate_cycles": sum(1 for c in candidates if c.is_cycle),
+            "path_constraints": len(pc_list),
+            "total_weights": total_weights,
+            "solver": None,
+            "solution": None,
+        }
 
         sol_flag = False
         while k <= nedges:
             model_size = 3 * k + 3 * k * nedges + 2 * k * nnodes + k * len(pc_list)
             if nedges > 100 or model_size >= 10000:
+                model_info["solver"] = "greedy"
                 greedy_sol = greedy_extract(g, candidates, total_weights, pc_list, cfg)
                 if cfg.postprocess:
                     status, total, n_sat, cycles, weights, sat_lists = \
                         postprocess_minimize(g, candidates, total_weights,
                                              pc_list, greedy_sol, cfg)
                     if status != STATUS_INFEASIBLE:
+                        model_info["solver"] = "greedy+postprocess"
                         rec.cycles[amplicon_idx] = cycles
                         rec.cycle_weights[amplicon_idx] = weights
                         rec.path_constraints_satisfied[amplicon_idx] = sat_lists
@@ -404,6 +435,7 @@ def cycle_decomposition(rec, cfg: CycleConfig) -> None:
                 rec.path_constraints_satisfied[amplicon_idx] = greedy_sol[4]
                 sol_flag = True
                 break
+            model_info["solver"] = f"joint_milp(k={k})"
             status, total, n_sat, cycles, weights, sat_lists = joint_minimize(
                 g, candidates, k, total_weights, pc_list, cfg)
             if status == STATUS_INFEASIBLE:
@@ -417,6 +449,7 @@ def cycle_decomposition(rec, cfg: CycleConfig) -> None:
             sol_flag = True
             break
         if not sol_flag:
+            model_info["solver"] = "greedy(fallback)"
             greedy_sol = greedy_extract(g, candidates, total_weights, pc_list, cfg)
             if cfg.postprocess:
                 status, total, n_sat, cycles, weights, sat_lists = \
@@ -430,3 +463,12 @@ def cycle_decomposition(rec, cfg: CycleConfig) -> None:
             rec.cycles[amplicon_idx] = greedy_sol[2]
             rec.cycle_weights[amplicon_idx] = greedy_sol[3]
             rec.path_constraints_satisfied[amplicon_idx] = greedy_sol[4]
+
+        weights = rec.cycle_weights.get(amplicon_idx, [[], []])
+        model_info["solution"] = {
+            "num_cycles": len(weights[0]),
+            "num_paths": len(weights[1]),
+            "weights": [list(map(float, weights[0])),
+                        list(map(float, weights[1]))],
+        }
+        _write_model_artifact(model_prefix, amplicon_idx, model_info)

@@ -1092,7 +1092,7 @@ def reconstruct_cycles(rec: Reconstruction, output_prefix: str,
     from .cycles.output import output_cycles
 
     rec.compute_path_constraints()
-    cycle_decomposition(rec, rec.cfg.cycles)
+    cycle_decomposition(rec, rec.cfg.cycles, model_prefix=output_prefix)
     output_cycles(rec, output_prefix,
                   output_all_paths=output_all_path_constraints,
                   eulerian_seed=rec.cfg.cycles.eulerian_seed,
