@@ -28,7 +28,7 @@ import logging
 from dataclasses import dataclass
 from typing import Dict, FrozenSet, List, Optional, Set, Tuple
 
-from ..graph.breakpoint_graph import SEQ, CONC, DISC, SRC, BreakpointGraph
+from ..graph.breakpoint_graph import SEQ, CONC, DISC, BreakpointGraph
 
 logger = logging.getLogger(__name__)
 

@@ -7,7 +7,7 @@ type in {'s','c','d'} and a node is ``(chrom, pos, orientation)``.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict
 
 from ..graph.breakpoint_graph import SEQ, CONC, DISC, BreakpointGraph
 from ..ops.breakpoints import interval_overlap

@@ -20,9 +20,8 @@ from __future__ import annotations
 
 import os
 import struct
-from bisect import bisect_right
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 

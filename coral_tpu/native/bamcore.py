@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import ctypes as C
 import os
-from typing import List
-
 import numpy as np
 
 _SO_PATH = os.path.join(os.path.dirname(__file__), "libbamcore.so")
