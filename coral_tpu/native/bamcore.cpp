@@ -59,6 +59,7 @@ struct BamCore {
   // chimera tables (filled by bc_parse_sa)
   std::vector<int64_t> chim_rec;    // representative record idx per read
   std::vector<int64_t> chim_off;    // n_chim + 1
+  std::vector<int32_t> chim_rl;     // read length per chimeric read
   std::vector<int64_t> aln_qs, aln_qe, aln_r1, aln_r2;
   std::vector<int32_t> aln_ref, aln_mapq;
   std::vector<int8_t> aln_strand;
@@ -699,6 +700,7 @@ int64_t bc_parse_sa(BamCore* bc) {
     }
   }
   bc->chim_rec.clear();
+  bc->chim_rl.clear();
   bc->chim_off.assign(1, 0);
   bc->aln_qs.clear(); bc->aln_qe.clear(); bc->aln_r1.clear();
   bc->aln_r2.clear(); bc->aln_ref.clear(); bc->aln_mapq.clear();
@@ -707,6 +709,7 @@ int64_t bc_parse_sa(BamCore* bc) {
   for (size_t s = 0; s < first_rec.size(); s++) {
     if (read_len[s] < 0) continue;  // no primary alignment: dropped
     bc->chim_rec.push_back(first_rec[s]);
+    bc->chim_rl.push_back(static_cast<int32_t>(read_len[s]));
     tmp.clear();
     bool valid = true;
     for (const SaView& v : sa_sets[s]) {
@@ -739,6 +742,7 @@ int64_t bc_parse_sa(BamCore* bc) {
 }
 
 const int64_t* bc_chim_rec(BamCore* bc) { return bc->chim_rec.data(); }
+const int32_t* bc_chim_rl(BamCore* bc) { return bc->chim_rl.data(); }
 const int64_t* bc_chim_off(BamCore* bc) { return bc->chim_off.data(); }
 const int64_t* bc_aln_qs(BamCore* bc) { return bc->aln_qs.data(); }
 const int64_t* bc_aln_qe(BamCore* bc) { return bc->aln_qe.data(); }

@@ -60,6 +60,7 @@ def _load():
     lib.bc_parse_sa.argtypes = [C.c_void_p]
     for fn, ty in [
         ("bc_chim_rec", C.c_int64), ("bc_chim_off", C.c_int64),
+        ("bc_chim_rl", C.c_int32),
         ("bc_aln_qs", C.c_int64), ("bc_aln_qe", C.c_int64),
         ("bc_aln_r1", C.c_int64), ("bc_aln_r2", C.c_int64),
         ("bc_aln_ref", C.c_int32), ("bc_aln_mapq", C.c_int32),
@@ -135,6 +136,7 @@ def parse_sa(bam):
     n_aln = int(_as_np(lib.bc_chim_off(h), np.int64, n_chim + 1)[-1]) \
         if n_chim else 0
     chim_rec = _as_np(lib.bc_chim_rec(h), np.int64, n_chim)
+    chim_rl = _as_np(lib.bc_chim_rl(h), np.int32, n_chim)
     chim_off = _as_np(lib.bc_chim_off(h), np.int64, n_chim + 1)
     cols = (
         _as_np(lib.bc_aln_qs(h), np.int64, n_aln),
@@ -146,7 +148,7 @@ def parse_sa(bam):
         _as_np(lib.bc_aln_mapq(h), np.int32, n_aln),
         _as_np(lib.bc_aln_nm(h), np.float64, n_aln),
     )
-    return chim_rec, chim_off, cols
+    return chim_rec, chim_rl, chim_off, cols
 
 
 def coverage_sum(bam, lo, hi, start, stop, quality_threshold, flag_exclude, min_mapq):

@@ -190,14 +190,11 @@ def collect_chimeras(bam) -> Tuple[dict, dict, list]:
 
     if bam.backend == "native":
         from ..native import bamcore
-        chim_rec, chim_off, cols = bamcore.parse_sa(bam)
+        chim_rec, chim_rl, chim_off, cols = bamcore.parse_sa(bam)
         store = ChimeraStore(bam, chim_rec, chim_off, cols)
-        # read lengths only needed for chimeric reads downstream
-        read_length = {}
-        for i in np.flatnonzero(primary):
-            rn = bam.name(int(i))
-            if rn in store._slot and rn not in read_length:
-                read_length[rn] = int(bam.qlen[i])
+        # read lengths only needed for chimeric reads downstream; the
+        # native scan already collected them
+        read_length = {rn: int(chim_rl[k]) for k, rn in enumerate(store.names)}
         logger.info("collected %d chimeric reads (native)", len(store))
         return read_length, store, _nm_baseline()
 

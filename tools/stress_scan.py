@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Large-BAM scan stress: replicate a 300k-record template across many
+chromosomes (patching ref_id bytes in the decompressed payload) to build a
+multi-million-record coordinate-sorted BAM, then measure native scan and
+query throughput."""
+import os
+import struct
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from coral_tpu.io.bgzf import BGZF_EOF, iter_blocks, write_bgzf
+from coral_tpu.sim import simulate_ecdna
+
+
+def build_big(out_dir, n_chroms=20):
+    bam, cns, seeds = simulate_ecdna(
+        out_dir, jitter=2, n_junction_reads=2000,
+        bg_read_len=5000, amp_read_len=5000)
+    raw = open(bam, "rb").read()
+    payload = b"".join(b for _, b in iter_blocks(raw))
+    # parse header span + record offsets
+    l_text = struct.unpack_from("<i", payload, 4)[0]
+    p = 8 + l_text
+    n_ref = struct.unpack_from("<i", payload, p)[0]
+    p += 4
+    for _ in range(n_ref):
+        l_name = struct.unpack_from("<i", payload, p)[0]
+        p += 8 + l_name
+    body_start = p
+    offs = []
+    while p < len(payload):
+        offs.append(p)
+        p += 4 + struct.unpack_from("<i", payload, p)[0]
+    body = bytearray(payload[body_start:])
+    rel = [o - body_start for o in offs]
+
+    # new header with n_chroms copies of chr7's length
+    chr_len = 159_345_973
+    hdr_text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
+        f"@SQ\tSN:chrS{i}\tLN:{chr_len}\n" for i in range(n_chroms))
+    ht = hdr_text.encode()
+    header = b"BAM\x01" + struct.pack("<i", len(ht)) + ht
+    header += struct.pack("<i", n_chroms)
+    for i in range(n_chroms):
+        nb = f"chrS{i}".encode() + b"\x00"
+        header += struct.pack("<i", len(nb)) + nb + struct.pack("<i", chr_len)
+
+    big_path = os.path.join(out_dir, "stress.bam")
+    with open(big_path, "wb") as fp:
+        write_bgzf(fp, bytes(header), level=1)
+        for c in range(n_chroms):
+            for r in rel:
+                struct.pack_into("<i", body, r + 4, c)  # patch ref_id
+            write_bgzf(fp, bytes(body), level=1)
+        fp.write(BGZF_EOF)
+    return big_path, len(offs) * n_chroms
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stress"
+    t0 = time.time()
+    path, n_expected = build_big(out)
+    print(f"built {n_expected} records in {time.time()-t0:.1f}s, "
+          f"{os.path.getsize(path)/1e6:.0f} MB")
+    from coral_tpu.io.bam import BamFile
+    t0 = time.time()
+    bam = BamFile(path, backend="native")
+    dt = time.time() - t0
+    assert bam.n_records == n_expected, (bam.n_records, n_expected)
+    print(f"native scan: {dt:.2f}s = {bam.n_records/dt/1e6:.2f} Mrec/s")
+    t0 = time.time()
+    total = 0
+    for c in range(0, 20, 3):
+        total += bam.coverage_sum(f"chrS{c}", 55_000_000, 55_400_000)
+    print(f"7 coverage queries: {time.time()-t0:.2f}s (sum {total})")
+    t0 = time.time()
+    from coral_tpu.ops.chimera import collect_chimeras
+    rl, chims, nm = collect_chimeras(bam)
+    print(f"chimera collect: {time.time()-t0:.2f}s ({len(chims)} chimeric reads)")
+
+
+if __name__ == "__main__":
+    main()
