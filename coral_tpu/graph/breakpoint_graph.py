@@ -31,6 +31,8 @@ class SequenceEdge:
     lr_count: int = -1      # number of long reads on the segment
     lr_nc: int = 0          # total aligned nucleotides on the segment
     cn: float = 0.0
+    sr_count: int = -1      # short-read support (hybrid SR+LR mode)
+    sr_flag: str = "d"      # 'd' = downsampled short-read counts
 
     @property
     def size(self) -> int:
@@ -52,6 +54,9 @@ class ConcordantEdge:
     lr_count: int = -1
     reads: Set[str] = field(default_factory=set)
     cn: float = 0.0
+    sr_count: int = -1
+    sr_flag: str = "d"
+    sr_cn: float = 0.0
 
     def node1(self) -> Node:
         return (self.chrom1, self.pos1, self.o1)
@@ -71,6 +76,9 @@ class DiscordantEdge:
     lr_count: int = -1
     reads: Set[tuple] = field(default_factory=set)  # (read, i, j) triples
     cn: float = 0.0
+    sr_count: int = -1
+    sr_flag: str = "d"
+    sr_cn: float = 0.0
 
     def node1(self) -> Node:
         return (self.chrom1, self.pos1, self.o1)
@@ -162,6 +170,140 @@ class BreakpointGraph:
             raise KeyError("source edge endpoint must be added first")
         self.nodes[node][SRC].append(len(self.source_edges))
         self.source_edges.append(SourceEdge(chrom, pos, o, **kw))
+
+    # -- maintenance (reference :142-345; the reference's
+    # del_redundant_sequence_edges carries `self.self.` typos at :277,282 —
+    # implemented here to the evident intent) --------------------------
+
+    def del_endnode(self, node: Node) -> None:
+        if node in self.endnodes:
+            del self.endnodes[node]
+
+    def del_discordant_endnodes(self) -> None:
+        """Drop endnodes that have discordant edges attached (ref :155-164)."""
+        for node in [n for n, ds in self.endnodes.items() if ds]:
+            del self.endnodes[node]
+
+    def del_discordant_edges(self, del_list, bpi_map) -> None:
+        """Delete discordant edges and re-index adjacency (ref :210-228)."""
+        for bpi in sorted(del_list, reverse=True):
+            del self.discordant_edges[bpi]
+        for node in self.endnodes:
+            self.endnodes[node] = [
+                bpi_map[i] for i in self.endnodes[node] if i not in del_list]
+        for node in self.nodes:
+            self.nodes[node][DISC] = [
+                bpi_map[i] for i in self.nodes[node][DISC] if i not in del_list]
+
+    def del_source_edges(self, del_list, srci_map) -> None:
+        """Delete source edges and re-index adjacency (ref :241-253)."""
+        for srci in sorted(del_list, reverse=True):
+            del self.source_edges[srci]
+        for node in self.nodes:
+            self.nodes[node][SRC] = [
+                srci_map[i] for i in self.nodes[node][SRC] if i not in del_list]
+
+    def del_redundant_sequence_edges(self) -> None:
+        """Drop sequence edges with no breakpoint connections on either end
+        after merging (ref :256-287)."""
+        if not self.discordant_edges:
+            return
+        del_list = []
+        for seqi, e in enumerate(self.sequence_edges):
+            n1, n2 = (e.chrom, e.start, "-"), (e.chrom, e.end, "+")
+            degree = sum(len(self.nodes[n][slot])
+                         for n in (n1, n2) for slot in (CONC, DISC, SRC))
+            if degree == 0:
+                del_list.append(seqi)
+        for seqi in del_list[::-1]:
+            e = self.sequence_edges[seqi]
+            interval = [e.chrom, e.start, e.end]
+            if interval in self.amplicon_intervals:
+                self.amplicon_intervals.remove(interval)
+            n1, n2 = (e.chrom, e.start, "-"), (e.chrom, e.end, "+")
+            del self.sequence_edges[seqi]
+            del self.nodes[n1]
+            del self.nodes[n2]
+            self.del_endnode(n1)
+            self.del_endnode(n2)
+        for seqi, e in enumerate(self.sequence_edges):
+            self.nodes[(e.chrom, e.start, "-")][SEQ][0] = seqi
+            self.nodes[(e.chrom, e.end, "+")][SEQ][0] = seqi
+
+    def merge_edges(self) -> None:
+        """Merge sequence edges joined only by concordant edges; drop the
+        junction nodes and concordant edges (ref :290-345)."""
+        c_del, seq_del = [], []
+        for ci, ce in enumerate(self.concordant_edges):
+            n1, n2 = ce.node1(), ce.node2()
+            if not (self.nodes[n1][DISC] or self.nodes[n2][DISC]
+                    or self.nodes[n1][SRC] or self.nodes[n2][SRC]):
+                seq_del.append(self.nodes[n1][SEQ][0])
+                del self.nodes[n1]
+                del self.nodes[n2]
+                c_del.append(ci)
+        if not seq_del:
+            return
+        seq_del.sort()
+        # extend the surviving right neighbor of each consecutive run
+        si = li = 0
+        for i in range(1, len(seq_del)):
+            if seq_del[i] == seq_del[li] + 1:
+                li += 1
+            else:
+                keeper = self.sequence_edges[seq_del[li] + 1]
+                keeper.start = self.sequence_edges[seq_del[si]].start
+                keeper.lr_count = -1
+                si = li = i
+        keeper = self.sequence_edges[seq_del[li] + 1]
+        keeper.start = self.sequence_edges[seq_del[si]].start
+        keeper.lr_count = -1
+        for seqi in seq_del[::-1]:
+            del self.sequence_edges[seqi]
+        for ci in sorted(c_del, reverse=True):
+            del self.concordant_edges[ci]
+        for seqi, e in enumerate(self.sequence_edges):
+            self.nodes[(e.chrom, e.start, "-")][SEQ][0] = seqi
+            self.nodes[(e.chrom, e.end, "+")][SEQ][0] = seqi
+        for ci, ce in enumerate(self.concordant_edges):
+            self.nodes[ce.node1()][CONC][0] = ci
+            self.nodes[ce.node2()][CONC][0] = ci
+
+    # -- positional traversal helpers (ref :696-765) ----------------------
+
+    def _walk(self, chrom, pos, orientation, direction, cutoff=100):
+        """Distance to the next node (towards ``direction``) with incoming
+        discordant edges, capped at ``cutoff`` (ref next/last plus/minus)."""
+        dist = -1
+        pos_ = pos
+        while True:
+            if orientation == "-":
+                key = (chrom, pos_, "-") if direction > 0 else (chrom, pos_ - 1, "+")
+            else:
+                key = (chrom, pos_ + 1, "-") if direction > 0 else (chrom, pos_, "+")
+            if key not in self.nodes:
+                break
+            probe = (chrom, pos_, orientation)
+            if pos_ != pos and probe in self.nodes and self.nodes[probe][DISC]:
+                break
+            if dist >= cutoff:
+                break
+            seglen = self.sequence_edges[self.nodes[key][SEQ][0]].size
+            dist = max(dist, 0) + seglen
+            pos_ += seglen * direction
+        return dist
+
+    def nextminus(self, chrom, pos, cutoff=100):
+        return self._walk(chrom, pos, "-", +1, cutoff)
+
+    def lastminus(self, chrom, pos, cutoff=100):
+        return self._walk(chrom, pos, "-", -1, cutoff)
+
+    def nextplus(self, chrom, pos, cutoff=100):
+        return self._walk(chrom, pos, "+", +1, cutoff)
+
+    def lastplus(self, chrom, pos, cutoff=100):
+        return self._walk(chrom, pos, "+", -1, cutoff)
 
     def sort_edges(self) -> None:
         """Sort sequence/concordant edges by (chrom, pos) and rebuild the
@@ -328,6 +470,61 @@ def write_graph_file(g: BreakpointGraph, path: str) -> None:
             fp.write("discordant\t%s:%s%s->%s:%s%s\t%f\t%d\n"
                      % (d.chrom1, d.pos1, d.o1, d.chrom2, d.pos2, d.o2,
                         d.cn, d.lr_count))
+
+
+def write_graph_file_hybrid(g: BreakpointGraph, path: str,
+                            downsample_factor: float = 1.0) -> None:
+    """AA graph file with short-read + long-read columns.
+
+    Intent implementation of the reference's dead
+    ``output_breakpoint_graph_sr_lr`` (``breakpoint_graph.py:768-802``,
+    which calls nonexistent ``math.round`` and references ``self`` in a
+    free function)."""
+    def sr(count, flag):
+        return int(round(count * downsample_factor)) if flag == "d" else count
+
+    with open(path, "w") as fp:
+        fp.write("SequenceEdge: StartPosition, EndPosition, PredictedCN, "
+                 "NumberOfReadPairs, NumberOfLongReads, Size\n")
+        for e in g.sequence_edges:
+            fp.write("sequence\t%s:%s-\t%s:%s+\t%f\t%d\t%d\t%d\n"
+                     % (e.chrom, e.start, e.chrom, e.end, e.cn,
+                        sr(e.sr_count, e.sr_flag), e.lr_count, e.size))
+        fp.write("BreakpointEdge: StartPosition->EndPosition, PredictedCN, "
+                 "NumberOfReadPairs, NumberOfLongReads\n")
+        for s in g.source_edges:
+            fp.write("source\t%s:%s%s->%s:%s%s\t%f\t-1\t-1\n"
+                     % ("source", -1, "-", s.chrom, s.pos, s.o, s.cn))
+        for c in g.concordant_edges:
+            fp.write("concordant\t%s:%s%s->%s:%s%s\t%f\t%d\t%d\n"
+                     % (c.chrom1, c.pos1, c.o1, c.chrom2, c.pos2, c.o2,
+                        c.cn, sr(c.sr_count, c.sr_flag), c.lr_count))
+        for d in g.discordant_edges:
+            fp.write("discordant\t%s:%s%s->%s:%s%s\t%f\t%d\t%d\n"
+                     % (d.chrom1, d.pos1, d.o1, d.chrom2, d.pos2, d.o2,
+                        d.cn, sr(d.sr_count, d.sr_flag), d.lr_count))
+
+
+def write_breakpoints_file_hybrid(g: BreakpointGraph, path: str,
+                                  bp_stats: Dict[int, list],
+                                  downsample_factor: float = 1.0) -> None:
+    """Hybrid breakpoints list (intent of the dead
+    ``output_breakpoint_info_sr_lr``, ``breakpoint_graph.py:825-842``)."""
+    def sr(count, flag):
+        return int(round(count * downsample_factor)) if flag == "d" else count
+
+    with open(path, "w") as fp:
+        fp.write("chr1\tpos1\tchr2\tpos2\torientation\tsr_support\t"
+                 "lr_support\tlr_info=[avg1, avg2, std1, std2, mapq1, mapq2]\n")
+        for di, d in enumerate(g.discordant_edges):
+            if di in bp_stats:
+                fp.write("%s\t%s\t%s\t%s\t%s%s\t-1\t%d\t%s\n"
+                         % (d.chrom2, d.pos2, d.chrom1, d.pos1, d.o2, d.o1,
+                            d.lr_count, bp_stats[di]))
+            else:
+                fp.write("%s\t%s\t%s\t%s\t%s%s\t%d\t%d\tN/A\n"
+                         % (d.chrom2, d.pos2, d.chrom1, d.pos1, d.o2, d.o1,
+                            sr(d.sr_count, d.sr_flag), d.lr_count))
 
 
 def write_breakpoints_file(g: BreakpointGraph, path: str, bp_stats: List[list]) -> None:

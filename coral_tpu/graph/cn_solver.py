@@ -173,14 +173,110 @@ def solve_cn_balance(wlrseg, wcn, wlncn, A, max_iters: int = 1000,
         return np.asarray(x)
 
 
-def compute_cn(g, normal_cov: float, max_iters: int = 1000) -> None:
-    """Estimate CN for every edge of a BreakpointGraph in place
-    (reference ``compute_cn_lr``, ``breakpoint_graph.py:495-606``)."""
+def compute_cn_hybrid(
+    g,
+    normal_cov_sr: float,
+    sr_length: float,
+    normal_cov_lr: float,
+    downsample_factor: float = 1.0,
+    min_sr_alignment_length: int = 30,
+    max_iters: int = 1000,
+) -> None:
+    """Hybrid short-read + long-read CN estimation.
+
+    Intent implementation of the reference's dead ``compute_cn_sr_lr``
+    (``breakpoint_graph.py:366-492``, which carries ``lseg``/``lseq``
+    NameErrors): the same balance program with short-read likelihood terms
+    added (weights per ``:383-412``).
+    """
     lseq = len(g.sequence_edges)
     lc = len(g.concordant_edges)
     ld = len(g.discordant_edges)
     lsrc = len(g.source_edges)
-    nvars = lseq + lc + ld + lsrc
+
+    def sr_scaled(count, flag):
+        return count * downsample_factor if flag == "d" else count
+
+    wcn = [normal_cov_sr * e.size / sr_length + 0.5 * normal_cov_lr * e.size
+           for e in g.sequence_edges]
+    wcn += [normal_cov_sr * (sr_length - 1.0) / sr_length + normal_cov_lr] * lc
+    wcn += [normal_cov_sr * (sr_length - 2 * min_sr_alignment_length)
+            / sr_length + normal_cov_lr] * ld
+    wcn += [normal_cov_sr * (sr_length - 2 * min_sr_alignment_length)
+            / sr_length] * lsrc
+    wlncn = [sr_scaled(e.sr_count, e.sr_flag) - 0.5 for e in g.sequence_edges]
+    wlncn += [sr_scaled(e.sr_count, e.sr_flag) + e.lr_count
+              for e in g.concordant_edges]
+    wlncn += [sr_scaled(e.sr_count, e.sr_flag) + e.lr_count
+              for e in g.discordant_edges]
+    wlncn += [max(e.lr_cn, 0.1) for e in g.source_edges]
+    wlrseg = [0.5 * e.lr_nc ** 2 / (normal_cov_lr * e.size)
+              for e in g.sequence_edges]
+    wlrseg += [0.0] * (lc + ld + lsrc)
+
+    g.del_discordant_endnodes()
+    if not _assign_solution(g, wlrseg, wcn, wlncn, max_iters):
+        # no balance constraints: raw-count CN per segment (ref :481-491)
+        for e in g.sequence_edges:
+            if e.sr_flag == "d":
+                cn = (sr_length * e.sr_count) / (10.0 * e.size)
+            else:
+                cn = (sr_length * e.sr_count) / (normal_cov_sr * e.size)
+            cn += e.lr_nc / (normal_cov_lr * e.size)
+            e.cn = cn
+            g.max_cn = max(g.max_cn, cn)
+        g.max_cn += 1.0
+
+
+def _assign_solution(g, wlrseg, wcn, wlncn, max_iters) -> bool:
+    """Build the balance matrix, solve, write CNs back (shared tail of the
+    LR-only and hybrid paths).  Returns False when there are no balance
+    constraints (caller applies its raw-coverage fallback)."""
+    lseq = len(g.sequence_edges)
+    lc = len(g.concordant_edges)
+    ld = len(g.discordant_edges)
+    nvars = len(wcn)
+    balance_nodes = [nd for nd in g.nodes if nd not in g.endnodes]
+    if not balance_nodes:
+        assert lc == 0 and ld == 0 and len(g.source_edges) == 0
+        return False
+    A = np.zeros((len(balance_nodes), nvars))
+    for ci, nd in enumerate(balance_nodes):
+        adj = g.nodes[nd]
+        for si in adj[0]:
+            A[ci][si] = 1
+        for eci in adj[1]:
+            A[ci][lseq + eci] = -1
+        for edi in adj[2]:
+            A[ci][lseq + lc + edi] = -1
+        for srci in adj[3]:
+            A[ci][lseq + lc + ld + srci] = -1
+    x = solve_cn_balance(wlrseg, wcn, wlncn, A, max_iters)
+    for i, e in enumerate(g.sequence_edges):
+        e.cn = float(x[i] * 2)
+        g.max_cn = max(g.max_cn, e.cn)
+    for i, e in enumerate(g.concordant_edges):
+        e.cn = float(x[lseq + i] * 2)
+        g.max_cn = max(g.max_cn, e.cn)
+    for i, e in enumerate(g.discordant_edges):
+        scale = 1 if e.is_self_loop() else 2
+        e.cn = float(x[lseq + lc + i] * scale)
+        g.max_cn = max(g.max_cn, e.cn)
+    for i, e in enumerate(g.source_edges):
+        e.cn = float(x[lseq + lc + ld + i] * 2)
+        g.max_cn = max(g.max_cn, e.cn)
+    g.max_cn += 1.0
+    return True
+
+
+def compute_cn(g, normal_cov: float, max_iters: int = 1000) -> None:
+    """Estimate CN for every edge of a BreakpointGraph in place
+    (reference ``compute_cn_lr``, ``breakpoint_graph.py:495-606``).
+    Self-loop discordant edges are NOT doubled (ref :583-592)."""
+    lseq = len(g.sequence_edges)
+    lc = len(g.concordant_edges)
+    ld = len(g.discordant_edges)
+    lsrc = len(g.source_edges)
 
     wcn = ([0.5 * normal_cov * e.size for e in g.sequence_edges]
            + [normal_cov] * lc + [normal_cov] * ld
@@ -193,37 +289,9 @@ def compute_cn(g, normal_cov: float, max_iters: int = 1000) -> None:
               + [0.0] * lc + [0.0] * ld
               + [0.5 * e.cn ** 2 / normal_cov for e in g.source_edges])
 
-    balance_nodes = [nd for nd in g.nodes if nd not in g.endnodes]
-    if balance_nodes:
-        A = np.zeros((len(balance_nodes), nvars))
-        for ci, nd in enumerate(balance_nodes):
-            adj = g.nodes[nd]
-            for si in adj[0]:
-                A[ci][si] = 1
-            for eci in adj[1]:
-                A[ci][lseq + eci] = -1
-            for edi in adj[2]:
-                A[ci][lseq + lc + edi] = -1
-            for srci in adj[3]:
-                A[ci][lseq + lc + ld + srci] = -1
-        x = solve_cn_balance(wlrseg, wcn, wlncn, A, max_iters)
-        for i, e in enumerate(g.sequence_edges):
-            e.cn = float(x[i] * 2)
-            g.max_cn = max(g.max_cn, e.cn)
-        for i, e in enumerate(g.concordant_edges):
-            e.cn = float(x[lseq + i] * 2)
-            g.max_cn = max(g.max_cn, e.cn)
-        for i, e in enumerate(g.discordant_edges):
-            # self-loop discordant edges are NOT doubled (ref :583-592)
-            scale = 1 if e.is_self_loop() else 2
-            e.cn = float(x[lseq + lc + i] * scale)
-            g.max_cn = max(g.max_cn, e.cn)
-        for i, e in enumerate(g.source_edges):
-            e.cn = float(x[lseq + lc + ld + i] * 2)
-            g.max_cn = max(g.max_cn, e.cn)
-    else:
-        assert lc == 0 and ld == 0 and lsrc == 0
+    if not _assign_solution(g, wlrseg, wcn, wlncn, max_iters):
+        # no balance constraints: raw-coverage CN per segment (ref :597-605)
         for e in g.sequence_edges:
             e.cn = e.lr_nc * 2.0 / (normal_cov * e.size)
             g.max_cn = max(g.max_cn, e.cn)
-    g.max_cn += 1.0
+        g.max_cn += 1.0

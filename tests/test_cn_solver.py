@@ -136,3 +136,20 @@ def test_numpy_and_jax_engines_agree():
     x_np = solve_cn_balance(wlrseg, wcn, wlncn, A, engine="numpy")
     x_jx = solve_cn_balance(wlrseg, wcn, wlncn, A, engine="jax")
     np.testing.assert_allclose(x_np, x_jx, rtol=1e-6, atol=1e-8)
+
+
+def test_compute_cn_hybrid():
+    from coral_tpu.graph.cn_solver import compute_cn_hybrid
+    g = _toy_ecdna_graph()
+    for e in g.sequence_edges:
+        e.sr_count = int(e.lr_nc / 9000 * 3)  # ~short-read counts
+        e.sr_flag = "f"
+    for e in g.concordant_edges + g.discordant_edges:
+        e.sr_count = e.lr_count
+        e.sr_flag = "f"
+    compute_cn_hybrid(g, normal_cov_sr=30.0, sr_length=150.0,
+                      normal_cov_lr=20.0)
+    cn = [e.cn for e in g.sequence_edges]
+    # hybrid estimate should land near the LR-only structure (middle ~40x)
+    assert cn[1] == pytest.approx(2 * 400 / 20, rel=0.3)
+    assert cn[0] < cn[1] / 3

@@ -80,3 +80,69 @@ def test_graph_file_roundtrip(tmp_path):
     assert g2.sequence_edges[0].cn == pytest.approx(4.0)
     assert g2.discordant_edges[0].lr_count == 40
     assert g2.concordant_edges[0].node1() == ("chr1", 499, "+")
+
+
+def test_merge_edges_collapses_concordant_only_junctions():
+    g = BreakpointGraph()
+    coords = [(100, 199), (200, 299), (300, 399)]
+    for s, e in coords:
+        g.add_node(("chr1", s, "-"))
+        g.add_node(("chr1", e, "+"))
+    for s, e in coords:
+        g.add_sequence_edge("chr1", s, e)
+    g.add_concordant_edge("chr1", 199, "+", "chr1", 200, "-")
+    g.add_concordant_edge("chr1", 299, "+", "chr1", 300, "-")
+    g.add_endnode(("chr1", 100, "-"))
+    g.add_endnode(("chr1", 399, "+"))
+    # a discordant edge pins the 299/300 junction; 199/200 merges away
+    g.add_discordant_edge("chr1", 299, "+", "chr1", 100, "-", lr_count=5)
+    g.merge_edges()
+    assert len(g.sequence_edges) == 2
+    assert (g.sequence_edges[0].start, g.sequence_edges[0].end) == (100, 299)
+    assert len(g.concordant_edges) == 1
+    assert g.concordant_edges[0].pos1 == 299
+    # adjacency reindexed
+    assert g.nodes[("chr1", 100, "-")][0] == [0]
+    assert g.nodes[("chr1", 300, "-")][0] == [1]
+
+
+def test_del_discordant_endnodes_and_edges():
+    g = build_small_graph()
+    assert ("chr1", 999, "+") in g.endnodes
+    g.del_discordant_endnodes()
+    assert ("chr1", 999, "+") not in g.endnodes
+    assert ("chr1", 100, "-") in g.endnodes
+    g2 = build_small_graph()
+    g2.del_discordant_edges([0], {0: 0})
+    assert g2.discordant_edges == []
+    assert g2.nodes[("chr1", 500, "-")][2] == []
+
+
+def test_traversal_helpers():
+    g, bounds = __import__("tests.test_path_constraints",
+                           fromlist=["chain_graph"]).chain_graph()
+    # from segment 0's start, the next '-' node with discordant edges is
+    # the walk forward; chain has a disc at (1000,-)
+    d = g.nextminus("chr1", bounds[1][0])
+    assert d >= 0 or d == -1  # structural smoke: no exception, int result
+
+
+def test_hybrid_graph_writer(tmp_path):
+    from coral_tpu.graph.breakpoint_graph import (
+        write_breakpoints_file_hybrid,
+        write_graph_file_hybrid,
+    )
+    g = build_small_graph()
+    g.sequence_edges[0].sr_count = 100
+    g.discordant_edges[0].sr_count = 33
+    p = tmp_path / "h_graph.txt"
+    write_graph_file_hybrid(g, str(p), downsample_factor=0.5)
+    lines = open(p).read().splitlines()
+    assert lines[0].startswith("SequenceEdge:")
+    assert "NumberOfReadPairs" in lines[0]
+    assert lines[1].split("\t")[4] == "50"   # downsampled sr count
+    p2 = tmp_path / "h_bp.txt"
+    write_breakpoints_file_hybrid(g, str(p2), {}, downsample_factor=0.5)
+    rows = open(p2).read().splitlines()
+    assert rows[1].split("\t")[5] == "16"    # round(16.5) banker's -> 16
+
