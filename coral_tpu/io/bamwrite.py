@@ -33,6 +33,8 @@ def parse_cigar(cigar: str) -> List[Tuple[int, int]]:
     out = []
     pos = 0
     for m in _CIGAR_RE.finditer(cigar):
+        if m.start() != pos:
+            raise ValueError(f"bad CIGAR: {cigar}")
         out.append((CIGAR_OPS.index(m.group(2)), int(m.group(1))))
         pos = m.end()
     if pos != len(cigar):
