@@ -283,6 +283,73 @@ struct Scanner {
   }
 };
 
+// Per-thread staging for parallel record parsing.
+struct RecStage {
+  std::vector<uint16_t> flag;
+  std::vector<int32_t> ref_id;
+  std::vector<int64_t> pos, end, nm;
+  std::vector<uint8_t> mapq;
+  std::vector<int32_t> qlen;
+  std::vector<uint64_t> voffset;
+  std::vector<uint8_t> name_blob;
+  std::vector<int32_t> name_len;
+  std::vector<uint8_t> sa_blob;
+  std::vector<int64_t> sa_off_local;   // offset into local sa_blob (or 0)
+  std::vector<int64_t> sa_len;
+  std::string error;
+};
+
+// Extract one record's fields into a staging buffer.
+bool stage_record(const uint8_t* base, int64_t off, RecStage* st) {
+  int32_t block_size;
+  memcpy(&block_size, base + off, 4);
+  const uint8_t* r = base + off + 4;
+  int32_t ref_id, pos, l_seq;
+  uint16_t n_cigar, flag;
+  memcpy(&ref_id, r, 4);
+  memcpy(&pos, r + 4, 4);
+  uint8_t l_read_name = r[8];
+  uint8_t mapq = r[9];
+  memcpy(&n_cigar, r + 12, 2);
+  memcpy(&flag, r + 14, 2);
+  memcpy(&l_seq, r + 16, 4);
+  const uint8_t* name_p = r + 32;
+  const uint8_t* cig_p = name_p + l_read_name;
+  int64_t ref_len = 0;
+  for (int ci = 0; ci < n_cigar; ci++) {
+    uint32_t c;
+    memcpy(&c, cig_p + 4 * ci, 4);
+    if ((1u << (c & 0xF)) & kRefConsuming) ref_len += c >> 4;
+  }
+  const uint8_t* aux_p = cig_p + 4 * n_cigar + (l_seq + 1) / 2 + l_seq;
+  const uint8_t* aux_end = r + block_size;
+  int64_t nmv = 0;
+  const uint8_t* sa = nullptr;
+  int sa_n = 0;
+  if (!parse_aux(aux_p, aux_end, &nmv, &sa, &sa_n)) {
+    st->error = "malformed aux data";
+    return false;
+  }
+  st->flag.push_back(flag);
+  st->ref_id.push_back(ref_id);
+  st->pos.push_back(pos);
+  st->end.push_back(pos + ref_len);
+  st->mapq.push_back(mapq);
+  st->qlen.push_back(l_seq);
+  st->nm.push_back(nmv);
+  st->name_blob.insert(st->name_blob.end(), name_p, name_p + l_read_name - 1);
+  st->name_len.push_back(l_read_name - 1);
+  if (sa) {
+    st->sa_off_local.push_back(static_cast<int64_t>(st->sa_blob.size()));
+    st->sa_len.push_back(sa_n);
+    st->sa_blob.insert(st->sa_blob.end(), sa, sa + sa_n);
+  } else {
+    st->sa_off_local.push_back(0);
+    st->sa_len.push_back(0);
+  }
+  return true;
+}
+
 bool scan_file(BamCore* bc, int nthreads) {
   FILE* fp = bc->fp;
   fseek(fp, 0, SEEK_SET);
@@ -396,58 +463,77 @@ bool scan_file(BamCore* bc, int nthreads) {
       parse_gpos = p;
     }
 
-    // parse records
+    // phase 1: cheap boundary discovery over the buffered region
+    std::vector<int64_t> rec_offs;
+    std::vector<uint64_t> rec_voffs;
     while (true) {
       int64_t off = parse_gpos - sc.gbase;
       if (off + 4 > static_cast<int64_t>(sc.buf.size())) break;
       int32_t block_size;
       memcpy(&block_size, sc.buf.data() + off, 4);
       if (off + 4 + block_size > static_cast<int64_t>(sc.buf.size())) break;
-      const uint8_t* r = sc.buf.data() + off + 4;
-      RecHeader h;
-      memcpy(&h.ref_id, r, 4);
-      memcpy(&h.pos, r + 4, 4);
-      h.l_read_name = r[8];
-      h.mapq = r[9];
-      memcpy(&h.n_cigar, r + 12, 2);
-      memcpy(&h.flag, r + 14, 2);
-      memcpy(&h.l_seq, r + 16, 4);
-      const uint8_t* name_p = r + 32;
-      const uint8_t* cig_p = name_p + h.l_read_name;
-      int64_t ref_len = 0;
-      for (int ci = 0; ci < h.n_cigar; ci++) {
-        uint32_t c;
-        memcpy(&c, cig_p + 4 * ci, 4);
-        if ((1u << (c & 0xF)) & kRefConsuming) ref_len += c >> 4;
-      }
-      const uint8_t* aux_p = cig_p + 4 * h.n_cigar + (h.l_seq + 1) / 2 + h.l_seq;
-      const uint8_t* aux_end = r + block_size;
-      int64_t nmv = 0;
-      const uint8_t* sa = nullptr;
-      int sa_n = 0;
-      if (!parse_aux(aux_p, aux_end, &nmv, &sa, &sa_n)) {
-        bc->error = "malformed aux data";
-        return false;
-      }
-      bc->flag.push_back(h.flag);
-      bc->ref_id.push_back(h.ref_id);
-      bc->pos.push_back(h.pos);
-      bc->end.push_back(h.pos + ref_len);
-      bc->mapq.push_back(h.mapq);
-      bc->qlen.push_back(h.l_seq);
-      bc->nm.push_back(nmv);
-      bc->voffset.push_back(sc.voffset_of(parse_gpos));
-      bc->name_blob.insert(bc->name_blob.end(), name_p, name_p + h.l_read_name - 1);
-      bc->name_off.push_back(static_cast<int64_t>(bc->name_blob.size()));
-      if (sa) {
-        bc->sa_off.push_back(static_cast<int64_t>(bc->sa_blob.size()));
-        bc->sa_len.push_back(sa_n);
-        bc->sa_blob.insert(bc->sa_blob.end(), sa, sa + sa_n);
-      } else {
-        bc->sa_off.push_back(0);
-        bc->sa_len.push_back(0);
-      }
+      rec_offs.push_back(off);
+      rec_voffs.push_back(sc.voffset_of(parse_gpos));
       parse_gpos += 4 + block_size;
+    }
+
+    // phase 2: parallel field extraction into per-thread staging buffers
+    if (!rec_offs.empty()) {
+      int nt = sc.nthreads;
+      if (nt > static_cast<int>(rec_offs.size())) nt = 1;
+      std::vector<RecStage> stages(nt);
+      std::vector<std::thread> workers;
+      size_t chunk = (rec_offs.size() + nt - 1) / nt;
+      const uint8_t* base = sc.buf.data();
+      for (int t = 0; t < nt; t++) {
+        workers.emplace_back([&, t]() {
+          size_t lo = t * chunk;
+          size_t hi = std::min(lo + chunk, rec_offs.size());
+          for (size_t i = lo; i < hi; i++) {
+            if (!stage_record(base, rec_offs[i], &stages[t])) return;
+          }
+        });
+      }
+      for (auto& w : workers) w.join();
+      for (auto& st : stages) {
+        if (!st.error.empty()) { bc->error = st.error; return false; }
+      }
+      // phase 3: ordered merge with blob-offset rebasing
+      size_t vlo = 0;
+      for (int t = 0; t < nt; t++) {
+        RecStage& st = stages[t];
+        size_t n = st.flag.size();
+        bc->flag.insert(bc->flag.end(), st.flag.begin(), st.flag.end());
+        bc->ref_id.insert(bc->ref_id.end(), st.ref_id.begin(), st.ref_id.end());
+        bc->pos.insert(bc->pos.end(), st.pos.begin(), st.pos.end());
+        bc->end.insert(bc->end.end(), st.end.begin(), st.end.end());
+        bc->mapq.insert(bc->mapq.end(), st.mapq.begin(), st.mapq.end());
+        bc->qlen.insert(bc->qlen.end(), st.qlen.begin(), st.qlen.end());
+        bc->nm.insert(bc->nm.end(), st.nm.begin(), st.nm.end());
+        for (size_t i = 0; i < n; i++) {
+          bc->voffset.push_back(rec_voffs[vlo + i]);
+        }
+        int64_t name_base = static_cast<int64_t>(bc->name_blob.size());
+        bc->name_blob.insert(bc->name_blob.end(), st.name_blob.begin(),
+                             st.name_blob.end());
+        int64_t acc = name_base;
+        for (size_t i = 0; i < n; i++) {
+          acc += st.name_len[i];
+          bc->name_off.push_back(acc);
+        }
+        int64_t sa_base = static_cast<int64_t>(bc->sa_blob.size());
+        bc->sa_blob.insert(bc->sa_blob.end(), st.sa_blob.begin(),
+                           st.sa_blob.end());
+        for (size_t i = 0; i < n; i++) {
+          if (st.sa_len[i] > 0) {
+            bc->sa_off.push_back(sa_base + st.sa_off_local[i]);
+          } else {
+            bc->sa_off.push_back(0);
+          }
+          bc->sa_len.push_back(st.sa_len[i]);
+        }
+        vlo += n;
+      }
     }
     sc.drop_consumed(parse_gpos);
   }
