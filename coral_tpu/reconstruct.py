@@ -146,7 +146,56 @@ class Reconstruction:
         self.read_length, self.chimeras, self.nm_stats = collect_chimeras(self.bam)
 
     def hash_to_segments(self) -> None:
-        """Index chimeric local alignments by CN segment (ref :181-210)."""
+        """Index chimeric local alignments by CN segment (ref :181-210).
+
+        With the native ChimeraStore, segment lookups run as one
+        searchsorted batch over the flat alignment table."""
+        from .ops.chimera import ChimeraStore
+
+        if isinstance(self.chimeras, ChimeraStore):
+            store = self.chimeras
+            qs, qe, ref, r1, r2, strand, mapq, nm = store.cols
+            lo = np.minimum(r1, r2)
+            hi = np.maximum(r1, r2)
+            n_aln = len(lo)
+            lcni = np.full(n_aln, -1, np.int64)
+            rcni = np.full(n_aln, -1, np.int64)
+            known = np.zeros(n_aln, bool)
+            for code, chrom in enumerate(store._ref_names):
+                starts = self._cns_starts.get(chrom)
+                if starts is None:
+                    continue
+                mask = ref == code
+                if not mask.any():
+                    continue
+                known |= mask
+                ends = self._cns_ends[chrom]
+                for (pos, out) in ((lo, lcni), (hi, rcni)):
+                    idx = np.searchsorted(starts, pos[mask], side="right") - 1
+                    valid = (idx >= 0) & (pos[mask] <= ends[np.clip(idx, 0, None)])
+                    res = np.where(valid, idx, -1)
+                    out[mask] = res
+            off = store.chim_off
+            names = store.names
+            ref_names = store._ref_names
+            for k, rn in enumerate(names):
+                s, e = int(off[k]), int(off[k + 1])
+                sets = []
+                for i in range(s, e):
+                    if known[i]:
+                        cniset = {int(lcni[i]), int(rcni[i])}
+                        if len(cniset) > 1 and -1 in cniset:
+                            cniset.remove(-1)
+                        sets.append(cniset)
+                        chrom = ref_names[ref[i]] if ref[i] >= 0 else "?"
+                        seg_map = self.chim_by_seg.setdefault(chrom, {})
+                        for cni in cniset:
+                            if cni != -1:
+                                seg_map.setdefault(cni, []).append(rn)
+                    else:
+                        sets.append({-1})
+                self.chim_seg_sets[rn] = sets
+            return
         for rn, chim in self.chimeras.items():
             sets = []
             for ri in range(len(chim.r)):

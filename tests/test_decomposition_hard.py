@@ -144,3 +144,41 @@ def test_eulerian_prefers_constraint_satisfying_traversal():
     # and the constrained pattern appears for some seed regardless
     tokens2 = eulerian_cycle(g, dict(edges), pc, [9], seed=123)
     assert tokens2[:-1] == ["2+", "3+", "2+", "3+"]
+
+
+def test_many_discordant_edges_bounded():
+    """A chain of 12 local duplication junctions: enumeration must stay
+    bounded and the greedy driver must terminate quickly."""
+    import time
+    g = BreakpointGraph()
+    n = 13
+    coords = [(1000 + 10_000 * i, 1000 + 10_000 * (i + 1) - 1) for i in range(n)]
+    for (s, e) in coords:
+        g.add_node(("chr1", s, "-"))
+        g.add_node(("chr1", e, "+"))
+    for (s, e) in coords:
+        g.add_sequence_edge("chr1", s, e, cn=20.0, lr_count=100,
+                            lr_nc=int(200 * 10_000))
+    for i in range(n - 1):
+        g.add_concordant_edge("chr1", coords[i][1], "+",
+                              "chr1", coords[i + 1][0], "-", cn=18.0,
+                              lr_count=90)
+    g.add_endnode(("chr1", coords[0][0], "-"))
+    g.add_endnode(("chr1", coords[-1][1], "+"))
+    # 12 tandem-duplication junctions (each segment's end loops to its start)
+    for i in range(1, n - 1):
+        g.add_discordant_edge("chr1", coords[i][1], "+",
+                              "chr1", coords[i][0], "-", cn=2.0, lr_count=10)
+    g.max_cn = 21.0
+    g.amplicon_intervals.append(["chr1", coords[0][0], coords[-1][1]])
+
+    t0 = time.time()
+    cands = enumerate_candidates(g, max_states=50_000)
+    cfg = CycleConfig()
+    tw, n_sat, cycles, weights, sat = greedy_extract(
+        g, cands, total_graph_weight(g), [], cfg)
+    dt = time.time() - t0
+    assert dt < 30, f"decomposition took {dt:.1f}s"
+    assert len(cycles[0]) + len(cycles[1]) >= 1
+    # coverage terminates per the reference rules
+    assert tw > 0
