@@ -152,6 +152,8 @@ def find_breakpoints_device(
     gap_: float,
     gap_mapq: float = 10,
     max_nm: Optional[float] = None,
+    mesh=None,
+    mesh_axis: str = "dp",
 ) -> List[list]:
     """Whole-table breakpoint extraction with device predicate evaluation.
 
@@ -166,9 +168,15 @@ def find_breakpoints_device(
         _same_interval_pair_ok, _pair_passes_nm
 
     table = build_chimera_table(chimeras)
-    pi, pj, hits = score_pairs_l(
-        table, intervals, min_bp_match_cutoff, min_mapq, gap_,
-        np.inf if max_nm is None else max_nm)
+    if mesh is not None:
+        from ..parallel.sharded import score_pairs_sharded
+        pi, pj, hits = score_pairs_sharded(
+            table, intervals, min_bp_match_cutoff, min_mapq, gap_,
+            mesh, mesh_axis, np.inf if max_nm is None else max_nm)
+    else:
+        pi, pj, hits = score_pairs_l(
+            table, intervals, min_bp_match_cutoff, min_mapq, gap_,
+            np.inf if max_nm is None else max_nm)
     # per-pair hit mask back into per-read slices
     hit_by_row = np.zeros(max(table.n_alignments, 1), bool)
     hit_by_row[pi] = hits

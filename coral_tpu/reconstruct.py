@@ -670,18 +670,23 @@ class Reconstruction:
 
     # -- final breakpoint passes (ref :676-802) ----------------------------
 
-    def find_breakpoints(self, use_device: Optional[bool] = None) -> None:
+    def find_breakpoints(self, use_device: Optional[bool] = None,
+                         mesh=None) -> None:
+        """Whole-table breakpoint pass; with ``mesh`` set, pair scoring is
+        data-parallel over the mesh's ``dp`` axis (results identical to the
+        single-device path for any shard count)."""
         cfg_b = self.cfg.bp
         max_nm = (self.nm_stats[0] + 3 * self.nm_stats[1]
                   if cfg_b.nm_filter else None)
         if use_device is None:
-            use_device = len(self.chimeras) >= 512
+            use_device = len(self.chimeras) >= 512 or mesh is not None
         if use_device:
             from .ops.pairs import find_breakpoints_device
             new_bp_list_ = find_breakpoints_device(
                 self.chimeras, self.amplicon_intervals,
                 cfg_b.min_bp_match_cutoff, cfg_b.min_mapq, 100,
-                cfg_b.gap_mapq, max_nm)
+                cfg_b.gap_mapq, max_nm,
+                mesh=mesh, mesh_axis=self.cfg.parallel.dp_axis)
         else:
             new_bp_list_ = []
             for rn, chim in self.chimeras.items():

@@ -115,3 +115,35 @@ def test_pipeline_deterministic(tmp_path):
     for suffix in ("_amplicon1_graph.txt", "_amplicon1_cycles.txt"):
         assert filecmp.cmp(str(tmp_path / ("a" + suffix)),
                            str(tmp_path / ("b" + suffix)), shallow=False), suffix
+
+
+def test_mesh_sharded_pipeline_identical(tmp_path):
+    """BASELINE config #5: data-parallel breakpoint scoring over an
+    8-device mesh produces byte-identical outputs to the default path."""
+    from coral_tpu.io.bam import BamFile
+    from coral_tpu.parallel import make_mesh
+    from coral_tpu.reconstruct import Reconstruction
+    from coral_tpu.sim import simulate_ecdna
+
+    bam_p, cns_p, seeds_p = simulate_ecdna(str(tmp_path / "s"), jitter=2)
+
+    def run(mesh, tag):
+        rec = Reconstruction(BamFile(bam_p), seeds_p)
+        rec.read_cns(cns_p)
+        rec.collect()
+        rec.hash_to_segments()
+        rec.find_amplicon_intervals()
+        rec.find_smalldel_breakpoints()
+        rec.find_breakpoints(mesh=mesh)
+        rec.build_graph()
+        rec.assign_cov()
+        rec.compute_cn()
+        from coral_tpu.graph.breakpoint_graph import write_graph_file
+        out = str(tmp_path / f"{tag}_graph.txt")
+        write_graph_file(rec.graphs[0], out)
+        return out
+
+    a = run(None, "single")
+    b = run(make_mesh(8), "mesh8")
+    c = run(make_mesh(2), "mesh2")
+    assert open(a).read() == open(b).read() == open(c).read()
