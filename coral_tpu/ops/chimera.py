@@ -124,6 +124,14 @@ class ChimeraStore(dict):
         self.names = [bam.name(int(i)) for i in chim_rec]
         self._slot = {n: k for k, n in enumerate(self.names)}
         self._ref_names = [r[0] for r in bam.references]
+        self._table = None
+
+    def flat_table(self):
+        """Memoized whole-store ChimeraTable for batch scoring."""
+        if self._table is None:
+            from .pairs import build_chimera_table
+            self._table = build_chimera_table(self)
+        return self._table
 
     def __len__(self):
         return len(self.names)

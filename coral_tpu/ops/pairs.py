@@ -243,6 +243,101 @@ def _pair_predicates_numpy(
     return base & mq_ok & nm_ok & (strand_diff | gap_disc), io_i
 
 
+def score_pairs_two_intervals(
+    table: ChimeraTable,
+    rows: np.ndarray,
+    intrvl1: list,
+    intrvl2: list,
+    min_bp_match_cutoff: int,
+    min_mapq: float,
+    max_nm: float = np.inf,
+) -> np.ndarray:
+    """Two-interval adjacent-pair predicate (``alignment2bp`` semantics,
+    reference ``breakpoint_utilities.py:70-126``) evaluated for the pairs
+    (rows[k], rows[k]+1): one side in each interval, either order; no
+    same-strand gap-discrepancy requirement."""
+    i = rows
+    j = rows + 1
+
+    def overlaps(idx, iv):
+        code = CHR_IDX.get(iv[0], -2)
+        return (table.chrom[idx] == code) & (table.r1[idx] <= iv[2]) \
+            & (iv[1] <= table.r2[idx])
+
+    qgap = table.q_start[j] - table.q_end[i]
+    pair_in = (overlaps(i, intrvl1) & overlaps(j, intrvl2)) \
+        | (overlaps(j, intrvl1) & overlaps(i, intrvl2))
+    hit = (qgap + min_bp_match_cutoff >= 0) & pair_in \
+        & (table.mapq[i] >= min_mapq) & (table.mapq[j] >= min_mapq) \
+        & (table.nm[i] < max_nm) & (table.nm[j] < max_nm)
+    return hit
+
+
+def subset_to_bps_batch(
+    store,
+    read_names,
+    intrvl1: list,
+    intrvl2: list,
+    min_bp_match_cutoff: int,
+    min_mapq: float,
+    gap_mapq: float = 10,
+    max_nm: Optional[float] = None,
+) -> List[list]:
+    """Batched two-interval breakpoint extraction for a subset of reads of
+    a native ChimeraStore; row-identical (including order and the low-mapq
+    rescue pass) to calling ``chimera_to_bps`` per read."""
+    from .breakpoints import interval_overlap, interval_to_bp, _pair_passes_nm
+
+    table_rows = []
+    spans = []
+    off = store.chim_off
+    for rn in read_names:
+        k = store._slot[rn]
+        lo, hi = int(off[k]), int(off[k + 1])
+        spans.append((rn, lo, hi))
+        table_rows.extend(range(lo, hi - 1))
+    if not table_rows:
+        return []
+    full = store.flat_table()
+    rows = np.asarray(table_rows, np.int64)
+    hits = score_pairs_two_intervals(
+        full, rows, intrvl1, intrvl2, min_bp_match_cutoff, min_mapq,
+        np.inf if max_nm is None else max_nm)
+    hit_by_row = np.zeros(max(full.n_alignments, 1), bool)
+    hit_by_row[rows] = hits
+    out: List[list] = []
+    for (rn, lo, hi) in spans:
+        n = hi - lo
+        if n < 2:
+            continue
+        chim = store[rn]
+        q, r, mq, nm = chim.q, chim.r, chim.mapq, chim.nm
+        assigned = hit_by_row[lo: hi - 1]
+        for i in np.flatnonzero(assigned):
+            i = int(i)
+            qgap = int(q[i + 1][0]) - int(q[i][1])
+            out.append(interval_to_bp(r[i], r[i + 1], (rn, i, i + 1), qgap)
+                       + [mq[i], mq[i + 1]])
+        if n >= 3 and any(m < gap_mapq for m in mq[1:-1]):
+            for i in range(1, n - 1):
+                if assigned[i - 1] or assigned[i]:
+                    continue
+                if not (mq[i] < gap_mapq and mq[i - 1] >= min_mapq
+                        and mq[i + 1] >= min_mapq):
+                    continue
+                pair_in = (
+                    (interval_overlap(r[i - 1], intrvl1)
+                     and interval_overlap(r[i + 1], intrvl2))
+                    or (interval_overlap(r[i + 1], intrvl1)
+                        and interval_overlap(r[i - 1], intrvl2)))
+                if pair_in and _pair_passes_nm(nm, i - 1, i + 1, max_nm):
+                    qgap = int(q[i + 1][0]) - int(q[i - 1][1])
+                    out.append(interval_to_bp(r[i - 1], r[i + 1],
+                                              (rn, i - 1, i + 1), qgap)
+                               + [mq[i - 1], mq[i + 1]])
+    return out
+
+
 def score_pairs_l(
     table: ChimeraTable,
     intervals: List[list],

@@ -416,12 +416,27 @@ class Reconstruction:
                     new_bp_list = []
                     max_nm = (self.nm_stats[0] + 3 * self.nm_stats[1]
                               if cfg_b.nm_filter else None)
-                    for rn in nint_[-1]:
-                        new_bp_list += chimera_to_bps(
-                            rn, self.chimeras[rn], cfg_b.min_bp_match_cutoff,
-                            cfg_b.min_mapq, [nint_[0], ns, ne],
+                    # sorted read order: the reference iterates a set here
+                    # (arbitrary per-process order under str-hash
+                    # randomization); canonical order makes runs
+                    # reproducible across processes
+                    subset = sorted(nint_[-1])
+                    from .ops.chimera import ChimeraStore
+                    if isinstance(self.chimeras, ChimeraStore) \
+                            and len(subset) >= 256:
+                        from .ops.pairs import subset_to_bps_batch
+                        new_bp_list += subset_to_bps_batch(
+                            self.chimeras, subset, [nint_[0], ns, ne],
                             self.amplicon_intervals[ai_],
+                            cfg_b.min_bp_match_cutoff, cfg_b.min_mapq,
                             cfg_b.gap_mapq, max_nm)
+                    else:
+                        for rn in subset:
+                            new_bp_list += chimera_to_bps(
+                                rn, self.chimeras[rn], cfg_b.min_bp_match_cutoff,
+                                cfg_b.min_mapq, [nint_[0], ns, ne],
+                                self.amplicon_intervals[ai_],
+                                cfg_b.gap_mapq, max_nm)
                     clusters = cluster_breakpoints(
                         new_bp_list, self.min_cluster_cutoff,
                         cfg_b.max_bp_distance_cutoff)

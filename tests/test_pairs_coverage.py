@@ -137,3 +137,46 @@ def test_sharded_pair_scoring_matches_single_device():
         mesh = make_mesh(ndev)
         _, _, hits = score_pairs_sharded(table, INTERVALS, 100, 20, 100, mesh)
         np.testing.assert_array_equal(hits, ref)
+
+
+def test_subset_batch_matches_per_read(tmp_path):
+    import os
+    so = os.path.join(os.path.dirname(__file__), "..", "coral_tpu",
+                      "native", "libbamcore.so")
+    if not os.path.exists(so):
+        import pytest
+        pytest.skip("native bamcore not built")
+    import random as _random
+    from coral_tpu.io.bam import BamFile
+    from coral_tpu.io.bamwrite import BamRecord, write_bam
+    from coral_tpu.ops.chimera import collect_chimeras
+    from coral_tpu.ops.breakpoints import chimera_to_bps
+    from coral_tpu.ops.pairs import subset_to_bps_batch
+
+    rng = _random.Random(3)
+    refs = [("chr1", 4_000_000), ("chr2", 4_000_000)]
+    recs = []
+    for k in range(300):
+        c1 = rng.choice(["chr1", "chr2"])
+        c2 = rng.choice(["chr1", "chr2"])
+        p1, p2 = rng.randrange(1, 3_000_000), rng.randrange(1, 3_000_000)
+        m = rng.randrange(500, 4000)
+        mq1, mq2 = rng.choice([60, 60, 40, 10]), rng.choice([60, 60, 40, 10])
+        sa1 = f"{c1},{p1},+,{m}M{m}S,{mq1},5;"
+        sa2 = f"{c2},{p2},+,{m}S{m}M,{mq2},7;"
+        recs.append(BamRecord(f"x{k:04d}", 0, c1, p1 - 1, mq1, f"{m}M{m}S",
+                              seq="A" * (2 * m), tags={"SA": sa2, "NM": 5}))
+        recs.append(BamRecord(f"x{k:04d}", 0x800, c2, p2 - 1, mq2, f"{m}S{m}M",
+                              seq="*", tags={"SA": sa1, "NM": 7}))
+    path = str(tmp_path / "sub.bam")
+    write_bam(path, refs, recs)
+    _, store, _ = collect_chimeras(BamFile(path, backend="native"))
+    iv1 = ["chr1", 0, 2_000_000]
+    iv2 = ["chr2", 1_000_000, 3_500_000]
+    subset = sorted(store.keys())[:250]
+    batch = subset_to_bps_batch(store, subset, iv1, iv2, 100, 20)
+    host = []
+    for rn in subset:
+        host += chimera_to_bps(rn, store[rn], 100, 20, iv1, iv2)
+    assert batch == host
+    assert len(host) > 5
