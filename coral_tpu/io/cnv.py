@@ -39,11 +39,18 @@ def _row_cn(path: str, fields: List[str]) -> tuple[float, float]:
 def read_cn_segments(path: str) -> List[CnSegment]:
     """Parse a ``.cns``/``.bed`` CN-segment file, in file order."""
     segs: List[CnSegment] = []
-    with open(path) as fp:
-        for line in fp:
-            fields = line.strip().split()
-            if not fields or fields[0] == "chromosome":
-                continue
-            cn, log2 = _row_cn(path, fields)
-            segs.append(CnSegment(fields[0], int(fields[1]), int(fields[2]), cn, log2))
+    try:
+        with open(path) as fp:
+            for line in fp:
+                fields = line.strip().split()
+                if not fields or fields[0] == "chromosome":
+                    continue
+                cn, log2 = _row_cn(path, fields)
+                segs.append(
+                    CnSegment(fields[0], int(fields[1]), int(fields[2]), cn, log2))
+    except (UnicodeDecodeError, ValueError, IndexError) as exc:
+        if isinstance(exc, CnFileFormatError):
+            raise
+        raise CnFileFormatError(
+            f"{path}: not a valid CN-segment file ({exc})") from exc
     return segs

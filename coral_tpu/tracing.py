@@ -34,6 +34,9 @@ def setup_file_logging(log_fn: str, level: int = logging.DEBUG) -> None:
     reset_epoch()
     handler = logging.FileHandler(log_fn, mode="w")
     handler.setFormatter(TimeTagFormatter("%(message)s"))
-    root = logging.getLogger()
-    root.setLevel(level)
-    root.addHandler(handler)
+    # scope to the engine's loggers so third-party DEBUG noise (jax etc.)
+    # stays out of the trace file
+    pkg = logging.getLogger("coral_tpu")
+    pkg.setLevel(level)
+    pkg.addHandler(handler)
+    pkg.propagate = False
