@@ -397,6 +397,18 @@ def cycle_decomposition(rec, cfg: CycleConfig, model_prefix: str = "") -> None:
             max_multiplicity=cfg.max_edge_multiplicity,
             max_states=cfg.max_walk_candidates,
         )
+
+        def coverage_met() -> bool:
+            weights = rec.cycle_weights.get(amplicon_idx, [[], []])
+            cyc = rec.cycles.get(amplicon_idx, [[], []])
+            covered = 0.0
+            for slot in (0, 1):
+                for edges, w in zip(cyc[slot], weights[slot]):
+                    covered += w * sum(
+                        g.sequence_edges[i].size * c
+                        for (t, i), c in edges.items() if t == "e")
+            return covered >= cfg.p_total_weight * total_weights - 1e-6
+
         model_info = {
             "amplicon": amplicon_idx + 1,
             "nodes": nnodes,
@@ -463,6 +475,31 @@ def cycle_decomposition(rec, cfg: CycleConfig, model_prefix: str = "") -> None:
             rec.cycles[amplicon_idx] = greedy_sol[2]
             rec.cycle_weights[amplicon_idx] = greedy_sol[3]
             rec.path_constraints_satisfied[amplicon_idx] = greedy_sol[4]
+
+        # adaptive fallback: the default enumeration caps concordant-edge
+        # multiplicity near the inferred discordant ladder; if the solution
+        # misses the coverage target, retry once with the full reference
+        # multiplicity bound (ub 10, ref :74) before accepting
+        if not coverage_met():
+            logger.info("amplicon %d: coverage target missed; re-enumerating "
+                        "with full multiplicity caps", amplicon_idx + 1)
+            wide = enumerate_candidates(
+                g, max_multiplicity=cfg.max_edge_multiplicity,
+                conc_cap=cfg.max_edge_multiplicity,
+                max_states=cfg.max_walk_candidates)
+            if len(wide) > len(candidates):
+                greedy_sol = greedy_extract(g, wide, total_weights, pc_list, cfg)
+                prev = rec.cycle_weights.get(amplicon_idx, [[], []])
+                prev_cov = sum(
+                    w * sum(g.sequence_edges[i].size * c
+                            for (t, i), c in edges.items() if t == "e")
+                    for slot in (0, 1)
+                    for edges, w in zip(rec.cycles[amplicon_idx][slot], prev[slot]))
+                if greedy_sol[0] > prev_cov + 1e-6:
+                    model_info["solver"] = str(model_info["solver"]) + "+wide"
+                    rec.cycles[amplicon_idx] = greedy_sol[2]
+                    rec.cycle_weights[amplicon_idx] = greedy_sol[3]
+                    rec.path_constraints_satisfied[amplicon_idx] = greedy_sol[4]
 
         weights = rec.cycle_weights.get(amplicon_idx, [[], []])
         model_info["solution"] = {
