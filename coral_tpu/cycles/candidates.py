@@ -131,7 +131,7 @@ def enumerate_candidates(
                 # (doubled cycles / figure-eights)
                 emit(used, True)
             seqi = _seq_at(g, v)
-            if used.get(("e", seqi), 0) < max_multiplicity and steps < max_bp_steps:
+            if used.get(("e", seqi), 0) < max_multiplicity and steps < depth_cap[0]:
                 w = _seq_other_end(g, seqi, v)
                 if w not in g.endnodes:
                     used[("e", seqi)] = used.get(("e", seqi), 0) + 1
@@ -143,12 +143,13 @@ def enumerate_candidates(
             if used[bp] == 0:
                 del used[bp]
 
-    for seqi, e in enumerate(g.sequence_edges):
-        left = (e.chrom, e.start, "-")
-        right = (e.chrom, e.end, "+")
-        if left in g.endnodes or right in g.endnodes:
-            continue
-        dfs_cycle(left, right, {("e", seqi): 1}, 0)
+    def run_cycle_phase():
+        for seqi, e in enumerate(g.sequence_edges):
+            left = (e.chrom, e.start, "-")
+            right = (e.chrom, e.end, "+")
+            if left in g.endnodes or right in g.endnodes:
+                continue
+            dfs_cycle(left, right, {("e", seqi): 1}, 0)
 
     # ---- paths: terminal-to-terminal walks -------------------------------
     # terminals: (kind, idx, node); kind 'n' = endnode, 'src' = source edge
@@ -185,7 +186,7 @@ def enumerate_candidates(
             if v in g.endnodes:
                 continue
             seqi = _seq_at(g, v)
-            if used.get(("e", seqi), 0) >= max_multiplicity or steps >= max_bp_steps:
+            if used.get(("e", seqi), 0) >= max_multiplicity or steps >= depth_cap[0]:
                 continue
             w = _seq_other_end(g, seqi, v)
             used[bp] = used.get(bp, 0) + 1
@@ -198,11 +199,35 @@ def enumerate_candidates(
             if used[("e", seqi)] == 0:
                 del used[("e", seqi)]
 
-    for (kind, idx, node) in terminals:
-        skey = ("ns", idx) if kind == "n" else ("s", idx)
-        seqi = _seq_at(g, node)
-        other = _seq_other_end(g, seqi, node)
-        dfs_path(skey, other, {skey: 1, ("e", seqi): 1}, 0)
+    def run_path_phase():
+        for (kind, idx, node) in terminals:
+            skey = ("ns", idx) if kind == "n" else ("s", idx)
+            seqi = _seq_at(g, node)
+            other = _seq_other_end(g, seqi, node)
+            dfs_path(skey, other, {skey: 1, ("e", seqi): 1}, 0)
+
+    # Iterative deepening on breakpoint-edge count: exhaust all short walks
+    # (simple cycles and direct paths) before spending the state budget on
+    # deep ones, so a truncated pool still provably contains every walk up
+    # to the last completed depth.  The seen-set dedups across phases; each
+    # phase re-explores shallow prefixes, a bounded constant-factor cost.
+    depth_cap = [0]
+    completed_depth = 0
+    depth = min(4, max_bp_steps)
+    while True:
+        depth_cap[0] = depth
+        start_budget = budget[0]
+        run_cycle_phase()
+        run_path_phase()
+        if not truncated[0]:
+            completed_depth = depth
+        if depth >= max_bp_steps or truncated[0] or budget[0] <= 0:
+            break
+        if budget[0] == start_budget:
+            # no states left to explore at greater depth
+            completed_depth = max_bp_steps
+            break
+        depth = min(depth * 2, max_bp_steps)
 
     if truncated[0]:
         logger.warning(
