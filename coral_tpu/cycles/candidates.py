@@ -76,8 +76,13 @@ def enumerate_candidates(
     conc_cap: Optional[int] = None,
     max_bp_steps: Optional[int] = None,
     max_states: int = 200_000,
+    engine: str = "auto",
 ) -> List[Candidate]:
-    """Enumerate candidate cycles and paths as edge multisets."""
+    """Enumerate candidate cycles and paths as edge multisets.
+
+    ``engine``: 'native' (C++ walkenum, ~100x state throughput), 'python',
+    or 'auto' (native when built).  Both produce identical pools.
+    """
     if disc_multiplicities is None:
         disc_multiplicities = g.infer_discordant_edge_multiplicities()
     caps: Dict[tuple, int] = {}
@@ -92,6 +97,24 @@ def enumerate_candidates(
         max_bp_steps = min(
             sum(caps.values()), 4 * (len(g.concordant_edges)
                                      + len(g.discordant_edges)) + 2, 40)
+
+    if engine == "auto":
+        from ..native import walkenum
+        engine = "native" if walkenum.available() else "python"
+    if engine == "native":
+        from ..native import walkenum
+        rows, truncated = walkenum.enumerate_native(
+            g, caps, max_multiplicity, max_bp_steps, max_states)
+        if truncated:
+            logger.warning(
+                "native candidate enumeration truncated at %d states; "
+                "%d candidates found (results may be suboptimal)",
+                max_states, len(rows))
+        logger.info("enumerated %d candidate cycles/paths (native)", len(rows))
+        return [
+            Candidate(tuple(sorted(edges.items(), key=repr)), is_cycle, w)
+            for (edges, is_cycle, w) in rows
+        ]
 
     endnode_list = list(g.endnodes.keys())
     endnode_idx = {n: i for i, n in enumerate(endnode_list)}

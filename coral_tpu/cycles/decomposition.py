@@ -392,10 +392,16 @@ def cycle_decomposition(rec, cfg: CycleConfig, model_prefix: str = "") -> None:
         if nedges < k:
             k = nedges
 
+        from ..native import walkenum as _walkenum
+        state_budget = cfg.max_walk_candidates
+        if _walkenum.available():
+            # the native enumerator explores ~100x the states per second;
+            # spend that on a deeper exact search
+            state_budget *= 20
         candidates = enumerate_candidates(
             g,
             max_multiplicity=cfg.max_edge_multiplicity,
-            max_states=cfg.max_walk_candidates,
+            max_states=state_budget,
         )
 
         def coverage_met() -> bool:

@@ -182,3 +182,25 @@ def test_many_discordant_edges_bounded():
     assert len(cycles[0]) + len(cycles[1]) >= 1
     # coverage terminates per the reference rules
     assert tw > 0
+
+
+def test_native_enumeration_matches_python():
+    import os
+    so = os.path.join(os.path.dirname(__file__), "..", "coral_tpu",
+                      "native", "libwalkenum.so")
+    if not os.path.exists(so):
+        import pytest
+        pytest.skip("native walkenum not built")
+    from tests.test_cycle_decomposition import gbm39_graph
+    from tests.test_source_edges import hsr_like_graph
+
+    for maker in (gbm39_graph, hsr_like_graph, double_segment_graph):
+        g = maker()
+        py = enumerate_candidates(g, engine="python")
+        nat = enumerate_candidates(g, engine="native")
+        py_set = {(frozenset(c.edge_dict().items()), c.is_cycle,
+                   round(c.seq_weight, 3)) for c in py}
+        nat_set = {(frozenset(c.edge_dict().items()), c.is_cycle,
+                    round(c.seq_weight, 3)) for c in nat}
+        assert py_set == nat_set, maker.__name__
+        assert len(py) == len(nat)
