@@ -130,12 +130,14 @@ def main() -> None:
     dev_args = [jax.device_put(a) for a in args]
     out = step(*dev_args)  # compile
     jax.block_until_ready(out)
+    # time batches of dispatches so per-call host/tunnel latency amortizes
+    reps = 4
     times = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
-        out = step(*dev_args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
+        outs = [step(*dev_args) for _ in range(reps)]
+        jax.block_until_ready(outs)
+        times.append((time.perf_counter() - t0) / reps)
     t_dev = float(np.median(times))
 
     # numpy single-thread baseline on a smaller sample, scaled
