@@ -317,7 +317,29 @@ class BreakpointGraph:
             self.nodes[e.node1()][CONC] = [i]
             self.nodes[e.node2()][CONC] = [i]
 
-    # -- multiplicity inference (reference :17-80, :630-693) --------------
+    # -- multiplicity inference (reference :17-80, :609-693) --------------
+
+    def infer_max_seq_multiplicity(
+        self, gain: float = 5.0, size_cutoff: int = 10_000,
+        multiplicity: int = 2,
+    ) -> int:
+        """Estimate the maximum allowed sequence-edge multiplicity in
+        cycles/paths (``breakpoint_graph.py:609-627``; unused in the
+        reference's live path but part of its public surface).
+
+        Over sequence edges with size >= ``size_cutoff`` and CN >=
+        ``gain``, returns round(max_cn / length-weighted-mean_cn) + 1;
+        falls back to ``multiplicity`` (both orientations) when no edge
+        qualifies.
+        """
+        cns = np.asarray([e.cn for e in self.sequence_edges
+                          if e.size >= size_cutoff and e.cn >= gain])
+        lens = np.asarray([e.size for e in self.sequence_edges
+                           if e.size >= size_cutoff and e.cn >= gain])
+        if cns.size == 0:
+            return multiplicity
+        avg_cn = float(np.average(cns, weights=lens))
+        return int(round(float(cns.max()) / avg_cn)) + 1
 
     def infer_discordant_edge_multiplicities(self, max_multiplicity: int = 5) -> List[int]:
         """Estimate per-discordant-edge multiplicity from read-count log2

@@ -249,10 +249,70 @@ class _PosBuffer:
                      (np.abs(a2 - p2) < cutoff)).any())
 
 
+def _cluster_group_host(members: List[list],
+                        distance_cutoff: int) -> List[List[list]]:
+    sub: List[List[list]] = []
+    sub_pos: List[_PosBuffer] = []
+    for bp in members:
+        target = -1
+        p1, p2 = int(bp[1]), int(bp[4])
+        for ci in range(len(sub)):
+            if sub_pos[ci].hits(p1, p2, distance_cutoff):
+                target = ci
+                break
+        if target >= 0:
+            sub[target].append(bp)
+            sub_pos[target].add(p1, p2)
+        else:
+            sub.append([bp])
+            sub_pos.append(_PosBuffer(p1, p2))
+    return sub
+
+
+# device-path group-size cap: the (n, n) int32 match matrix must stay
+# modest (4096**2 * 4 = 64 MB); larger groups take the host path
+_DEVICE_GROUP_CAP = 4096
+
+
+def _cluster_group_device(members: List[list], distance_cutoff: int,
+                          interpret: bool = False) -> List[List[list]]:
+    """Exact first-fit clustering with the pairwise-match test offloaded
+    to the Pallas match-matrix kernel.
+
+    Equivalence to the sequential scan: breakpoint ``i`` joins the
+    first-created cluster with any matching member, which equals
+    ``min(cluster_of[j])`` over earlier matches ``j`` — every cluster's
+    members are exactly the breakpoints assigned to it, and it matches
+    ``i`` iff one of them does.
+    """
+    from .pallas_kernels import match_matrix_pallas
+
+    p1 = np.asarray([int(bp[1]) for bp in members], np.int64)
+    p2 = np.asarray([int(bp[4]) for bp in members], np.int64)
+    if (np.abs(p1) >= 2**31 - 1).any() or (np.abs(p2) >= 2**31 - 1).any():
+        return _cluster_group_host(members, distance_cutoff)
+    mat = match_matrix_pallas(p1.astype(np.int32), p2.astype(np.int32),
+                              distance_cutoff, interpret=interpret)
+    cluster_of = np.empty(len(members), np.int32)
+    sub: List[List[list]] = []
+    for i, bp in enumerate(members):
+        cand = np.nonzero(mat[i, :i])[0]
+        if cand.size:
+            t = int(cluster_of[cand].min())
+            cluster_of[i] = t
+            sub[t].append(bp)
+        else:
+            cluster_of[i] = len(sub)
+            sub.append([bp])
+    return sub
+
+
 def cluster_breakpoints(
     bp_list: List[list],
     min_cluster_size: float,
     distance_cutoff: int,
+    engine: str = "host",
+    interpret: bool = False,
 ) -> List[List[list]]:
     """Greedy first-fit clustering keyed by (chr1, chr2, o1, o2).
 
@@ -260,6 +320,10 @@ def cluster_breakpoints(
     the FIRST existing cluster (in creation order) containing any member
     within ``distance_cutoff`` on both coordinates; groups smaller than
     ``min_cluster_size`` pass through as single clusters.
+
+    ``engine='pallas'`` offloads the pairwise membership tests to the TPU
+    match-matrix kernel (identical output; groups above the VMEM-friendly
+    size cap fall back to the host scan).
     """
     groups: dict = {}
     for bp in bp_list:
@@ -269,22 +333,11 @@ def cluster_breakpoints(
         if len(members) < min_cluster_size:
             clusters.append(members)
             continue
-        sub: List[List[list]] = []
-        sub_pos: List[_PosBuffer] = []
-        for bp in members:
-            target = -1
-            p1, p2 = int(bp[1]), int(bp[4])
-            for ci in range(len(sub)):
-                if sub_pos[ci].hits(p1, p2, distance_cutoff):
-                    target = ci
-                    break
-            if target >= 0:
-                sub[target].append(bp)
-                sub_pos[target].add(p1, p2)
-            else:
-                sub.append([bp])
-                sub_pos.append(_PosBuffer(p1, p2))
-        clusters.extend(sub)
+        if engine == "pallas" and len(members) <= _DEVICE_GROUP_CAP:
+            clusters.extend(
+                _cluster_group_device(members, distance_cutoff, interpret))
+        else:
+            clusters.extend(_cluster_group_host(members, distance_cutoff))
     return clusters
 
 

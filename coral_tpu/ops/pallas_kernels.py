@@ -165,3 +165,43 @@ def bin_coverage_pallas(starts, ends, origin: int, bin_size: int,
     )(jnp.asarray(s2), jnp.asarray(e2), jnp.asarray(edge_lo),
       jnp.asarray(edge_hi))
     return np.asarray(out).reshape(-1)
+
+
+def _match_kernel(r1, r2, c1, c2, out_ref, *, cutoff: int):
+    """One (8, 128) tile of the pairwise breakpoint-match matrix:
+    M[i, j] = |p1_i - p1_j| < cutoff and |p2_i - p2_j| < cutoff."""
+    d1 = jnp.abs(r1[:] - c1[:])
+    d2 = jnp.abs(r2[:] - c2[:])
+    out_ref[:] = ((d1 < cutoff) & (d2 < cutoff)).astype(jnp.int32)
+
+
+def match_matrix_pallas(p1, p2, cutoff: int,
+                        interpret: bool = False) -> np.ndarray:
+    """Pairwise match matrix for one clustering group (the inner test of
+    the reference's greedy cluster scan, ``breakpoint_utilities.py:252-286``)
+    as a tiled Pallas kernel.  Returns an (n, n) int32 0/1 matrix."""
+    n = len(p1)
+    N = max(-(-n // LANES) * LANES, LANES)
+    r1 = np.zeros((N, 1), np.int32)
+    r2 = np.zeros((N, 1), np.int32)
+    r1[:n, 0] = p1
+    r2[:n, 0] = p2
+    c1 = r1.reshape(1, N).copy()
+    c2 = r2.reshape(1, N).copy()
+
+    kernel = functools.partial(_match_kernel, cutoff=int(cutoff))
+    row_spec = pl.BlockSpec((SUBLANES, 1), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((1, LANES), lambda i, j: (0, j),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((SUBLANES, LANES), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(N // SUBLANES, N // LANES),
+        in_specs=[row_spec, row_spec, col_spec, col_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((N, N), jnp.int32),
+        interpret=interpret,
+    )(jnp.asarray(r1), jnp.asarray(r2), jnp.asarray(c1), jnp.asarray(c2))
+    return np.asarray(out)[:n, :n]

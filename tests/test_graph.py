@@ -146,3 +146,28 @@ def test_hybrid_graph_writer(tmp_path):
     rows = open(p2).read().splitlines()
     assert rows[1].split("\t")[5] == "16"    # round(16.5) banker's -> 16
 
+
+
+def _graph_with_seq_edges(segs):
+    g = BreakpointGraph()
+    for (s, e, cn) in segs:
+        g.add_node(("chr1", s, "-"))
+        g.add_node(("chr1", e, "+"))
+        g.add_sequence_edge("chr1", s, e, cn=cn)
+    return g
+
+
+def test_infer_max_seq_multiplicity():
+    # no qualifying edges (too small / CN below gain) -> default of 2
+    g = _graph_with_seq_edges([(0, 4999, 30.0),       # size < 10k
+                               (5000, 24999, 1.0)])   # cn < gain
+    assert g.infer_max_seq_multiplicity() == 2
+    assert g.infer_max_seq_multiplicity(multiplicity=3) == 3
+    # qualifying edges: round(max_cn / weighted_avg_cn) + 1
+    g2 = _graph_with_seq_edges([(0, 99_999, 10.0),
+                                (100_000, 199_999, 30.0)])
+    expected = int(round(30.0 / 20.0)) + 1
+    assert g2.infer_max_seq_multiplicity() == expected
+    # single dominant edge: max == avg -> 2
+    g3 = _graph_with_seq_edges([(0, 99_999, 25.0)])
+    assert g3.infer_max_seq_multiplicity() == 2

@@ -67,3 +67,41 @@ def test_bin_kernel_matches_exact():
         expect[b] = np.sum(np.clip(np.minimum(ends, hi) - np.maximum(starts, lo),
                                    0, None))
     np.testing.assert_array_equal(hist.astype(np.int64), expect)
+
+
+def test_match_matrix_and_device_clustering():
+    """Pallas match-matrix kernel + device-assisted first-fit equals the
+    host greedy scan exactly, across fuzzed groups."""
+    import numpy as np
+    from coral_tpu.ops.breakpoints import cluster_breakpoints
+    from coral_tpu.ops.pallas_kernels import match_matrix_pallas
+
+    rng = np.random.default_rng(7)
+    # kernel-level check
+    p1 = rng.integers(0, 10_000, 300).astype(np.int32)
+    p2 = rng.integers(0, 10_000, 300).astype(np.int32)
+    mat = match_matrix_pallas(p1, p2, 2000, interpret=True)
+    ref = ((np.abs(p1[:, None] - p1[None, :]) < 2000)
+           & (np.abs(p2[:, None] - p2[None, :]) < 2000)).astype(np.int32)
+    assert (mat == ref).all()
+
+    # end-to-end clustering equivalence on fuzzed breakpoint lists
+    for seed in range(5):
+        r = np.random.default_rng(seed)
+        n = int(r.integers(5, 400))
+        bps = []
+        for _ in range(n):
+            c1 = f"chr{int(r.integers(1, 4))}"
+            c2 = f"chr{int(r.integers(1, 4))}"
+            o1 = "+" if r.random() < 0.5 else "-"
+            o2 = "+" if r.random() < 0.5 else "-"
+            base1 = int(r.integers(0, 8)) * 5000
+            base2 = int(r.integers(0, 8)) * 5000
+            bps.append([c1, base1 + int(r.integers(0, 3000)), o1,
+                        c2, base2 + int(r.integers(0, 3000)), o2,
+                        ("rd", 0, 1), 0, 0, 60, 60])
+        host = cluster_breakpoints(bps, 3, 2000)
+        dev = cluster_breakpoints(bps, 3, 2000, engine="pallas",
+                                  interpret=True)
+        assert [[id(m) for m in c] for c in host] \
+            == [[id(m) for m in c] for c in dev]
