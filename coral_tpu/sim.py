@@ -194,3 +194,85 @@ def simulate_translocated_ecdna(
     with open(seed_path, "w") as fp:
         fp.write(f"{CHR}\t{amp_a[0]}\t{amp_a[1] - 1}\n")
     return bam_path, cns_path, seed_path
+
+
+def simulate_bfb(
+    out_dir: str,
+    amp_start: int = 55_000_000,
+    amp_end: int = 55_400_000,        # exclusive
+    bg_cov: int = 20,
+    amp_extra_cov: int = 200,
+    n_fold_reads: int = 60,
+    bg_read_len: int = 50_000,
+    amp_read_len: int = 10_000,
+    junction_flank: int = 10_000,
+    jitter: int = 2,
+    seed: int = 0,
+    domain_end: int = 60_400_000,
+) -> Tuple[str, str, str]:
+    """Write (bam, cns, seed_bed) for a BFB-like foldback amplicon.
+
+    Two foldback-inversion breakpoints close the doubled segment into a
+    cycle: ``S+ --fold(right, ++)--> S- --fold(left, --)--> S+``.  A
+    foldback read covers the same reference window twice, once per strand
+    (split-read halves share one fold position), producing the '++'/'--'
+    self-loop discordant edges the reference derives from same-position
+    opposite-strand SA pairs (``breakpoint_utilities.py:289-295``).
+    """
+    rng = random.Random(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    recs: List[BamRecord] = []
+
+    step = bg_read_len // bg_cov
+    for i, start in enumerate(range(0, domain_end - bg_read_len, step)):
+        recs.append(BamRecord(f"bg{i:07d}", 0, CHR, start, 60,
+                              f"{bg_read_len}M", seq="*", tags={"NM": 100}))
+    astep = max(amp_read_len // amp_extra_cov, 1)
+    for i, start in enumerate(range(amp_start, amp_end - amp_read_len, astep)):
+        recs.append(BamRecord(f"amp{i:07d}", 0, CHR, start, 60,
+                              f"{amp_read_len}M", seq="*", tags={"NM": 20}))
+
+    f = junction_flank
+    rl = 2 * f
+    # right foldback: read half 1 on '+' ending at the fold, half 2 on '-'
+    # covering the same window (query [f, 2f) maps reversed onto it)
+    for i in range(n_fold_reads):
+        a = amp_end - f + rng.randint(-jitter, jitter)
+        sa_plus = f"{CHR},{a + 1},+,{f}M{f}S,60,50;"
+        sa_minus = f"{CHR},{a + 1},-,{f}M{f}S,60,50;"
+        recs.append(BamRecord(f"fr{i:04d}", 0, CHR, a, 60, f"{f}M{f}S",
+                              seq="A" * rl, tags={"NM": 50, "SA": sa_minus}))
+        recs.append(BamRecord(f"fr{i:04d}", 0x810, CHR, a, 60, f"{f}M{f}S",
+                              seq="*", tags={"NM": 50, "SA": sa_plus}))
+    # left foldback: half 1 on '-' exiting at the fold (ref start), half 2
+    # on '+' re-entering at the same position
+    for i in range(n_fold_reads):
+        p = amp_start + rng.randint(-jitter, jitter)
+        sa_minus = f"{CHR},{p + 1},-,{f}S{f}M,60,50;"
+        sa_plus = f"{CHR},{p + 1},+,{f}S{f}M,60,50;"
+        recs.append(BamRecord(f"fl{i:04d}", 0x10, CHR, p, 60, f"{f}S{f}M",
+                              seq="A" * rl, tags={"NM": 50, "SA": sa_plus}))
+        recs.append(BamRecord(f"fl{i:04d}", 0x800, CHR, p, 60, f"{f}S{f}M",
+                              seq="*", tags={"NM": 50, "SA": sa_minus}))
+
+    recs.sort(key=lambda r: r.pos)
+    bam_path = os.path.join(out_dir, "sim_bfb.bam")
+    write_bam(bam_path, [(CHR, CHR_LEN)], recs)
+
+    cns_path = os.path.join(out_dir, "sim_bfb.cns")
+    amp_cn = 2.0 * (bg_cov + amp_extra_cov) / bg_cov
+    with open(cns_path, "w") as fp:
+        fp.write("chromosome\tstart\tend\tgene\tlog2\tdepth\n")
+        pos = 0
+        while pos < amp_start:
+            end = min(pos + 5_000_000, amp_start)
+            fp.write(f"{CHR}\t{pos}\t{end}\t-\t0.0\t{bg_cov}\n")
+            pos = end
+        fp.write(f"{CHR}\t{amp_start}\t{amp_end}\t-\t"
+                 f"{math.log2(amp_cn / 2.0)}\t{bg_cov + amp_extra_cov}\n")
+        fp.write(f"{CHR}\t{amp_end}\t{domain_end}\t-\t0.0\t{bg_cov}\n")
+
+    seed_path = os.path.join(out_dir, "sim_bfb_seeds.bed")
+    with open(seed_path, "w") as fp:
+        fp.write(f"{CHR}\t{amp_start}\t{amp_end - 1}\n")
+    return bam_path, cns_path, seed_path

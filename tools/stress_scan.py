@@ -16,10 +16,10 @@ from coral_tpu.io.bgzf import BGZF_EOF, iter_blocks, write_bgzf
 from coral_tpu.sim import simulate_ecdna
 
 
-def build_big(out_dir, n_chroms=20):
+def build_big(out_dir, n_chroms=20, read_len=5000):
     bam, cns, seeds = simulate_ecdna(
         out_dir, jitter=2, n_junction_reads=2000,
-        bg_read_len=5000, amp_read_len=5000)
+        bg_read_len=read_len, amp_read_len=read_len)
     raw = open(bam, "rb").read()
     payload = b"".join(b for _, b in iter_blocks(raw))
     # parse header span + record offsets
@@ -62,21 +62,25 @@ def build_big(out_dir, n_chroms=20):
 
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stress"
+    n_chroms = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    read_len = int(sys.argv[3]) if len(sys.argv) > 3 else 5000
     t0 = time.time()
-    path, n_expected = build_big(out)
+    path, n_expected = build_big(out, n_chroms=n_chroms, read_len=read_len)
+    size_mb = os.path.getsize(path) / 1e6
     print(f"built {n_expected} records in {time.time()-t0:.1f}s, "
-          f"{os.path.getsize(path)/1e6:.0f} MB")
+          f"{size_mb:.0f} MB")
     from coral_tpu.io.bam import BamFile
     t0 = time.time()
     bam = BamFile(path, backend="native")
     dt = time.time() - t0
     assert bam.n_records == n_expected, (bam.n_records, n_expected)
-    print(f"native scan: {dt:.2f}s = {bam.n_records/dt/1e6:.2f} Mrec/s")
+    print(f"native scan: {dt:.2f}s = {bam.n_records/dt/1e6:.2f} Mrec/s "
+          f"= {size_mb/dt:.0f} MB/s compressed")
     t0 = time.time()
     total = 0
-    for c in range(0, 20, 3):
+    for c in range(0, n_chroms, max(1, n_chroms // 7)):
         total += bam.coverage_sum(f"chrS{c}", 55_000_000, 55_400_000)
-    print(f"7 coverage queries: {time.time()-t0:.2f}s (sum {total})")
+    print(f"coverage queries: {time.time()-t0:.2f}s (sum {total})")
     t0 = time.time()
     from coral_tpu.ops.chimera import collect_chimeras
     rl, chims, nm = collect_chimeras(bam)
