@@ -28,6 +28,36 @@ namespace {
 constexpr uint32_t kRefConsuming = (1u << 0) | (1u << 2) | (1u << 3) | (1u << 7) | (1u << 8);
 constexpr uint32_t kAligned = (1u << 0) | (1u << 7) | (1u << 8);
 
+// Allocator whose default-construct is a no-op: vector::resize() leaves the
+// new region uninitialized instead of memsetting it.  The scan writes every
+// element exactly once, so zero-filling would only double the page-fault
+// and memory-write volume (first-touch faults are the dominant scan cost on
+// virtualized hosts).
+template <typename T>
+struct DIAlloc : std::allocator<T> {
+  template <typename U> struct rebind { using other = DIAlloc<U>; };
+  template <typename U>
+  void construct(U* p) noexcept { ::new (static_cast<void*>(p)) U; }
+  template <typename U, typename... Args>
+  void construct(U* p, Args&&... args) {
+    ::new (static_cast<void*>(p)) U(std::forward<Args>(args)...);
+  }
+};
+
+template <typename T>
+using dvec = std::vector<T, DIAlloc<T>>;
+
+// Grow-without-zero-fill: geometric reserve then uninitialized resize.
+template <typename T>
+inline void ensure_size(dvec<T>& v, size_t n) {
+  if (v.size() >= n) return;
+  if (v.capacity() < n) {
+    size_t cap = v.capacity() * 2;
+    v.reserve(cap > n ? cap : n);
+  }
+  v.resize(n);
+}
+
 struct BlockInfo {
   int64_t coffset;   // compressed offset of block start
   int32_t csize;     // compressed block size (whole gzip member)
@@ -69,20 +99,21 @@ struct BamCore {
   std::vector<std::string> ref_names;
   std::vector<int64_t> ref_lens;
 
-  // record table (structure of arrays)
-  std::vector<uint16_t> flag;
-  std::vector<int32_t> ref_id;
-  std::vector<int64_t> pos;
-  std::vector<int64_t> end;
-  std::vector<uint8_t> mapq;
-  std::vector<int32_t> qlen;
-  std::vector<int64_t> nm;
-  std::vector<uint64_t> voffset;   // coffset<<16 | offset-in-block-payload
-  std::vector<uint8_t> name_blob;
-  std::vector<int64_t> name_off;   // n+1
-  std::vector<uint8_t> sa_blob;
-  std::vector<int64_t> sa_off;
-  std::vector<int64_t> sa_len;
+  // record table (structure of arrays); dvec: filled by direct writes
+  // during the scan, never zero-initialized
+  dvec<uint16_t> flag;
+  dvec<int32_t> ref_id;
+  dvec<int64_t> pos;
+  dvec<int64_t> end;
+  dvec<uint8_t> mapq;
+  dvec<int32_t> qlen;
+  dvec<int64_t> nm;
+  dvec<uint64_t> voffset;   // coffset<<16 | offset-in-block-payload
+  dvec<uint8_t> name_blob;
+  dvec<int64_t> name_off;   // n+1
+  dvec<uint8_t> sa_blob;
+  dvec<int64_t> sa_off;
+  dvec<int64_t> sa_len;
 
   // del-gap query scratch
   std::vector<GapRow> gaps;
@@ -283,24 +314,15 @@ struct Scanner {
   }
 };
 
-// Per-thread staging for parallel record parsing.
-struct RecStage {
-  std::vector<uint16_t> flag;
-  std::vector<int32_t> ref_id;
-  std::vector<int64_t> pos, end, nm;
-  std::vector<uint8_t> mapq;
-  std::vector<int32_t> qlen;
-  std::vector<uint64_t> voffset;
-  std::vector<uint8_t> name_blob;
-  std::vector<int32_t> name_len;
-  std::vector<uint8_t> sa_blob;
-  std::vector<int64_t> sa_off_local;   // offset into local sa_blob (or 0)
-  std::vector<int64_t> sa_len;
-  std::string error;
-};
-
-// Extract one record's fields into a staging buffer.
-bool stage_record(const uint8_t* base, int64_t off, RecStage* st) {
+// Parse one record's fields and write them directly into the final
+// structure-of-arrays at global index gidx (disjoint per thread — no
+// staging, each output byte written exactly once).  The name/SA blob
+// BYTES are copied later (phase 3), once per-window prefix sums fix the
+// destination offsets; here only lengths and source offsets are stored:
+// name length goes to name_off[gidx + 1], the SA source offset (relative
+// to the window buffer) to sa_src[i].
+bool parse_record_direct(const uint8_t* base, int64_t off, BamCore* bc,
+                         int64_t gidx, int64_t* sa_src, std::string* err) {
   int32_t block_size;
   memcpy(&block_size, base + off, 4);
   const uint8_t* r = base + off + 4;
@@ -327,26 +349,19 @@ bool stage_record(const uint8_t* base, int64_t off, RecStage* st) {
   const uint8_t* sa = nullptr;
   int sa_n = 0;
   if (!parse_aux(aux_p, aux_end, &nmv, &sa, &sa_n)) {
-    st->error = "malformed aux data";
+    *err = "malformed aux data";
     return false;
   }
-  st->flag.push_back(flag);
-  st->ref_id.push_back(ref_id);
-  st->pos.push_back(pos);
-  st->end.push_back(pos + ref_len);
-  st->mapq.push_back(mapq);
-  st->qlen.push_back(l_seq);
-  st->nm.push_back(nmv);
-  st->name_blob.insert(st->name_blob.end(), name_p, name_p + l_read_name - 1);
-  st->name_len.push_back(l_read_name - 1);
-  if (sa) {
-    st->sa_off_local.push_back(static_cast<int64_t>(st->sa_blob.size()));
-    st->sa_len.push_back(sa_n);
-    st->sa_blob.insert(st->sa_blob.end(), sa, sa + sa_n);
-  } else {
-    st->sa_off_local.push_back(0);
-    st->sa_len.push_back(0);
-  }
+  bc->flag[gidx] = flag;
+  bc->ref_id[gidx] = ref_id;
+  bc->pos[gidx] = pos;
+  bc->end[gidx] = pos + ref_len;
+  bc->mapq[gidx] = mapq;
+  bc->qlen[gidx] = l_seq;
+  bc->nm[gidx] = nmv;
+  bc->name_off[gidx + 1] = l_read_name - 1;   // length; prefix-summed later
+  bc->sa_len[gidx] = sa_n;
+  *sa_src = sa ? sa - base : -1;
   return true;
 }
 
@@ -354,11 +369,19 @@ bool scan_file(BamCore* bc, int nthreads) {
   FILE* fp = bc->fp;
   fseek(fp, 0, SEEK_SET);
   Scanner sc(bc, nthreads);
+  const bool timing = getenv("BC_TIMING") != nullptr;
+  double t_win = 0, t_p1 = 0, t_p2 = 0, t_p3 = 0, t_drop = 0;
+  auto now = []() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + ts.tv_nsec * 1e-9;
+  };
 
   // Window loop: read W block headers + compressed bytes, inflate in
   // parallel, append to sc.buf, then parse as many whole records as the
   // buffer allows.
   const int W = 256;
+  std::vector<int64_t> sa_src;   // per-window SA source offsets (scratch)
   std::vector<BlockInfo> infos;
   std::vector<std::vector<uint8_t>> members;
   int64_t coffset = 0;
@@ -425,7 +448,9 @@ bool scan_file(BamCore* bc, int nthreads) {
 
   while (true) {
     size_t before = sc.buf.size();
+    double t0 = timing ? now() : 0;
     if (!append_window()) return false;
+    if (timing) t_win += now() - t0;
     if (sc.buf.size() == before) break;  // EOF
 
     // parse BAM header once
@@ -464,6 +489,7 @@ bool scan_file(BamCore* bc, int nthreads) {
     }
 
     // phase 1: cheap boundary discovery over the buffered region
+    if (timing) t0 = now();
     std::vector<int64_t> rec_offs;
     std::vector<uint64_t> rec_voffs;
     while (true) {
@@ -476,66 +502,98 @@ bool scan_file(BamCore* bc, int nthreads) {
       rec_voffs.push_back(sc.voffset_of(parse_gpos));
       parse_gpos += 4 + block_size;
     }
+    if (timing) { t_p1 += now() - t0; t0 = now(); }
 
-    // phase 2: parallel field extraction into per-thread staging buffers
+    // phase 2: parallel field extraction, written DIRECTLY into the
+    // final structure-of-arrays (disjoint global indices per thread; no
+    // staging, no zero-fill — every output byte is touched exactly once)
     if (!rec_offs.empty()) {
+      size_t n = rec_offs.size();
+      int64_t gbase_idx = static_cast<int64_t>(bc->flag.size());
+      int64_t new_n = gbase_idx + static_cast<int64_t>(n);
+      ensure_size(bc->flag, new_n);
+      ensure_size(bc->ref_id, new_n);
+      ensure_size(bc->pos, new_n);
+      ensure_size(bc->end, new_n);
+      ensure_size(bc->mapq, new_n);
+      ensure_size(bc->qlen, new_n);
+      ensure_size(bc->nm, new_n);
+      ensure_size(bc->voffset, new_n);
+      ensure_size(bc->name_off, new_n + 1);
+      ensure_size(bc->sa_len, new_n);
+      ensure_size(bc->sa_off, new_n);
+      sa_src.resize(n);
       int nt = sc.nthreads;
-      if (nt > static_cast<int>(rec_offs.size())) nt = 1;
-      std::vector<RecStage> stages(nt);
+      if (nt > static_cast<int>(n)) nt = 1;
       std::vector<std::thread> workers;
-      size_t chunk = (rec_offs.size() + nt - 1) / nt;
+      std::string errs[64];
+      size_t chunk = (n + nt - 1) / nt;
       const uint8_t* base = sc.buf.data();
       for (int t = 0; t < nt; t++) {
         workers.emplace_back([&, t]() {
           size_t lo = t * chunk;
-          size_t hi = std::min(lo + chunk, rec_offs.size());
+          size_t hi = std::min(lo + chunk, n);
           for (size_t i = lo; i < hi; i++) {
-            if (!stage_record(base, rec_offs[i], &stages[t])) return;
+            int64_t g = gbase_idx + static_cast<int64_t>(i);
+            bc->voffset[g] = rec_voffs[i];
+            if (!parse_record_direct(base, rec_offs[i], bc, g, &sa_src[i],
+                                     &errs[t])) {
+              return;
+            }
           }
         });
       }
       for (auto& w : workers) w.join();
-      for (auto& st : stages) {
-        if (!st.error.empty()) { bc->error = st.error; return false; }
-      }
-      // phase 3: ordered merge with blob-offset rebasing
-      size_t vlo = 0;
       for (int t = 0; t < nt; t++) {
-        RecStage& st = stages[t];
-        size_t n = st.flag.size();
-        bc->flag.insert(bc->flag.end(), st.flag.begin(), st.flag.end());
-        bc->ref_id.insert(bc->ref_id.end(), st.ref_id.begin(), st.ref_id.end());
-        bc->pos.insert(bc->pos.end(), st.pos.begin(), st.pos.end());
-        bc->end.insert(bc->end.end(), st.end.begin(), st.end.end());
-        bc->mapq.insert(bc->mapq.end(), st.mapq.begin(), st.mapq.end());
-        bc->qlen.insert(bc->qlen.end(), st.qlen.begin(), st.qlen.end());
-        bc->nm.insert(bc->nm.end(), st.nm.begin(), st.nm.end());
-        for (size_t i = 0; i < n; i++) {
-          bc->voffset.push_back(rec_voffs[vlo + i]);
-        }
-        int64_t name_base = static_cast<int64_t>(bc->name_blob.size());
-        bc->name_blob.insert(bc->name_blob.end(), st.name_blob.begin(),
-                             st.name_blob.end());
-        int64_t acc = name_base;
-        for (size_t i = 0; i < n; i++) {
-          acc += st.name_len[i];
-          bc->name_off.push_back(acc);
-        }
-        int64_t sa_base = static_cast<int64_t>(bc->sa_blob.size());
-        bc->sa_blob.insert(bc->sa_blob.end(), st.sa_blob.begin(),
-                           st.sa_blob.end());
-        for (size_t i = 0; i < n; i++) {
-          if (st.sa_len[i] > 0) {
-            bc->sa_off.push_back(sa_base + st.sa_off_local[i]);
-          } else {
-            bc->sa_off.push_back(0);
-          }
-          bc->sa_len.push_back(st.sa_len[i]);
-        }
-        vlo += n;
+        if (!errs[t].empty()) { bc->error = errs[t]; return false; }
       }
+      if (timing) { t_p2 += now() - t0; t0 = now(); }
+      // phase 3: prefix-sum the blob offsets for this window, grow the
+      // blobs, then copy name/SA bytes in parallel straight from the
+      // inflated window buffer
+      int64_t name_base = static_cast<int64_t>(bc->name_blob.size());
+      int64_t sa_base = static_cast<int64_t>(bc->sa_blob.size());
+      int64_t nacc = name_base, sacc = sa_base;
+      for (size_t i = 0; i < n; i++) {
+        int64_t g = gbase_idx + static_cast<int64_t>(i);
+        int64_t nlen = bc->name_off[g + 1];
+        int64_t slen = bc->sa_len[g];
+        bc->sa_off[g] = slen > 0 ? sacc : 0;
+        sacc += slen;
+        nacc += nlen;
+        bc->name_off[g + 1] = nacc;
+      }
+      ensure_size(bc->name_blob, static_cast<size_t>(nacc));
+      ensure_size(bc->sa_blob, static_cast<size_t>(sacc));
+      uint8_t* name_dst = bc->name_blob.data();
+      uint8_t* sa_dst = bc->sa_blob.data();
+      std::vector<std::thread> copiers;
+      for (int t = 0; t < nt; t++) {
+        copiers.emplace_back([&, t]() {
+          size_t lo = t * chunk;
+          size_t hi = std::min(lo + chunk, n);
+          for (size_t i = lo; i < hi; i++) {
+            int64_t g = gbase_idx + static_cast<int64_t>(i);
+            memcpy(name_dst + bc->name_off[g],
+                   base + rec_offs[i] + 36,
+                   bc->name_off[g + 1] - bc->name_off[g]);
+            if (bc->sa_len[g] > 0) {
+              memcpy(sa_dst + bc->sa_off[g], base + sa_src[i],
+                     bc->sa_len[g]);
+            }
+          }
+        });
+      }
+      for (auto& c : copiers) c.join();
+      if (timing) { t_p3 += now() - t0; t0 = now(); }
     }
     sc.drop_consumed(parse_gpos);
+    if (timing) t_drop += now() - t0;
+  }
+  if (timing) {
+    fprintf(stderr,
+            "bc_scan timing: window=%.2fs p1=%.2fs p2=%.2fs "
+            "merge=%.2fs drop=%.2fs\n", t_win, t_p1, t_p2, t_p3, t_drop);
   }
   return true;
 }

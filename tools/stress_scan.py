@@ -38,24 +38,32 @@ def build_big(out_dir, n_chroms=20, read_len=5000):
     body = bytearray(payload[body_start:])
     rel = [o - body_start for o in offs]
 
-    # new header with n_chroms copies of chr7's length
+    # new header: n_chroms copies of chr7's length, named sq00..sqNN (same
+    # byte length as "chr7" so embedded SA-tag rnames can be patched
+    # in place)
+    assert n_chroms <= 100
     chr_len = 159_345_973
     hdr_text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
-        f"@SQ\tSN:chrS{i}\tLN:{chr_len}\n" for i in range(n_chroms))
+        f"@SQ\tSN:sq{i:02d}\tLN:{chr_len}\n" for i in range(n_chroms))
     ht = hdr_text.encode()
     header = b"BAM\x01" + struct.pack("<i", len(ht)) + ht
     header += struct.pack("<i", n_chroms)
     for i in range(n_chroms):
-        nb = f"chrS{i}".encode() + b"\x00"
+        nb = f"sq{i:02d}".encode() + b"\x00"
         header += struct.pack("<i", len(nb)) + nb + struct.pack("<i", chr_len)
 
     big_path = os.path.join(out_dir, "stress.bam")
     with open(big_path, "wb") as fp:
         write_bgzf(fp, bytes(header), level=1)
         for c in range(n_chroms):
+            n0, n1 = 48 + c // 10, 48 + c % 10
             for r in rel:
                 struct.pack_into("<i", body, r + 4, c)  # patch ref_id
-            write_bgzf(fp, bytes(body), level=1)
+                body[r + 36] = n0                        # patch read-name
+                body[r + 37] = n1                        # prefix per copy
+            # patch SA-tag rnames (same length: "chr7," -> "sqNN,")
+            blob = bytes(body).replace(b"chr7,", f"sq{c:02d},".encode())
+            write_bgzf(fp, blob, level=1)
         fp.write(BGZF_EOF)
     return big_path, len(offs) * n_chroms
 
@@ -79,7 +87,7 @@ def main():
     t0 = time.time()
     total = 0
     for c in range(0, n_chroms, max(1, n_chroms // 7)):
-        total += bam.coverage_sum(f"chrS{c}", 55_000_000, 55_400_000)
+        total += bam.coverage_sum(f"sq{c:02d}", 55_000_000, 55_400_000)
     print(f"coverage queries: {time.time()-t0:.2f}s (sum {total})")
     t0 = time.time()
     from coral_tpu.ops.chimera import collect_chimeras
