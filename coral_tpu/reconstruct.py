@@ -1126,18 +1126,23 @@ class Reconstruction:
                 for rn in ec.reads:
                     if rn not in self.large_indels and rn not in self.chimeras:
                         concordant_reads[rn] = amplicon_idx
+            # membership-test read names as raw bytes against the (small)
+            # concordant-read set: decoding every record name is the single
+            # largest cost at whole-genome scale
+            conc_names_b = {rn.encode() for rn in concordant_reads}
+            name_blob = self.bam.name_blob
+            name_off = self.bam.name_off
             for aint in self.amplicon_intervals:
                 if amplicon_idx != self.ccid2id[aint[3]] - 1:
                     continue
                 lo, hi = self.bam.overlap_range(aint[0], aint[1], aint[2] + 1)
-                names = self.bam.names()
                 for i in range(lo, hi):
                     if self.bam.end[i] <= aint[1]:
                         continue
                     if self.bam.mapq[i] < 20:
                         continue
-                    rn = names[i]
-                    if rn not in concordant_reads:
+                    if bytes(name_blob[name_off[i]:name_off[i + 1]]) \
+                            not in conc_names_b:
                         continue
                     path = alignment_to_path(
                         g, [aint[0], int(self.bam.pos[i]), int(self.bam.end[i])],
