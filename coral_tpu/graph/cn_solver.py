@@ -228,18 +228,15 @@ def compute_cn_hybrid(
         g.max_cn += 1.0
 
 
-def _assign_solution(g, wlrseg, wcn, wlncn, max_iters) -> bool:
-    """Build the balance matrix, solve, write CNs back (shared tail of the
-    LR-only and hybrid paths).  Returns False when there are no balance
-    constraints (caller applies its raw-coverage fallback)."""
+def _balance_matrix(g, nvars: int):
+    """Per-node flow-balance matrix (None when no non-end nodes exist)."""
     lseq = len(g.sequence_edges)
     lc = len(g.concordant_edges)
     ld = len(g.discordant_edges)
-    nvars = len(wcn)
     balance_nodes = [nd for nd in g.nodes if nd not in g.endnodes]
     if not balance_nodes:
         assert lc == 0 and ld == 0 and len(g.source_edges) == 0
-        return False
+        return None
     A = np.zeros((len(balance_nodes), nvars))
     for ci, nd in enumerate(balance_nodes):
         adj = g.nodes[nd]
@@ -251,7 +248,14 @@ def _assign_solution(g, wlrseg, wcn, wlncn, max_iters) -> bool:
             A[ci][lseq + lc + edi] = -1
         for srci in adj[3]:
             A[ci][lseq + lc + ld + srci] = -1
-    x = solve_cn_balance(wlrseg, wcn, wlncn, A, max_iters)
+    return A
+
+
+def _write_cn(g, x) -> None:
+    """Write a solution x (CN/2 per edge) back onto the graph's edges."""
+    lseq = len(g.sequence_edges)
+    lc = len(g.concordant_edges)
+    ld = len(g.discordant_edges)
     for i, e in enumerate(g.sequence_edges):
         e.cn = float(x[i] * 2)
         g.max_cn = max(g.max_cn, e.cn)
@@ -266,18 +270,26 @@ def _assign_solution(g, wlrseg, wcn, wlncn, max_iters) -> bool:
         e.cn = float(x[lseq + lc + ld + i] * 2)
         g.max_cn = max(g.max_cn, e.cn)
     g.max_cn += 1.0
+
+
+def _assign_solution(g, wlrseg, wcn, wlncn, max_iters) -> bool:
+    """Build the balance matrix, solve, write CNs back (shared tail of the
+    LR-only and hybrid paths).  Returns False when there are no balance
+    constraints (caller applies its raw-coverage fallback)."""
+    A = _balance_matrix(g, len(wcn))
+    if A is None:
+        return False
+    x = solve_cn_balance(wlrseg, wcn, wlncn, A, max_iters)
+    _write_cn(g, x)
     return True
 
 
-def compute_cn(g, normal_cov: float, max_iters: int = 1000) -> None:
-    """Estimate CN for every edge of a BreakpointGraph in place
-    (reference ``compute_cn_lr``, ``breakpoint_graph.py:495-606``).
-    Self-loop discordant edges are NOT doubled (ref :583-592)."""
+def _lr_weights(g, normal_cov: float):
+    """Long-read NLL weights (reference ``breakpoint_graph.py:511-525``)."""
     lseq = len(g.sequence_edges)
     lc = len(g.concordant_edges)
     ld = len(g.discordant_edges)
     lsrc = len(g.source_edges)
-
     wcn = ([0.5 * normal_cov * e.size for e in g.sequence_edges]
            + [normal_cov] * lc + [normal_cov] * ld
            + [0.5 * normal_cov] * lsrc)
@@ -288,10 +300,96 @@ def compute_cn(g, normal_cov: float, max_iters: int = 1000) -> None:
     wlrseg = ([0.5 * e.lr_nc ** 2 / (normal_cov * e.size) for e in g.sequence_edges]
               + [0.0] * lc + [0.0] * ld
               + [0.5 * e.cn ** 2 / normal_cov for e in g.source_edges])
+    return wlrseg, wcn, wlncn
 
+
+def _raw_coverage_fallback(g, normal_cov: float) -> None:
+    # no balance constraints: raw-coverage CN per segment (ref :597-605)
+    for e in g.sequence_edges:
+        e.cn = e.lr_nc * 2.0 / (normal_cov * e.size)
+        g.max_cn = max(g.max_cn, e.cn)
+    g.max_cn += 1.0
+
+
+def compute_cn(g, normal_cov: float, max_iters: int = 1000) -> None:
+    """Estimate CN for every edge of a BreakpointGraph in place
+    (reference ``compute_cn_lr``, ``breakpoint_graph.py:495-606``).
+    Self-loop discordant edges are NOT doubled (ref :583-592)."""
+    wlrseg, wcn, wlncn = _lr_weights(g, normal_cov)
     if not _assign_solution(g, wlrseg, wcn, wlncn, max_iters):
-        # no balance constraints: raw-coverage CN per segment (ref :597-605)
-        for e in g.sequence_edges:
-            e.cn = e.lr_nc * 2.0 / (normal_cov * e.size)
-            g.max_cn = max(g.max_cn, e.cn)
-        g.max_cn += 1.0
+        _raw_coverage_fallback(g, normal_cov)
+
+
+def solve_cn_balance_batch(systems, max_iters: int = 1000, mesh=None,
+                           axis: str = "dp"):
+    """Solve many balance programs in ONE batched device dispatch.
+
+    ``systems``: list of (wlrseg, wcn, wlncn, A) tuples of ragged sizes.
+    Systems are padded to a uniform (n_max, m_max): padded variables get
+    (wlrseg, wcn, wlncn) = (0, 1, 1) — optimum x = 1, unit Hessian — and
+    zero constraint coupling, so real solutions are unchanged; padded
+    constraint rows are all-zero and absorbed by the KKT system's
+    -1e-10 I regularization block.  The jitted Newton KKT solve is vmapped
+    over the batch; with ``mesh``, the batch axis is sharded over
+    ``axis`` so amplicons solve on different chips (the TPU-native
+    replacement for looping cvxopt per amplicon).
+
+    Returns a list of x arrays trimmed to each system's size.
+    """
+    if not systems:
+        return []
+    n_max = max(len(s[1]) for s in systems)
+    m_max = max(s[3].shape[0] for s in systems)
+    B = len(systems)
+    wlrseg = np.zeros((B, n_max))
+    wcn = np.ones((B, n_max))
+    wlncn = np.ones((B, n_max))
+    A = np.zeros((B, m_max, n_max))
+    for b, (w2, w1, w0, Ab) in enumerate(systems):
+        n = len(w1)
+        m = Ab.shape[0]
+        wlrseg[b, :n] = w2
+        wcn[b, :n] = w1
+        wlncn[b, :n] = w0
+        A[b, :m, :n] = Ab
+    with jax.enable_x64(jax.default_backend() == "cpu"):
+        solve = jax.vmap(
+            lambda a, b_, c, d: _solve_kkt_newton(a, b_, c, d,
+                                                  max_iters=max_iters)[0])
+        args = [jnp.asarray(wlrseg), jnp.asarray(wcn), jnp.asarray(wlncn),
+                jnp.asarray(A)]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(mesh, P(axis))
+            solve = jax.jit(solve,
+                            in_shardings=(sh, sh, sh, sh),
+                            out_shardings=sh)
+            args = [jax.device_put(a, sh) for a in args]
+        xs = np.asarray(solve(*args))
+    return [xs[b, : len(s[1])] for b, s in enumerate(systems)]
+
+
+def compute_cn_batch(graphs, normal_cov: float, max_iters: int = 1000,
+                     mesh=None, axis: str = "dp") -> None:
+    """Batched ``compute_cn`` over many amplicon graphs: one padded vmap
+    (optionally mesh-sharded) Newton solve instead of a per-graph loop."""
+    systems = []
+    solvable = []
+    for g in graphs:
+        wlrseg, wcn, wlncn = _lr_weights(g, normal_cov)
+        A = _balance_matrix(g, len(wcn))
+        if A is None:
+            _raw_coverage_fallback(g, normal_cov)
+            continue
+        systems.append((np.asarray(wlrseg, np.float64),
+                        np.asarray(wcn, np.float64),
+                        np.asarray(wlncn, np.float64), A))
+        solvable.append(g)
+    if mesh is not None and len(systems) % mesh.shape[axis] != 0:
+        # pad the batch to a multiple of the mesh axis with copies of the
+        # first system (discarded after the solve)
+        pad = mesh.shape[axis] - len(systems) % mesh.shape[axis]
+        systems = systems + [systems[0]] * pad
+    xs = solve_cn_balance_batch(systems, max_iters, mesh=mesh, axis=axis)
+    for g, x in zip(solvable, xs):
+        _write_cn(g, x)

@@ -1153,9 +1153,17 @@ class Reconstruction:
 
     # -- full pipeline -----------------------------------------------------
 
-    def compute_cn(self) -> None:
-        for g in self.graphs:
-            compute_cn(g, self.normal_cov, self.cfg.cn.max_iters)
+    def compute_cn(self, engine: str = "loop", mesh=None) -> None:
+        """CN balance for every amplicon graph.  ``engine='batch'`` pads
+        the per-amplicon KKT systems to one shape and solves them in a
+        single vmapped (optionally mesh-sharded) device dispatch."""
+        if engine == "batch":
+            from .graph.cn_solver import compute_cn_batch
+            compute_cn_batch(self.graphs, self.normal_cov,
+                             self.cfg.cn.max_iters, mesh=mesh)
+        else:
+            for g in self.graphs:
+                compute_cn(g, self.normal_cov, self.cfg.cn.max_iters)
 
 
 def reconstruct_cycles(rec: Reconstruction, output_prefix: str,

@@ -153,3 +153,54 @@ def test_compute_cn_hybrid():
     # hybrid estimate should land near the LR-only structure (middle ~40x)
     assert cn[1] == pytest.approx(2 * 400 / 20, rel=0.3)
     assert cn[0] < cn[1] / 3
+
+
+def _random_system(rng, k):
+    n = 2 * k - 1
+    wcn = np.abs(rng.normal(50, 10, n)) + 5
+    wlncn = np.concatenate([
+        np.full(k, -0.5), np.abs(rng.normal(300, 50, k - 1))
+    ])
+    wlrseg = np.concatenate([
+        np.abs(rng.normal(5e4, 1e4, k)), np.zeros(k - 1)
+    ])
+    A = np.zeros((2 * (k - 1), n))
+    for j in range(k - 1):
+        A[2 * j][j] = 1
+        A[2 * j][k + j] = -1
+        A[2 * j + 1][j + 1] = 1
+        A[2 * j + 1][k + j] = -1
+    return wlrseg, wcn, wlncn, A
+
+
+def test_batched_solve_matches_sequential():
+    """Padded vmap batch solve == per-system solve, across ragged sizes."""
+    from coral_tpu.graph.cn_solver import solve_cn_balance_batch
+
+    rng = np.random.default_rng(3)
+    systems = [_random_system(rng, k) for k in (3, 5, 8, 4)]
+    xs = solve_cn_balance_batch(systems)
+    for (w2, w1, w0, A), x in zip(systems, xs):
+        x_ref = solve_cn_balance(w2, w1, w0, A, engine="numpy")
+        np.testing.assert_allclose(x, x_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_batched_solve_sharded_mesh():
+    """Batch axis sharded over an 8-device mesh produces the same CNs."""
+    from coral_tpu.graph.cn_solver import compute_cn_batch
+    from coral_tpu.parallel.mesh import make_mesh
+
+    graphs_a = [_toy_ecdna_graph(amp_cov=c) for c in
+                (200.0, 300.0, 400.0, 500.0, 250.0)]
+    graphs_b = [_toy_ecdna_graph(amp_cov=c) for c in
+                (200.0, 300.0, 400.0, 500.0, 250.0)]
+    for g in graphs_a:
+        compute_cn(g, 20.0)
+    mesh = make_mesh(8, axis="dp")
+    compute_cn_batch(graphs_b, 20.0, mesh=mesh, axis="dp")
+    for ga, gb in zip(graphs_a, graphs_b):
+        for ea, eb in zip(ga.sequence_edges, gb.sequence_edges):
+            assert eb.cn == pytest.approx(ea.cn, rel=1e-5, abs=1e-5)
+        for ea, eb in zip(ga.discordant_edges, gb.discordant_edges):
+            assert eb.cn == pytest.approx(ea.cn, rel=1e-5, abs=1e-5)
+        assert gb.max_cn == pytest.approx(ga.max_cn, rel=1e-5)
