@@ -28,12 +28,20 @@ def random_sample(tmp_path, seed):
     k = 0
     for arch in range(rng.randint(2, 6)):
         c1 = rng.choice(["chr7", "chr8"])
-        c2 = rng.choice(["chr7", "chr8"])
+        st1 = rng.choice("++-")            # occasional '-'-strand first part
+        if rng.random() < 0.25:
+            # foldback archetype: same chrom, (near-)same position,
+            # opposite strands (BFB-like '++'/'--' self-edges)
+            c2 = c1
+            st2 = "-" if st1 == "+" else "+"
+        else:
+            c2 = rng.choice(["chr7", "chr8"])
+            st2 = rng.choice("+-")
         base1 = 55_000_000 if c1 == "chr7" else 125_000_000
         base2 = 55_000_000 if c2 == "chr7" else 125_000_000
         p1 = base1 + rng.randrange(0, 390_000)
-        p2 = base2 + rng.randrange(0, 390_000)
-        st2 = rng.choice("+-")
+        p2 = p1 if (c2 == c1 and st2 != st1 and rng.random() < 0.5) \
+            else base2 + rng.randrange(0, 390_000)
         m = rng.randrange(2000, 8000)
         support = rng.randint(25, 45)
         for _ in range(support):
@@ -41,13 +49,17 @@ def random_sample(tmp_path, seed):
             j2 = p2 + rng.randint(-3, 3)
             mq1 = rng.choice([60, 60, 60, 30])
             mq2 = rng.choice([60, 60, 60, 30])
-            cig1 = f"{m}M{m}S"
+            # query [0, m) on side 1, [m, 2m) on side 2; '-'-strand CIGARs
+            # are in reference orientation
+            cig1 = f"{m}M{m}S" if st1 == "+" else f"{m}S{m}M"
             cig2 = f"{m}S{m}M" if st2 == "+" else f"{m}M{m}S"
-            sa1 = f"{c1},{j1 + 1},+,{cig1},{mq1},{rng.randrange(0, 200)};"
+            sa1 = f"{c1},{j1 + 1},{st1},{cig1},{mq1},{rng.randrange(0, 200)};"
             sa2 = f"{c2},{j2 + 1},{st2},{cig2},{mq2},{rng.randrange(0, 200)};"
-            recs.append(BamRecord(f"cx{k:05d}", 0, c1, j1, mq1, cig1,
+            f1 = 0x10 if st1 == "-" else 0
+            f2 = 0x800 | (0x10 if st2 == "-" else 0)
+            recs.append(BamRecord(f"cx{k:05d}", f1, c1, j1, mq1, cig1,
                                   seq="A" * (2 * m), tags={"SA": sa2, "NM": 9}))
-            recs.append(BamRecord(f"cx{k:05d}", 0x800, c2, j2, mq2, cig2,
+            recs.append(BamRecord(f"cx{k:05d}", f2, c2, j2, mq2, cig2,
                                   seq="*", tags={"SA": sa1, "NM": 9}))
             k += 1
     # random large-deletion reads
@@ -79,7 +91,7 @@ def random_sample(tmp_path, seed):
     return bam_p, cns_p, seeds_p
 
 
-@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 6, 7, 8])
 def test_fuzz_pipeline_no_crash(tmp_path, seed):
     bam_p, cns_p, seeds_p = random_sample(tmp_path, seed)
     prefix = str(tmp_path / f"out{seed}")
