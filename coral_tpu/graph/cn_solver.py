@@ -52,7 +52,7 @@ def _solve_kkt_newton(
         return jnp.concatenate([grad(x) + A.T @ y, A @ x])
 
     def body(state):
-        x, y, it, _ = state
+        x, y, it, _, _ = state
         g = grad(x)
         h = wlncn / (x * x) + 2.0 * wlrseg / (x * x * x)
         h = jnp.maximum(h, 1e-8)           # Levenberg clamp for stray concavity
@@ -85,16 +85,19 @@ def _solve_kkt_newton(
         t, _ = jax.lax.while_loop(ls_cond, shrink, (jnp.asarray(1.0, dtype), False))
         x_new = jnp.where(t > 1e-12, x + t * dx, x)
         res = jnp.linalg.norm(kkt_residual(x_new, y_new))
-        return x_new, y_new, it + 1, res
+        return x_new, y_new, it + 1, res, r0
 
     def cond(state):
-        _, _, it, res = state
-        return (it < max_iters) & (res > tol)
+        _, _, it, res, res_prev = state
+        # absolute tol, or plateau (coverage-scale systems bottom out far
+        # above an absolute 1e-9)
+        return (it < max_iters) & (res > tol) & (res < res_prev * (1 - 1e-4))
 
     x0 = jnp.ones(n, dtype)
     y0 = jnp.zeros(m, dtype)
     res0 = jnp.linalg.norm(kkt_residual(x0, y0)) + 1.0
-    x, y, _, _ = jax.lax.while_loop(cond, body, (x0, y0, jnp.asarray(0), res0))
+    x, y, _, _, _ = jax.lax.while_loop(
+        cond, body, (x0, y0, jnp.asarray(0), res0, jnp.asarray(jnp.inf, dtype)))
     return x, y
 
 
@@ -117,10 +120,14 @@ def _newton_numpy(wlrseg, wcn, wlncn, A, max_iters=1000, tol=1e-9):
 
     x = np.ones(n)
     y = np.zeros(m)
+    r_prev = np.inf
     for _ in range(max_iters):
         r = np.linalg.norm(residual(x, y))
-        if r <= tol:
+        # absolute tol, or residual plateau: coverage-scale systems bottom
+        # out at ~1e-17 relative, far above an absolute 1e-9
+        if r <= tol or r >= r_prev * (1 - 1e-4):
             break
+        r_prev = r
         h = np.maximum(wlncn / x ** 2 + 2.0 * wlrseg / x ** 3, 1e-8)
         K = np.zeros((n + m, n + m))
         K[:n, :n] = np.diag(h)
@@ -144,11 +151,17 @@ def _newton_numpy(wlrseg, wcn, wlncn, A, max_iters=1000, tol=1e-9):
     return x
 
 
+_F64_JAX = None
+
+
 def _have_f64_jax() -> bool:
-    try:
-        return jax.default_backend() == "cpu"
-    except Exception:
-        return False
+    global _F64_JAX
+    if _F64_JAX is None:
+        try:
+            _F64_JAX = jax.default_backend() == "cpu"
+        except Exception:
+            _F64_JAX = False
+    return _F64_JAX
 
 
 def solve_cn_balance(wlrseg, wcn, wlncn, A, max_iters: int = 1000,
