@@ -44,7 +44,8 @@ def reconstruct_mode(args) -> None:
     t0 = time.time()
     cfg = DEFAULT_CONFIG
     cfg = cfg.replace(
-        bp=dataclasses.replace(cfg.bp, min_bp_cov_factor=args.min_bp_support),
+        bp=dataclasses.replace(cfg.bp, min_bp_cov_factor=args.min_bp_support,
+                               nm_filter=args.filter_bp_by_edit_distance),
         cycles=dataclasses.replace(
             cfg.cycles,
             alpha=args.cycle_decomp_alpha,
@@ -130,6 +131,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Maximum running time (in seconds) for the solver.")
     p.add_argument("--cycle_decomp_threads", type=int,
                    help="Number of threads reserved for the solver.")
+    p.add_argument("--filter_bp_by_edit_distance", action="store_true",
+                   help="Filter breakpoints derived from alignments with "
+                        "large (> mean + 3 * std) edit distance.  "
+                        "(Suppressed in the reference CLI, CoRAL.py:105-106; "
+                        "the machinery exists and is wired here.)")
     p.add_argument("--postprocess_greedy_sol", action="store_true",
                    help="Postprocess the greedy cycles/paths solution.")
     p.add_argument("--log_fn", help="Name of log file.")
