@@ -13,6 +13,7 @@ intervals; both rescue branches are identical.
 from __future__ import annotations
 
 import logging
+import os
 
 import matplotlib
 
@@ -171,7 +172,12 @@ def locate_hsrs(args) -> None:
     plt.title(args.output_prefix + " integration loci", fontsize=25)
     plt.ylabel("Long read support", fontsize=25)
     plt.tight_layout()
-    out_img = "integration_sites_" + args.output_prefix
+    # reference names the scatter "integration_sites_" + output_prefix
+    # (hsr.py:218-219), which CRASHES for absolute-path prefixes (invalid
+    # path "integration_sites_/..."); prefix the basename instead so
+    # relative-prefix behavior is unchanged
+    head, tail = os.path.split(args.output_prefix)
+    out_img = os.path.join(head, "integration_sites_" + tail)
     plt.savefig(out_img + ".png")
     plt.close()
     print("\nCreated " + out_img + ".png")
