@@ -77,3 +77,24 @@ def test_cli_hsr(sim, tmp_path, monkeypatch, capsys):
     # the integration site is at chr7:58 Mb with CN 2 -> reported
     assert "58000000" in captured or "57999999" in captured or "58000001" in captured
     assert os.path.exists("integration_sites_hsrtest.png")
+
+
+def test_cli_hsr_absolute_prefix(sim, tmp_path):
+    """Absolute output prefixes must not crash the integration-sites plot
+    (the reference's 'integration_sites_' + prefix naming does,
+    hsr.py:218-219; fixed as a crash)."""
+    (bam, cns, seeds), out = sim
+    cycles_bed = os.path.join(out, "ecdna_abs.bed")
+    with open(cycles_bed, "w") as fp:
+        fp.write("#chr\tstart\tend\torientation\tcycle_id\tiscyclic\tweight\n")
+        fp.write("chr7\t55000000\t55399999\t+\t1\tTrue\t20.0\n")
+    prefix = str(tmp_path / "deep" )
+    os.makedirs(prefix, exist_ok=True)
+    prefix = os.path.join(prefix, "hsrabs")
+    rc = main([
+        "hsr", "--lr_bam", bam, "--cycles", cycles_bed, "--cn_seg", cns,
+        "--output_prefix", prefix, "--normal_cov", "20",
+    ])
+    assert rc == 0
+    assert os.path.exists(
+        os.path.join(os.path.dirname(prefix), "integration_sites_hsrabs.png"))
