@@ -91,6 +91,41 @@ def random_sample(tmp_path, seed):
     return bam_p, cns_p, seeds_p
 
 
+def _check_cycle_invariants(graph, cycles_fn):
+    """Decomposition invariants: cycles reference real segments, weights
+    are positive and sorted descending, and total per-sequence-edge usage
+    respects the edge's CN cap (up to the greedy resolution floor)."""
+    segments = {}
+    weights = []
+    usage = {}
+    for ln in open(cycles_fn):
+        f = ln.rstrip("\n").split("\t")
+        if f[0] == "Segment":
+            segments[f[1]] = (f[2], int(f[3]), int(f[4]))
+        elif ln.startswith("Cycle="):
+            fields = dict(kv.split("=", 1) for kv in ln.strip().split(";"))
+            w = float(fields["Copy_count"])
+            assert w > 0
+            weights.append(w)
+            toks = [t for t in fields["Segments"].split(",") if t]
+            for t in toks:
+                sid, ori = t[:-1], t[-1]
+                assert ori in "+-"
+                assert sid == "0" or sid in segments, f"unknown segment {sid}"
+                if sid != "0":
+                    usage[sid] = usage.get(sid, 0.0) + w
+    assert weights == sorted(weights, reverse=True)
+    # map file segments back to graph sequence edges by coordinates
+    edge_cn = {}
+    for e in graph.sequence_edges:
+        edge_cn[(e.chrom, e.start, e.end)] = e.cn
+    for sid, used in usage.items():
+        chrom, s, e = segments[sid]
+        if (chrom, s, e) in edge_cn:
+            assert used <= edge_cn[(chrom, s, e)] + 0.1 + 1e-6, \
+                f"segment {sid} usage {used} exceeds CN {edge_cn[(chrom, s, e)]}"
+
+
 @pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 6, 7, 8])
 def test_fuzz_pipeline_no_crash(tmp_path, seed):
     bam_p, cns_p, seeds_p = random_sample(tmp_path, seed)
@@ -104,4 +139,5 @@ def test_fuzz_pipeline_no_crash(tmp_path, seed):
         assert len(parsed.sequence_edges) >= 1
         cf = f"{prefix}_amplicon{gi + 1}_cycles.txt"
         assert os.path.exists(cf)
+        _check_cycle_invariants(rec.graphs[gi], cf)
         convert_cycles_to_bed(cf, f"{prefix}_a{gi}.bed")
