@@ -107,3 +107,41 @@ def test_overlap_match(pair):
         s = rng.randrange(0, 1_000_000)
         e = s + rng.randrange(1, 100_000)
         np.testing.assert_array_equal(py.overlap(chrom, s, e), nat.overlap(chrom, s, e))
+
+
+def test_header_only_bam(tmp_path):
+    """A BAM with zero records scans to an empty table on both backends."""
+    p = str(tmp_path / "empty.bam")
+    write_bam(p, REFS, [])
+    for backend in ("python", "native"):
+        bam = BamFile(p, backend=backend)
+        assert bam.n_records == 0
+        assert bam.overlap("chr1", 0, 1_000_000).size == 0
+
+
+def test_truncated_bam_raises(tmp_path):
+    """Mid-block truncation must raise a clean error, not crash."""
+    src = random_fixture(tmp_path, n=200, seed=11)
+    raw = open(src, "rb").read()
+    p = str(tmp_path / "trunc.bam")
+    open(p, "wb").write(raw[: len(raw) // 2])
+    with pytest.raises(Exception):
+        BamFile(p, backend="native")
+
+
+def test_long_names_and_big_aux(tmp_path):
+    """200-char read names and multi-kB SA tags round-trip identically."""
+    recs = []
+    for i in range(50):
+        name = f"verylongname_{'x' * 180}_{i:03d}"
+        sa = "".join(f"chr2,{1000 + j},+,100S200M,60,3;" for j in range(100))
+        recs.append(BamRecord(name, 0, "chr1", 1000 + i, 60, "500M",
+                              tags={"NM": 5, "SA": sa}))
+    p = str(tmp_path / "big.bam")
+    write_bam(p, REFS, recs)
+    py = BamFile(p, backend="python")
+    nat = BamFile(p, backend="native")
+    assert py.n_records == nat.n_records == 50
+    for i in range(50):
+        assert py.name(i) == nat.name(i)
+        assert py.sa_tag(i) == nat.sa_tag(i)
