@@ -276,3 +276,123 @@ def simulate_bfb(
     with open(seed_path, "w") as fp:
         fp.write(f"{CHR}\t{amp_start}\t{amp_end - 1}\n")
     return bam_path, cns_path, seed_path
+
+
+def simulate_mixed_sample(
+    out_dir: str,
+    bg_cov: int = 20,
+    amp_extra_cov: int = 200,
+    n_junction_reads: int = 60,
+    bg_read_len: int = 50_000,
+    amp_read_len: int = 10_000,
+    junction_flank: int = 10_000,
+    jitter: int = 2,
+    seed: int = 0,
+) -> Tuple[str, str, str]:
+    """One sample carrying all three amplicon classes in separate regions:
+
+      * ecDNA cycle          chr7:55.0-55.4M   (head-to-tail '+-' junction)
+      * BFB foldback cycle   chr7:58.0-58.3M   ('++'/'--' self-folds)
+      * translocated ecDNA   chr7:50.0-50.2M <-> chr8:127.0-127.2M
+
+    Regions are separated by megabases so the breakpoint-connected BFS
+    must keep them in distinct connected components (ccids) and emit one
+    amplicon per class.
+    """
+    rng = random.Random(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    recs: List[BamRecord] = []
+    f = junction_flank
+    rl = 2 * f
+
+    # background tiling over both chromosome domains
+    step = bg_read_len // bg_cov
+    i = 0
+    for (chrom, dstart, dend) in [(CHR, 45_000_000, 60_400_000),
+                                  (CHR2, 120_000_000, 132_000_000)]:
+        for start in range(dstart, dend - bg_read_len, step):
+            recs.append(BamRecord(f"bg{i:07d}", 0, chrom, start, 60,
+                                  f"{bg_read_len}M", seq="*", tags={"NM": 100}))
+            i += 1
+
+    regions = [(CHR, 55_000_000, 55_400_000),   # ecDNA
+               (CHR, 58_000_000, 58_300_000),   # BFB
+               (CHR, 50_000_000, 50_200_000),   # translocation, chr7 side
+               (CHR2, 127_000_000, 127_200_000)]  # translocation, chr8 side
+    astep = max(amp_read_len // amp_extra_cov, 1)
+    i = 0
+    for (chrom, s, e) in regions:
+        for start in range(s, e - amp_read_len, astep):
+            recs.append(BamRecord(f"amp{i:07d}", 0, chrom, start, 60,
+                                  f"{amp_read_len}M", seq="*", tags={"NM": 20}))
+            i += 1
+
+    def junction(tag, k, c1, p1, c2, p2):
+        """[p1-flank, p1) on c1:'+' then [p2, p2+flank) on c2:'+'."""
+        a = p1 - f
+        sa1 = f"{c1},{a + 1},+,{f}M{f}S,60,50;"
+        sa2 = f"{c2},{p2 + 1},+,{f}S{f}M,60,50;"
+        recs.append(BamRecord(f"{tag}{k:04d}", 0, c1, a, 60, f"{f}M{f}S",
+                              seq="A" * rl, tags={"NM": 50, "SA": sa2}))
+        recs.append(BamRecord(f"{tag}{k:04d}", 0x800, c2, p2, 60,
+                              f"{f}S{f}M", seq="*", tags={"NM": 50, "SA": sa1}))
+
+    for k in range(n_junction_reads):
+        j1, j2 = rng.randint(-jitter, jitter), rng.randint(-jitter, jitter)
+        # ecDNA head-to-tail
+        junction("jec", k, CHR, 55_400_000 + j1, CHR, 55_000_000 + j2)
+        # translocated ecDNA: chr7 end -> chr8 start, chr8 end -> chr7 start
+        junction("jab", k, CHR, 50_200_000 + j1, CHR2, 127_000_000 + j2)
+        junction("jba", k, CHR2, 127_200_000 + j1, CHR, 50_000_000 + j2)
+        # BFB right fold (read half 2 on '-')
+        a = 58_300_000 - f + rng.randint(-jitter, jitter)
+        sa_p = f"{CHR},{a + 1},+,{f}M{f}S,60,50;"
+        sa_m = f"{CHR},{a + 1},-,{f}M{f}S,60,50;"
+        recs.append(BamRecord(f"fr{k:04d}", 0, CHR, a, 60, f"{f}M{f}S",
+                              seq="A" * rl, tags={"NM": 50, "SA": sa_m}))
+        recs.append(BamRecord(f"fr{k:04d}", 0x810, CHR, a, 60, f"{f}M{f}S",
+                              seq="*", tags={"NM": 50, "SA": sa_p}))
+        # BFB left fold (read half 1 on '-')
+        p = 58_000_000 + rng.randint(-jitter, jitter)
+        sa_m = f"{CHR},{p + 1},-,{f}S{f}M,60,50;"
+        sa_p = f"{CHR},{p + 1},+,{f}S{f}M,60,50;"
+        recs.append(BamRecord(f"fl{k:04d}", 0x10, CHR, p, 60, f"{f}S{f}M",
+                              seq="A" * rl, tags={"NM": 50, "SA": sa_p}))
+        recs.append(BamRecord(f"fl{k:04d}", 0x800, CHR, p, 60, f"{f}S{f}M",
+                              seq="*", tags={"NM": 50, "SA": sa_m}))
+
+    recs.sort(key=lambda r: (r.ref, r.pos))
+    bam_path = os.path.join(out_dir, "sim_mixed.bam")
+    write_bam(bam_path, [(CHR, CHR_LEN), (CHR2, CHR2_LEN)], recs)
+
+    amp_cn = 2.0 * (bg_cov + amp_extra_cov) / bg_cov
+    cns_path = os.path.join(out_dir, "sim_mixed.cns")
+    with open(cns_path, "w") as fp:
+        fp.write("chromosome\tstart\tend\tgene\tlog2\tdepth\n")
+        for (chrom, dstart, dend), amps in [
+            ((CHR, 45_000_000, 60_400_000),
+             [(50_000_000, 50_200_000), (55_000_000, 55_400_000),
+              (58_000_000, 58_300_000)]),
+            ((CHR2, 120_000_000, 132_000_000),
+             [(127_000_000, 127_200_000)]),
+        ]:
+            pos = dstart
+            for (s, e) in amps:
+                while pos < s:
+                    end = min(pos + 2_000_000, s)
+                    fp.write(f"{chrom}\t{pos}\t{end}\t-\t0.0\t{bg_cov}\n")
+                    pos = end
+                fp.write(f"{chrom}\t{s}\t{e}\t-\t"
+                         f"{math.log2(amp_cn / 2.0)}\t{bg_cov + amp_extra_cov}\n")
+                pos = e
+            while pos < dend:
+                end = min(pos + 2_000_000, dend)
+                fp.write(f"{chrom}\t{pos}\t{end}\t-\t0.0\t{bg_cov}\n")
+                pos = end
+
+    seed_path = os.path.join(out_dir, "sim_mixed_seeds.bed")
+    with open(seed_path, "w") as fp:
+        fp.write(f"{CHR}\t50000000\t50199999\n")
+        fp.write(f"{CHR}\t55000000\t55399999\n")
+        fp.write(f"{CHR}\t58000000\t58299999\n")
+    return bam_path, cns_path, seed_path
