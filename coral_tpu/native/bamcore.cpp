@@ -19,6 +19,7 @@
 #include <algorithm>
 #include <string>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 #include <thread>
 #include <zlib.h>
@@ -835,9 +836,28 @@ int64_t bc_parse_sa(BamCore* bc) {
       p = q + 1;
     }
   }
-  // read lengths from primary records of chimeric reads
+  // read lengths from primary records of chimeric reads.  Screen the
+  // (mostly non-chimeric) record table with an allocation-free FNV hash
+  // of the name bytes first — constructing a std::string per record
+  // costs ~20s at 69M records.
+  auto fnv = [](const uint8_t* p, const uint8_t* e) {
+    uint64_t h = 1469598103934665603ull;
+    for (; p < e; ++p) { h ^= *p; h *= 1099511628211ull; }
+    return h;
+  };
+  std::unordered_set<uint64_t> chim_hashes;
+  chim_hashes.reserve(slot_of.size() * 2);
+  for (const auto& kv : slot_of) {
+    const uint8_t* p = reinterpret_cast<const uint8_t*>(kv.first.data());
+    chim_hashes.insert(fnv(p, p + kv.first.size()));
+  }
+  const uint8_t* nb = bc->name_blob.data();
   for (int64_t i = 0; i < n; i++) {
     if (bc->flag[i] >= 256) continue;
+    if (chim_hashes.find(fnv(nb + bc->name_off[i], nb + bc->name_off[i + 1]))
+        == chim_hashes.end()) {
+      continue;
+    }
     auto it = slot_of.find(name_of(i));
     if (it != slot_of.end() && read_len[it->second] < 0) {
       read_len[it->second] = bc->qlen[i];
