@@ -1,15 +1,20 @@
 """Benchmark harness: breakpoint + coverage scoring throughput per chip.
 
-Measures the engine's flagship device kernel — the fused breakpoint-pair
-predicate + exact interval-coverage scoring step (the hot loop replacing
-the reference's per-read Python ``alignment2bp_l`` and htslib pileups) —
-on whatever JAX platform is active (the TPU chip under the driver).
+Times the engine's flagship device kernel — the fused junction-predicate +
+exact interval-coverage scoring step — imported from the PRODUCT module
+``coral_tpu.ops.scoring`` (the same ``pair_predicate`` /
+``coverage_prefix_eval`` code every pipeline path runs; no inline
+re-implementation).  The baseline is the identical math executed by
+single-thread numpy through the same product entry point
+(``make_fused_step_numpy``); the reference's own architecture is pure
+single-thread Python, so this is a conservative lower bound on the true
+speedup.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
-where vs_baseline is the speedup over the same math in single-thread
-numpy (the reference's architecture is pure single-thread Python, so this
-is a conservative lower bound on the true speedup).
+  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N, ...}
+Extra keys: bytes-roofline utilization for the scoring dispatch and, when
+the active platform can run it in reasonable time, an end-to-end
+reconstruct wall-clock on a simulated multi-amplicon sample.
 """
 from __future__ import annotations
 
@@ -17,6 +22,8 @@ import json
 import time
 
 import numpy as np
+
+from coral_tpu.ops.scoring import make_fused_step_jax, make_fused_step_numpy
 
 
 def synth_scoring_batch(n_reads: int, n_intervals: int = 16, seed: int = 0):
@@ -32,11 +39,13 @@ def synth_scoring_batch(n_reads: int, n_intervals: int = 16, seed: int = 0):
         r2_i=rng.integers(0, 200_000_000, n_pairs).astype(np.int32),
         strand_i=rng.choice([-1, 1], n_pairs).astype(np.int32),
         mapq_i=rng.integers(0, 61, n_pairs).astype(np.int32),
+        nm_i=(rng.random(n_pairs) * 0.2).astype(np.float32),
         chrom_j=rng.integers(0, 24, n_pairs).astype(np.int32),
         r1_j=rng.integers(0, 200_000_000, n_pairs).astype(np.int32),
         r2_j=rng.integers(0, 200_000_000, n_pairs).astype(np.int32),
         strand_j=rng.choice([-1, 1], n_pairs).astype(np.int32),
         mapq_j=rng.integers(0, 61, n_pairs).astype(np.int32),
+        nm_j=(rng.random(n_pairs) * 0.2).astype(np.float32),
     )
     int_chrom = (np.arange(n_intervals) % 24).astype(np.int32)
     int_start = (np.arange(n_intervals) * 3_000_000).astype(np.int32)
@@ -44,77 +53,44 @@ def synth_scoring_batch(n_reads: int, n_intervals: int = 16, seed: int = 0):
     return starts, ends, cols, int_chrom, int_start, int_end
 
 
-def numpy_step(starts, ends, c, ic, is_, ie):
-    """Single-thread numpy implementation of the same scoring step."""
-    def first_overlap(chrom, a, b):
-        ov = (chrom[:, None] == ic[None, :]) & (a[:, None] <= ie[None, :]) \
-            & (is_[None, :] <= b[:, None])
-        any_ov = ov.any(axis=1)
-        return np.where(any_ov, ov.argmax(axis=1), -1)
-
-    io_i = first_overlap(c["chrom_i"], c["r1_i"], c["r2_i"])
-    io_j = first_overlap(c["chrom_j"], c["r1_j"], c["r2_j"])
-    qgap = c["qj_start"] - c["qi_end"]
-    grr = np.where(c["strand_j"] > 0, c["r1_j"] - c["r2_i"],
-                   c["r2_i"] - c["r1_j"])
-    gap_disc = np.abs(qgap - grr) > np.maximum(100.0, np.abs(qgap) * 0.2)
-    hits = (qgap + 100 >= 0) & (io_i >= 0) & (io_i == io_j) \
-        & (c["mapq_i"] >= 20) & (c["mapq_j"] >= 20) \
-        & ((c["strand_i"] != c["strand_j"]) | gap_disc)
-    support = np.bincount(np.clip(io_i, 0, None), weights=hits,
-                          minlength=len(ic))
-    s_sorted = np.sort(starts)
-    e_sorted = np.sort(ends)
-    s_cum = np.concatenate([[0], np.cumsum(s_sorted, dtype=np.int64)])
-    e_cum = np.concatenate([[0], np.cumsum(e_sorted, dtype=np.int64)])
-
-    def prefix(xs):
-        n_s = np.searchsorted(s_sorted, xs, side="right")
-        n_e = np.searchsorted(e_sorted, xs, side="right")
-        return (xs.astype(np.int64) * n_s - s_cum[n_s]) \
-            - (xs.astype(np.int64) * n_e - e_cum[n_e])
-
-    cov = prefix(ie) - prefix(is_)
-    return support, cov
+COL_ORDER = ("qi_end", "qj_start", "chrom_i", "r1_i", "r2_i", "strand_i",
+             "mapq_i", "nm_i", "chrom_j", "r1_j", "r2_j", "strand_j",
+             "mapq_j", "nm_j")
 
 
-def jax_step_fn(ic, is_, ie):
-    import jax
-    import jax.numpy as jnp
+def roofline_utilization(n_reads: int, t_dev: float) -> float:
+    """Fraction of v5e HBM speed-of-light the scoring dispatch achieves.
 
-    def step(starts, ends, qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i,
-             mapq_i, chrom_j, r1_j, r2_j, strand_j, mapq_j):
-        def first_overlap(chrom, a, b):
-            ov = (chrom[:, None] == ic[None, :]) & \
-                 (a[:, None] <= ie[None, :]) & (is_[None, :] <= b[:, None])
-            return jnp.where(jnp.any(ov, axis=1), jnp.argmax(ov, axis=1), -1)
+    The kernel is bandwidth-bound: per pair it streams 12 int32 + 2 f32
+    input columns once (56 B) plus the 2 int32 read-span columns (8 B),
+    and the two sorts each move the 2M-element span arrays a few more
+    times (sort is O(log n) passes; count 2 round trips per sort as the
+    XLA bitonic/radix lower bound -> 4 * 8 B).  Output (per-interval
+    support + coverage) is negligible.  v5e HBM BW ~ 819 GB/s.
+    """
+    bytes_per_read = 56 + 8 + 4 * 8
+    hbm_bw = 819e9
+    t_light = n_reads * bytes_per_read / hbm_bw
+    return t_light / t_dev
 
-        io_i = first_overlap(chrom_i, r1_i, r2_i)
-        io_j = first_overlap(chrom_j, r1_j, r2_j)
-        qgap = qj_start - qi_end
-        grr = jnp.where(strand_j > 0, r1_j - r2_i, r2_i - r1_j)
-        gap_disc = jnp.abs(qgap - grr) > jnp.maximum(100.0, jnp.abs(qgap) * 0.2)
-        hits = (qgap + 100 >= 0) & (io_i >= 0) & (io_i == io_j) \
-            & (mapq_i >= 20) & (mapq_j >= 20) \
-            & ((strand_i != strand_j) | gap_disc)
-        support = jnp.zeros(ic.shape[0], jnp.int32).at[
-            jnp.clip(io_i, 0, None)].add(hits.astype(jnp.int32))
-        s_sorted = jnp.sort(starts)
-        e_sorted = jnp.sort(ends)
-        s_cum = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                 jnp.cumsum(s_sorted)])
-        e_cum = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                 jnp.cumsum(e_sorted)])
 
-        def prefix(xs):
-            n_s = jnp.searchsorted(s_sorted, xs, side="right")
-            n_e = jnp.searchsorted(e_sorted, xs, side="right")
-            return (xs * n_s - s_cum[n_s]) - (xs * n_e - e_cum[n_e])
+def e2e_reconstruct_seconds() -> float:
+    """Wall-clock of the full product pipeline (scan -> cycles.txt) on a
+    simulated two-amplicon sample; runs the same `reconstruct` code path
+    users run."""
+    import os
+    import tempfile
 
-        cov = prefix(ie) - prefix(is_)
-        return support, cov
+    from coral_tpu.sim import simulate_mixed_sample
+    from coral_tpu.reconstruct import reconstruct_cycles, reconstruct_graphs
 
-    return jax.jit(step)
+    with tempfile.TemporaryDirectory() as td:
+        bam, cns, seeds = simulate_mixed_sample(td, seed=7)
+        prefix = os.path.join(td, "out")
+        t0 = time.perf_counter()
+        rec = reconstruct_graphs(bam, seeds, cns, prefix)
+        reconstruct_cycles(rec, prefix)
+        return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -122,11 +98,8 @@ def main() -> None:
 
     n_reads = 1 << 21  # 2M reads per dispatch
     starts, ends, cols, ic, is_, ie = synth_scoring_batch(n_reads)
-    args = (starts, ends, cols["qi_end"], cols["qj_start"], cols["chrom_i"],
-            cols["r1_i"], cols["r2_i"], cols["strand_i"], cols["mapq_i"],
-            cols["chrom_j"], cols["r1_j"], cols["r2_j"], cols["strand_j"],
-            cols["mapq_j"])
-    step = jax_step_fn(ic, is_, ie)
+    args = (starts, ends) + tuple(cols[k] for k in COL_ORDER)
+    step = make_fused_step_jax(ic, is_, ie)
     dev_args = [jax.device_put(a) for a in args]
     out = step(*dev_args)  # compile
     jax.block_until_ready(out)
@@ -140,20 +113,28 @@ def main() -> None:
         times.append((time.perf_counter() - t0) / reps)
     t_dev = float(np.median(times))
 
-    # numpy single-thread baseline on a smaller sample, scaled
+    # numpy single-thread baseline: same product code, xp=numpy, scaled
     n_base = 1 << 18
     b_starts, b_ends, b_cols, *_ = synth_scoring_batch(n_base)
+    np_step = make_fused_step_numpy(ic, is_, ie)
+    b_args = (b_starts, b_ends) + tuple(b_cols[k] for k in COL_ORDER)
     t0 = time.perf_counter()
-    numpy_step(b_starts, b_ends, b_cols, ic, is_, ie)
+    np_step(*b_args)
     t_np = (time.perf_counter() - t0) * (n_reads / n_base)
 
     reads_per_s = n_reads / t_dev
-    print(json.dumps({
+    payload = {
         "metric": "breakpoint+coverage scoring throughput per chip",
         "value": round(reads_per_s),
         "unit": "reads/s",
         "vs_baseline": round(t_np / t_dev, 2),
-    }))
+        "hbm_roofline_frac": round(roofline_utilization(n_reads, t_dev), 3),
+    }
+    try:
+        payload["e2e_reconstruct_s"] = round(e2e_reconstruct_seconds(), 2)
+    except Exception as exc:  # never let the e2e add-on break the headline
+        payload["e2e_reconstruct_error"] = f"{type(exc).__name__}: {exc}"
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

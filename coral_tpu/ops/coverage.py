@@ -66,12 +66,18 @@ class CoverageIndex:
 
 
 def bin_coverage_sharded(starts, ends, origin, bin_size, n_bins, mesh,
-                         axis: str = "dp") -> np.ndarray:
+                         axis: str = "dp", genome_axis=None) -> np.ndarray:
     """Data-parallel bin histogram with an integer psum merge.
 
     Reads are sharded over ``axis``; each shard computes its exact bin
     totals and the result is psum-reduced — deterministic (integer sums),
     so any shard count produces identical histograms.
+
+    With ``genome_axis`` set (2-D mesh), the genome bin axis is
+    additionally sharded over that mesh axis: each (dp, sp) shard
+    evaluates its read shard against its bin-edge shard, the dp axis
+    psum-merges, and the out-spec reassembles the genome axis — the full
+    2-D layout of SURVEY §2.1 (read batches x genome bins).
     """
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
@@ -84,13 +90,21 @@ def bin_coverage_sharded(starts, ends, origin, bin_size, n_bins, mesh,
         # zero-length pad intervals contribute nothing
         starts = np.concatenate([starts, np.zeros(pad, starts.dtype)])
         ends = np.concatenate([ends, np.zeros(pad, ends.dtype)])
-    edges = np.asarray(origin + bin_size * np.arange(n_bins + 1), np.int32)
+    edges = np.asarray(origin + bin_size * np.arange(n_bins + 1), np.int64)
+    if edges[-1] <= np.iinfo(np.int32).max:
+        edges = edges.astype(np.int32)
+    if genome_axis is not None and n_bins % mesh.shape[genome_axis]:
+        raise ValueError(
+            f"n_bins={n_bins} not divisible by mesh axis "
+            f"{genome_axis}={mesh.shape[genome_axis]}")
 
-    def shard_fn(s, e):
+    def shard_fn(s, e, lo, hi):
         tables = _build_tables(s, e)
-        p = _prefix_eval(*tables, jnp.asarray(edges))
-        return jax.lax.psum(p[1:] - p[:-1], axis)
+        p_lo = _prefix_eval(*tables, lo)
+        p_hi = _prefix_eval(*tables, hi)
+        return jax.lax.psum(p_hi - p_lo, axis)
 
-    fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(axis), P(axis)),
-                   out_specs=P())
-    return np.asarray(jax.jit(fn)(starts, ends))
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P(axis), P(axis), P(genome_axis), P(genome_axis)),
+                   out_specs=P(genome_axis))
+    return np.asarray(jax.jit(fn)(starts, ends, edges[:-1], edges[1:]))

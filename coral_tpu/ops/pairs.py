@@ -113,35 +113,15 @@ def _pair_predicates(
     # scalars
     min_bp_match_cutoff, min_mapq, gap_, max_nm,
 ):
-    """Evaluate the interval-list junction predicate for each pair.
+    """Jitted junction predicate — thin wrapper over the single product
+    implementation in :mod:`coral_tpu.ops.scoring`."""
+    from .scoring import pair_predicate
 
-    Returns (hit, io) where ``hit`` marks pairs forming a breakpoint and
-    ``io`` is the index of the (shared) containing interval.
-    """
-    def first_overlap(chrom, a, b):
-        # storage-order overlap test (minus-strand quirk preserved):
-        # interval_overlap([chr,a,b], [c,s,e]) == chr==c and a<=e and s<=b
-        ov = (chrom[:, None] == int_chrom[None, :]) \
-            & (a[:, None] <= int_end[None, :]) \
-            & (int_start[None, :] <= b[:, None])
-        any_ov = jnp.any(ov, axis=1)
-        idx = jnp.argmax(ov, axis=1)
-        return jnp.where(any_ov, idx, -1)
-
-    io_i = first_overlap(chrom_i, r1_i, r2_i)
-    io_j = first_overlap(chrom_j, r1_j, r2_j)
-    qgap = qj_start - qi_end
-    base = (qgap + min_bp_match_cutoff >= 0) & (io_i >= 0) & (io_i == io_j)
-    mq_ok = (mapq_i >= min_mapq) & (mapq_j >= min_mapq)
-    nm_ok = (nm_i < max_nm) & (nm_j < max_nm)
-    strand_diff = strand_i != strand_j
-    # same-strand: ref/read gap discrepancy (ref :150-161)
-    grr_plus = r1_j - r2_i
-    grr_minus = r2_i - r1_j
-    grr = jnp.where(strand_j > 0, grr_plus, grr_minus)
-    gap_disc = jnp.abs(qgap - grr) > jnp.maximum(gap_, jnp.abs(qgap) * 0.2)
-    hit = base & mq_ok & nm_ok & (strand_diff | gap_disc)
-    return hit, io_i
+    return pair_predicate(
+        jnp, qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i, mapq_i, nm_i,
+        chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_j,
+        int_chrom, int_start, int_end,
+        min_bp_match_cutoff, min_mapq, gap_, max_nm)
 
 
 def find_breakpoints_device(
@@ -224,23 +204,14 @@ def _pair_predicates_numpy(
     int_chrom, int_start, int_end,
     min_bp_match_cutoff, min_mapq, gap_, max_nm,
 ):
-    """Vectorized host implementation of the same predicate math."""
-    def first_overlap(chrom, a, b):
-        ov = (chrom[:, None] == int_chrom[None, :]) \
-            & (a[:, None] <= int_end[None, :]) \
-            & (int_start[None, :] <= b[:, None])
-        return np.where(ov.any(axis=1), ov.argmax(axis=1), -1)
+    """Host engine — the same product math with ``xp=numpy``."""
+    from .scoring import pair_predicate
 
-    io_i = first_overlap(chrom_i, r1_i, r2_i)
-    io_j = first_overlap(chrom_j, r1_j, r2_j)
-    qgap = qj_start - qi_end
-    base = (qgap + min_bp_match_cutoff >= 0) & (io_i >= 0) & (io_i == io_j)
-    mq_ok = (mapq_i >= min_mapq) & (mapq_j >= min_mapq)
-    nm_ok = (nm_i < max_nm) & (nm_j < max_nm)
-    strand_diff = strand_i != strand_j
-    grr = np.where(strand_j > 0, r1_j - r2_i, r2_i - r1_j)
-    gap_disc = np.abs(qgap - grr) > np.maximum(gap_, np.abs(qgap) * 0.2)
-    return base & mq_ok & nm_ok & (strand_diff | gap_disc), io_i
+    return pair_predicate(
+        np, qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i, mapq_i, nm_i,
+        chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_j,
+        int_chrom, int_start, int_end,
+        min_bp_match_cutoff, min_mapq, gap_, max_nm)
 
 
 def score_pairs_two_intervals(

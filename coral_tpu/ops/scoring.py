@@ -1,0 +1,168 @@
+"""Single source of truth for the breakpoint-pair scoring math.
+
+Every component that evaluates the adjacent-pair junction predicate — the
+host engine (``ops.pairs.score_pairs_l``), the device engine
+(``ops.pairs._pair_predicates``), the mesh-sharded engine
+(``parallel.sharded.score_pairs_sharded``), the benchmark (``bench.py``)
+and the driver entry points (``__graft_entry__.py``) — calls
+:func:`pair_predicate` here.  There is deliberately no second copy of the
+predicate anywhere in the repo (round-1 review found four divergent
+copies; one had dropped the same-strand gap-discrepancy clause).
+
+Reference semantics: ``alignment2bp_l`` / ``alignment2bp_nm_l``
+(``src/breakpoint_utilities.py:129-249``): adjacent local alignments of a
+chimeric read form a breakpoint candidate when
+
+* the query gap is >= -min_bp_match_cutoff (``:139``),
+* both sides map inside the *same* amplicon interval (``:141-143``),
+* both mapqs pass the gate (``:144``), optionally both per-base NM pass,
+* and either the strands differ, or (same strand) the reference-jump vs
+  read-gap discrepancy exceeds ``max(gap_, 0.2*|read gap|)`` (``:150-161``
+  — the clause round-1's dry run dropped).
+
+The functions are array-module generic: pass ``xp=numpy`` for the host
+engine or ``xp=jax.numpy`` for traced/jitted use — the math is written in
+the common subset so both engines are literally the same code.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def first_overlap(xp, chrom, a, b, int_chrom, int_start, int_end):
+    """Index of the first interval overlapping [a, b] on ``chrom``; -1 if none.
+
+    Storage-order overlap test (the minus-strand quirk: r1 > r2 on '-'
+    strand rows is preserved by comparing both endpoints symmetrically, as
+    ``interval_overlap`` does in the reference, ``breakpoint_utilities.py:11``).
+    """
+    ov = (chrom[:, None] == int_chrom[None, :]) \
+        & (a[:, None] <= int_end[None, :]) \
+        & (int_start[None, :] <= b[:, None])
+    any_ov = xp.any(ov, axis=1)
+    idx = xp.argmax(ov, axis=1)
+    return xp.where(any_ov, idx, -1)
+
+
+def pair_predicate(
+    xp,
+    # pair columns (i = left alignment, j = right alignment, query order)
+    qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i, mapq_i, nm_i,
+    chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_j,
+    # interval table (padded rows with chrom code -2 are inert)
+    int_chrom, int_start, int_end,
+    # scalars
+    min_bp_match_cutoff, min_mapq, gap_, max_nm,
+):
+    """Evaluate the interval-list junction predicate for each pair.
+
+    Returns ``(hit, io)``: ``hit`` marks pairs forming a breakpoint and
+    ``io`` the index of the shared containing interval (-1 when none).
+    ``strand_*`` is +1/-1; ``nm_*`` is per-base NM (pass zeros and
+    ``max_nm=inf`` to disable the NM gate, as the reference does unless
+    ``filter_bp_by_edit_distance`` is set).
+    """
+    io_i = first_overlap(xp, chrom_i, r1_i, r2_i, int_chrom, int_start, int_end)
+    io_j = first_overlap(xp, chrom_j, r1_j, r2_j, int_chrom, int_start, int_end)
+    qgap = qj_start - qi_end
+    base = (qgap + min_bp_match_cutoff >= 0) & (io_i >= 0) & (io_i == io_j)
+    mq_ok = (mapq_i >= min_mapq) & (mapq_j >= min_mapq)
+    nm_ok = (nm_i < max_nm) & (nm_j < max_nm)
+    strand_diff = strand_i != strand_j
+    # same-strand clause (reference :150-161): reference jump between the
+    # facing endpoints vs the read gap; '+' reads jump r1_j - r2_i,
+    # '-' reads jump r2_i - r1_j (storage order keeps r1 > r2 on '-').
+    grr = xp.where(strand_j > 0, r1_j - r2_i, r2_i - r1_j)
+    gap_disc = xp.abs(qgap - grr) > xp.maximum(gap_, xp.abs(qgap) * 0.2)
+    hit = base & mq_ok & nm_ok & (strand_diff | gap_disc)
+    return hit, io_i
+
+
+def coverage_prefix_tables(xp, starts, ends):
+    """Sorted-endpoint prefix tables for exact interval-coverage queries.
+
+    P(x) = sum_r clip(x - rs_r, 0, re_r - rs_r); see ``ops.coverage``.
+    """
+    s_sorted = xp.sort(starts)
+    e_sorted = xp.sort(ends)
+    zero = xp.zeros(1, starts.dtype)
+    s_cum = xp.concatenate([zero, xp.cumsum(s_sorted)])
+    e_cum = xp.concatenate([zero, xp.cumsum(e_sorted)])
+    return s_sorted, e_sorted, s_cum, e_cum
+
+
+def coverage_prefix_eval(xp, tables, xs):
+    s_sorted, e_sorted, s_cum, e_cum = tables
+    n_s = xp.searchsorted(s_sorted, xs, side="right")
+    n_e = xp.searchsorted(e_sorted, xs, side="right")
+    return (xs * n_s - s_cum[n_s]) - (xs * n_e - e_cum[n_e])
+
+
+def fused_scoring_step(
+    xp,
+    starts, ends,
+    qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i, mapq_i, nm_i,
+    chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_j,
+    int_chrom, int_start, int_end,
+    min_bp_match_cutoff=100, min_mapq=20, gap_=100.0, max_nm=np.inf,
+):
+    """One fused device step: junction predicates -> per-interval support
+    histogram, plus exact per-interval aligned-base coverage.
+
+    This is the flagship kernel the benchmark times and the driver
+    compile-checks; it composes the two product primitives
+    (:func:`pair_predicate`, :func:`coverage_prefix_eval`) with nothing
+    re-implemented inline.
+    """
+    hits, io_i = pair_predicate(
+        xp, qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i, mapq_i, nm_i,
+        chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_j,
+        int_chrom, int_start, int_end,
+        min_bp_match_cutoff, min_mapq, gap_, max_nm)
+    n_int = int_chrom.shape[0]
+    hit_i = hits.astype(xp.int32)
+    clipped = xp.clip(io_i, 0, None)
+    if xp is np:
+        support = np.bincount(clipped, weights=hit_i, minlength=n_int
+                              ).astype(np.int32)[:n_int]
+    else:
+        support = xp.zeros(n_int, xp.int32).at[clipped].add(hit_i)
+    tables = coverage_prefix_tables(xp, starts, ends)
+    cov = coverage_prefix_eval(xp, tables, int_end) \
+        - coverage_prefix_eval(xp, tables, int_start)
+    return support, cov
+
+
+def make_fused_step_jax(int_chrom, int_start, int_end, **scalars):
+    """Jit-compiled fused scoring step with the interval table closed over."""
+    import jax
+    import jax.numpy as jnp
+
+    ic = jnp.asarray(int_chrom)
+    is_ = jnp.asarray(int_start)
+    ie = jnp.asarray(int_end)
+
+    def step(starts, ends, qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i,
+             mapq_i, nm_i, chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_j):
+        return fused_scoring_step(
+            jnp, starts, ends, qi_end, qj_start, chrom_i, r1_i, r2_i,
+            strand_i, mapq_i, nm_i, chrom_j, r1_j, r2_j, strand_j, mapq_j,
+            nm_j, ic, is_, ie, **scalars)
+
+    return jax.jit(step)
+
+
+def make_fused_step_numpy(int_chrom, int_start, int_end, **scalars):
+    """Single-thread numpy twin of :func:`make_fused_step_jax` (benchmark
+    baseline — same product math, same code path, ``xp=numpy``)."""
+    def step(starts, ends, qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i,
+             mapq_i, nm_i, chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_j):
+        return fused_scoring_step(
+            np, starts, ends, qi_end, qj_start, chrom_i, r1_i, r2_i,
+            strand_i, mapq_i, nm_i, chrom_j, r1_j, r2_j, strand_j, mapq_j,
+            nm_j, np.asarray(int_chrom), np.asarray(int_start),
+            np.asarray(int_end), **scalars)
+
+    return step

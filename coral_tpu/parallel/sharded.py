@@ -69,23 +69,16 @@ def score_pairs_sharded(
 
     def shard_fn(qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i, mapq_i,
                  chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_i, nm_j):
-        def first_overlap(chrom, a, b):
-            ov = (chrom[:, None] == int_chrom[None, :]) \
-                & (a[:, None] <= int_end[None, :]) \
-                & (int_start[None, :] <= b[:, None])
-            return jnp.where(jnp.any(ov, axis=1), jnp.argmax(ov, axis=1), -1)
+        # one product predicate implementation (ops.scoring), per shard
+        from ..ops.scoring import pair_predicate
 
-        io_i = first_overlap(chrom_i, r1_i, r2_i)
-        io_j = first_overlap(chrom_j, r1_j, r2_j)
-        qgap = qj_start - qi_end
-        base = (qgap + min_bp_match_cutoff >= 0) & (io_i >= 0) & (io_i == io_j)
-        mq_ok = (mapq_i >= min_mapq) & (mapq_j >= min_mapq)
-        nm_ok = (nm_i < max_nm) & (nm_j < max_nm)
-        strand_diff = strand_i != strand_j
-        grr = jnp.where(strand_j > 0, r1_j - r2_i, r2_i - r1_j)
-        gap_disc = jnp.abs(qgap - grr) > jnp.maximum(
-            jnp.float32(gap_), jnp.abs(qgap) * jnp.float32(0.2))
-        return base & mq_ok & nm_ok & (strand_diff | gap_disc)
+        hit, _ = pair_predicate(
+            jnp, qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i, mapq_i,
+            nm_i, chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_j,
+            int_chrom, int_start, int_end,
+            min_bp_match_cutoff, min_mapq, jnp.float32(gap_),
+            jnp.float32(max_nm))
+        return hit
 
     fn = jax.jit(shard_map(
         shard_fn, mesh=mesh,
