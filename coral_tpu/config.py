@@ -83,6 +83,13 @@ class CycleConfig:
     max_walk_candidates: int = 200_000  # candidate pool bound
     eulerian_seed: int = 0            # seeded Eulerian traversal RNG
     eulerian_max_trials: int = 1000   # ref :1627
+    # escalation fallback when the pool truncates / coverage is missed:
+    # (cap_mode, budget_factor) attempts tried in order — 'same' keeps the
+    # inference-based concordant cap (addresses truncation), 'wide' lifts
+    # it to max_edge_multiplicity (addresses cap-pruned coverage) — and
+    # the pool size up to which the joint MILP (not greedy) is re-solved
+    pool_escalation: tuple = (("same", 10), ("same", 100), ("wide", 100))
+    joint_milp_pool_limit: int = 10_000
 
 
 @dataclass(frozen=True)

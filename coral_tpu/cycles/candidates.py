@@ -43,6 +43,26 @@ class Candidate:
         return dict(self.edges)
 
 
+class CandidatePool(list):
+    """The enumerated candidate list plus its completeness metadata.
+
+    ``truncated`` is True when the state budget ran out before the walk
+    space was exhausted — downstream selection is then potentially
+    suboptimal and the decomposition driver escalates (wider caps, bigger
+    budget, joint MILP re-solve) and/or records visible degradation in the
+    output files (reference contrast: the Gurobi model searches edge
+    multisets implicitly and has no truncation mode,
+    ``cycle_decomposition.py:179-332``).
+    """
+
+    def __init__(self, items=(), truncated: bool = False,
+                 max_states: int = 0, conc_cap: Optional[int] = None):
+        super().__init__(items)
+        self.truncated = truncated
+        self.max_states = max_states
+        self.conc_cap = conc_cap
+
+
 def _bp_edges_at(g: BreakpointGraph, node) -> List[tuple]:
     """Unique breakpoint edges (('c'|'d', idx)) incident to node."""
     out = []
@@ -77,7 +97,7 @@ def enumerate_candidates(
     max_bp_steps: Optional[int] = None,
     max_states: int = 200_000,
     engine: str = "auto",
-) -> List[Candidate]:
+) -> "CandidatePool":
     """Enumerate candidate cycles and paths as edge multisets.
 
     ``engine``: 'native' (C++ walkenum, ~100x state throughput), 'python',
@@ -111,10 +131,11 @@ def enumerate_candidates(
                 "%d candidates found (results may be suboptimal)",
                 max_states, len(rows))
         logger.info("enumerated %d candidate cycles/paths (native)", len(rows))
-        return [
-            Candidate(tuple(sorted(edges.items(), key=repr)), is_cycle, w)
-            for (edges, is_cycle, w) in rows
-        ]
+        return CandidatePool(
+            (Candidate(tuple(sorted(edges.items(), key=repr)), is_cycle, w)
+             for (edges, is_cycle, w) in rows),
+            truncated=bool(truncated), max_states=max_states,
+            conc_cap=conc_cap)
 
     endnode_list = list(g.endnodes.keys())
     endnode_idx = {n: i for i, n in enumerate(endnode_list)}
@@ -258,4 +279,5 @@ def enumerate_candidates(
             "%d candidates found (results may be suboptimal)",
             max_states, len(out))
     logger.info("enumerated %d candidate cycles/paths", len(out))
-    return out
+    return CandidatePool(out, truncated=truncated[0], max_states=max_states,
+                         conc_cap=conc_cap)

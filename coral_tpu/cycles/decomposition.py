@@ -369,6 +369,22 @@ def _write_model_artifact(model_prefix, amplicon_idx, payload) -> None:
         json.dump(payload, fp, indent=1, default=str)
 
 
+def _current_stats(rec, g, amplicon_idx) -> tuple:
+    """(coverage, n_pc_satisfied, -num_decomps) of the recorded solution —
+    the lexicographic quality order used by the escalation fallback."""
+    cycles = rec.cycles.get(amplicon_idx, [[], []])
+    weights = rec.cycle_weights.get(amplicon_idx, [[], []])
+    sat = rec.path_constraints_satisfied.get(amplicon_idx, [[], []])
+    cov = 0.0
+    for slot in (0, 1):
+        for edges, w in zip(cycles[slot], weights[slot]):
+            cov += w * sum(g.sequence_edges[i].size * c
+                           for (t, i), c in edges.items() if t == "e")
+    n_sat = len({pi for lists in sat for pcs in lists for pi in pcs})
+    n = len(weights[0]) + len(weights[1])
+    return (cov, n_sat, -n)
+
+
 def cycle_decomposition(rec, cfg: CycleConfig, model_prefix: str = "") -> None:
     """Per-amplicon decomposition driver (reference ``cycle_decomposition``,
     ``src/cycle_decomposition.py:1495-1599``)."""
@@ -482,30 +498,88 @@ def cycle_decomposition(rec, cfg: CycleConfig, model_prefix: str = "") -> None:
             rec.cycle_weights[amplicon_idx] = greedy_sol[3]
             rec.path_constraints_satisfied[amplicon_idx] = greedy_sol[4]
 
-        # adaptive fallback: the default enumeration caps concordant-edge
-        # multiplicity near the inferred discordant ladder; if the solution
-        # misses the coverage target, retry once with the full reference
-        # multiplicity bound (ub 10, ref :74) before accepting
-        if not coverage_met():
-            logger.info("amplicon %d: coverage target missed; re-enumerating "
-                        "with full multiplicity caps", amplicon_idx + 1)
-            wide = enumerate_candidates(
-                g, max_multiplicity=cfg.max_edge_multiplicity,
-                conc_cap=cfg.max_edge_multiplicity,
-                max_states=cfg.max_walk_candidates)
-            if len(wide) > len(candidates):
-                greedy_sol = greedy_extract(g, wide, total_weights, pc_list, cfg)
-                prev = rec.cycle_weights.get(amplicon_idx, [[], []])
-                prev_cov = sum(
-                    w * sum(g.sequence_edges[i].size * c
-                            for (t, i), c in edges.items() if t == "e")
-                    for slot in (0, 1)
-                    for edges, w in zip(rec.cycles[amplicon_idx][slot], prev[slot]))
-                if greedy_sol[0] > prev_cov + 1e-6:
-                    model_info["solver"] = str(model_info["solver"]) + "+wide"
-                    rec.cycles[amplicon_idx] = greedy_sol[2]
-                    rec.cycle_weights[amplicon_idx] = greedy_sol[3]
-                    rec.path_constraints_satisfied[amplicon_idx] = greedy_sol[4]
+        # Escalating exact fallback (reference contrast: the Gurobi model
+        # searches edge multisets implicitly and never truncates,
+        # ``cycle_decomposition.py:179-332``; our explicit pool can).  When
+        # the pool truncated OR the coverage target was missed, re-enumerate
+        # with the full reference multiplicity bound (ub 10, ref :74) and a
+        # growing state budget, re-solving the JOINT MILP (not just greedy)
+        # whenever the pool is tractable, and keep the best solution by
+        # (coverage, pc-satisfaction, -count).  Any residual degradation is
+        # recorded in the model artifact and the cycles.txt header.
+        escalations = []
+        final_truncated = candidates.truncated
+        if candidates.truncated or not coverage_met():
+            best = _current_stats(rec, g, amplicon_idx)
+            for cap_mode, factor in cfg.pool_escalation:
+                budget = state_budget * factor
+                logger.info(
+                    "amplicon %d: escalating enumeration (budget %d, caps "
+                    "%s) — pool truncated=%s coverage_met=%s",
+                    amplicon_idx + 1, budget, cap_mode, candidates.truncated,
+                    coverage_met())
+                wide = enumerate_candidates(
+                    g, max_multiplicity=cfg.max_edge_multiplicity,
+                    conc_cap=(cfg.max_edge_multiplicity
+                              if cap_mode == "wide" else None),
+                    max_states=budget)
+                attempt = {"caps": cap_mode, "budget": budget,
+                           "pool": len(wide),
+                           "truncated": wide.truncated, "solver": None}
+                sol = None
+                if len(wide) <= cfg.joint_milp_pool_limit:
+                    attempt["solver"] = "joint_milp"
+                    status, total, n_sat, cycles, weights, sat_lists = \
+                        joint_minimize(g, wide, max(k, nedges), total_weights,
+                                       pc_list, cfg)
+                    if status != STATUS_INFEASIBLE:
+                        sol = (total, n_sat, cycles, weights, sat_lists)
+                if sol is None:
+                    attempt["solver"] = ("joint_milp+greedy"
+                                         if attempt["solver"] else "greedy")
+                    gsol = greedy_extract(g, wide, total_weights, pc_list, cfg)
+                    sol = gsol
+                    if cfg.postprocess and \
+                            len(wide) <= cfg.joint_milp_pool_limit:
+                        status, total, n_sat, cycles, weights, sat_lists = \
+                            postprocess_minimize(g, wide, total_weights,
+                                                 pc_list, gsol, cfg)
+                        if status != STATUS_INFEASIBLE:
+                            attempt["solver"] += "+postprocess"
+                            sol = (total, n_sat, cycles, weights, sat_lists)
+                stats = (sol[0], sol[1], -(len(sol[3][0]) + len(sol[3][1])))
+                attempt["coverage"] = sol[0]
+                escalations.append(attempt)
+                # a completed (non-truncated) pool bounds the optimum: even
+                # if its solution is not adopted, the recorded one is at
+                # least as good, so no residual truncation degradation
+                if not wide.truncated:
+                    final_truncated = False
+                elif stats > best:
+                    final_truncated = True
+                if stats > best:
+                    best = stats
+                    model_info["solver"] = (f"{model_info['solver']}"
+                                            f"+escalated[{attempt['solver']}]")
+                    rec.cycles[amplicon_idx] = sol[2]
+                    rec.cycle_weights[amplicon_idx] = sol[3]
+                    rec.path_constraints_satisfied[amplicon_idx] = sol[4]
+                if not wide.truncated and coverage_met():
+                    break
+        model_info["truncation"] = {
+            "initial_truncated": candidates.truncated,
+            "escalations": escalations,
+            "final_truncated": final_truncated,
+            "coverage_met": coverage_met(),
+        }
+        if final_truncated and not coverage_met():
+            note = (f"candidate enumeration truncated (budget "
+                    f"{candidates.max_states}) and coverage target missed: "
+                    f"decomposition may be suboptimal")
+            logger.warning("amplicon %d: %s", amplicon_idx + 1, note)
+            if not hasattr(rec, "decomposition_notes"):
+                rec.decomposition_notes = {}
+            rec.decomposition_notes[amplicon_idx] = note
 
         weights = rec.cycle_weights.get(amplicon_idx, [[], []])
         model_info["solution"] = {

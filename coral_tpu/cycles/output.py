@@ -38,6 +38,13 @@ def output_cycles(rec, prefix: str, output_all_paths: bool = False,
     for amplicon_idx, g in enumerate(rec.graphs):
         out_fn = f"{prefix}_amplicon{amplicon_idx + 1}_cycles.txt"
         with open(out_fn, "w") as fp:
+            # visible degradation marker (no reference analog: the Gurobi
+            # search never truncates; our candidate pool can — the driver
+            # records any residual truncation + coverage miss here so the
+            # output is never silently suboptimal)
+            note = getattr(rec, "decomposition_notes", {}).get(amplicon_idx)
+            if note:
+                fp.write(f"# WARNING: {note}\n")
             interval_num = 1
             ai_amplicon = [ai for ai in rec.amplicon_intervals
                            if rec.ccid2id[ai[3]] == amplicon_idx + 1]

@@ -1,0 +1,163 @@
+"""Truncated candidate pools must escalate (joint MILP re-solve) or
+visibly report degradation — never silently accept a suboptimal
+decomposition (round-1 gap: truncation only logged a warning and the
+retry ran greedy only).
+
+Reference contrast: the Gurobi model searches edge multisets implicitly
+and has no truncation mode (``cycle_decomposition.py:179-332``); our
+explicit pool can truncate, so the driver compensates.
+"""
+import json
+from types import SimpleNamespace
+
+import pytest
+
+from coral_tpu.config import CycleConfig
+from coral_tpu.cycles.candidates import enumerate_candidates
+from coral_tpu.cycles.decomposition import (
+    cycle_decomposition,
+    joint_minimize,
+    total_graph_weight,
+)
+from coral_tpu.graph.breakpoint_graph import BreakpointGraph
+
+
+def dense_graph(n_segs=6, cross_span=3, disc_cn=2.0, flank_cn=2.0,
+                conc_cn=12.0, interior_only=True):
+    """A contiguous chain whose INTERIOR segments carry many crisscrossing
+    back-edges: the walk space explodes combinatorially, so small state
+    budgets truncate.  Back-edges stay off the flanking (endnode) segments
+    so the reference model's p_bp_cn lower bounds remain satisfiable
+    (discordant edges on endnode segments can never be traversed — the
+    endnode row x_s + x_t == x_seq forbids it — making the MIQP
+    structurally infeasible, reference behavior included).
+
+    Segment CNs are set to the saturating usage so a full decomposition
+    can meet the 90% coverage target exactly.
+    """
+    L = 100_000
+    g = BreakpointGraph()
+    segs = []
+    for i in range(n_segs):
+        s, e = i * L, (i + 1) * L - 1
+        segs.append(("chr1", s, e))
+        g.add_node(("chr1", s, "-"))
+        g.add_node(("chr1", e, "+"))
+    lo = 1 if interior_only else 0
+    hi = n_segs - 1 if interior_only else n_segs
+    windows = [(i, j) for i in range(lo, hi)
+               for j in range(i, min(i + cross_span, hi))]
+    # per-segment CN = path weight (flank cap) + window usage at disc cap
+    seq_cns = []
+    for si in range(n_segs):
+        usage = flank_cn + disc_cn * sum(1 for (i, j) in windows
+                                         if i <= si <= j)
+        seq_cns.append(usage)
+    for (c, s, e), cn in zip(segs, seq_cns):
+        g.add_sequence_edge(c, s, e, cn=cn, lr_count=500,
+                            lr_nc=int(cn * 11 * (e - s + 1)))
+    for i in range(n_segs - 1):
+        cn = flank_cn if (i == 0 or i == n_segs - 2) else conc_cn
+        g.add_concordant_edge(
+            "chr1", segs[i][2], "+", "chr1", segs[i + 1][1], "-",
+            cn=cn, lr_count=50)
+    g.add_endnode(("chr1", segs[0][1], "-"))
+    g.add_endnode(("chr1", segs[-1][2], "+"))
+    for (i, j) in windows:
+        # back-edge: end of segment j joins start of segment i ('+-')
+        g.add_discordant_edge(
+            "chr1", segs[j][2], "+", "chr1", segs[i][1], "-",
+            cn=disc_cn, lr_count=60)
+    g.max_cn = max(max(seq_cns), conc_cn, disc_cn) + 1.0
+    g.amplicon_intervals = [["chr1", segs[0][1], segs[-1][2]]]
+    return g
+
+
+def _rec_for(g):
+    return SimpleNamespace(
+        graphs=[g],
+        amplicon_intervals=[[g.amplicon_intervals[0][0],
+                             g.amplicon_intervals[0][1],
+                             g.amplicon_intervals[0][2], 0]],
+        ccid2id={0: 1},
+        path_constraints={0: [[], [], []]},
+        longest_path_constraints={},
+        cycles={}, cycle_weights={}, path_constraints_satisfied={})
+
+
+def test_dense_graph_truncates_at_small_budget():
+    g = dense_graph()
+    small = enumerate_candidates(g, max_states=100)
+    assert small.truncated
+    full = enumerate_candidates(g, max_states=2_000_000)
+    assert not full.truncated
+    assert len(full) > len(small)
+
+
+def test_escalation_recovers_exact_solution(tmp_path):
+    """With a tiny initial budget the pool truncates; the escalation loop
+    must re-enumerate and re-solve the joint MILP, matching the coverage
+    of a direct full-pool MILP solve."""
+    g = dense_graph()
+    cfg = CycleConfig(max_walk_candidates=5,
+                      pool_escalation=(("same", 10), ("same", 1000),
+                                       ("same", 20000)))
+    rec = _rec_for(g)
+    cycle_decomposition(rec, cfg, model_prefix=str(tmp_path / "m"))
+    info = json.loads((tmp_path / "m_amplicon1_model.json").read_text())
+    trunc = info["truncation"]
+    assert trunc["initial_truncated"] is True
+    assert len(trunc["escalations"]) >= 1
+    assert trunc["final_truncated"] is False
+    assert trunc["coverage_met"] is True
+    assert any(e["solver"].startswith("joint_milp")
+               for e in trunc["escalations"])
+    # the full-pool joint MILP is feasible on this graph, and the adopted
+    # solution's coverage is at least its optimum (the driver keeps the
+    # best of MILP and greedy by (coverage, pc-satisfaction, -count))
+    full = enumerate_candidates(g, max_states=2_000_000)
+    total = total_graph_weight(g)
+    status, opt_cov, _, _, _, _ = joint_minimize(
+        g, full, 30, total, [], cfg)
+    assert status == 2
+    covered = 0.0
+    for slot in (0, 1):
+        for edges, w in zip(rec.cycles[0][slot], rec.cycle_weights[0][slot]):
+            covered += w * sum(g.sequence_edges[i].size * c
+                               for (t, i), c in edges.items() if t == "e")
+    assert covered >= opt_cov - 1e-6
+    assert covered >= cfg.p_total_weight * total
+    # no degradation marker in the cycles file
+    from coral_tpu.cycles.output import output_cycles
+
+    output_cycles(rec, str(tmp_path / "ok"))
+    content = (tmp_path / "ok_amplicon1_cycles.txt").read_text()
+    assert not content.startswith("# WARNING")
+
+
+def test_residual_truncation_reported_in_outputs(tmp_path):
+    """When escalation cannot exhaust the walk space AND the coverage
+    target stays missed, the degradation is recorded in the model
+    artifact and the cycles.txt header."""
+    # much denser graph + hard-capped escalation: stays truncated
+    g = dense_graph(n_segs=10, cross_span=8)
+    cfg = CycleConfig(max_walk_candidates=2, pool_escalation=(("same", 2),))
+    rec = _rec_for(g)
+    cycle_decomposition(rec, cfg, model_prefix=str(tmp_path / "m"))
+    info = json.loads((tmp_path / "m_amplicon1_model.json").read_text())
+    assert info["truncation"]["final_truncated"] is True
+    assert info["truncation"]["coverage_met"] is False
+    assert rec.decomposition_notes[0].startswith("candidate enumeration truncated")
+    from coral_tpu.cycles.output import output_cycles
+
+    output_cycles(rec, str(tmp_path / "bad"))
+    content = (tmp_path / "bad_amplicon1_cycles.txt").read_text()
+    assert content.startswith("# WARNING: candidate enumeration truncated")
+    # the warning-bearing file still parses (comment lines are inert)
+    from coral_tpu.cycle2bed import convert_cycles_to_bed
+    from coral_tpu.cycles.refmodel import parse_cycles_text
+
+    parse_cycles_text(content)
+    if "Cycle=" in content:
+        convert_cycles_to_bed(str(tmp_path / "bad_amplicon1_cycles.txt"),
+                              str(tmp_path / "bad.bed"))
