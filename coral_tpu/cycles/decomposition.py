@@ -180,6 +180,7 @@ def _solve_selection_milp(
     resolution: Optional[float],
     soft_pc_fraction: Optional[float],
     time_limit: float,
+    threads: int = -1,
 ) -> Optional[tuple]:
     """Shared MILP core for joint_minimize / postprocess_minimize.
 
@@ -285,11 +286,25 @@ def _solve_selection_milp(
     lower = np.zeros(nvar)
     upper = np.concatenate([
         np.ones(m), np.full(m, g.max_cn), np.ones(nR)])
-    res = milp(
-        c=cvec, constraints=cons, integrality=integrality,
-        bounds=Bounds(lower, upper),
-        options={"time_limit": time_limit, "presolve": True},
-    )
+    options = {"time_limit": time_limit, "presolve": True}
+    if threads and threads > 0:
+        # --cycle_decomp_threads (reference: GRB.Param.Threads,
+        # cycle_decomposition.py:356-357).  scipy does not know the HiGHS
+        # 'threads' option and forwards it verbatim with a RuntimeWarning;
+        # HiGHS itself accepts it, so silence the false alarm.
+        options["threads"] = int(threads)
+        logger.info("HiGHS solver threads limited to %d", threads)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "ignore", message="Unrecognized options detected",
+            category=RuntimeWarning)
+        res = milp(
+            c=cvec, constraints=cons, integrality=integrality,
+            bounds=Bounds(lower, upper),
+            options=options,
+        )
     if res.status != 0 or res.x is None:
         return None
     return res.x[:m], res.x[m: 2 * m], (res.x[2 * m:] if soft else None)
@@ -326,7 +341,8 @@ def joint_minimize(
     sol = _solve_selection_milp(
         g, candidates, total_weights, pc_list, k,
         cfg.p_total_weight, cfg.p_bp_cn, None, None,
-        max(cfg.time_limit_s, 300 * len(g.discordant_edges)))
+        max(cfg.time_limit_s, 300 * len(g.discordant_edges)),
+        threads=cfg.threads)
     if sol is None:
         return STATUS_INFEASIBLE, 0.0, 0, [[], []], [[], []], [[], []]
     total, n_sat, cycles, weights, sat_lists = _collect_solution(
@@ -347,7 +363,8 @@ def postprocess_minimize(
     sol = _solve_selection_milp(
         g, candidates, total_weights, pc_list, k, p_total,
         None, cfg.resolution, soft_fraction,
-        max(cfg.time_limit_s, 300 * len(g.discordant_edges)))
+        max(cfg.time_limit_s, 300 * len(g.discordant_edges)),
+        threads=cfg.threads)
     if sol is None:
         return STATUS_INFEASIBLE, 0.0, 0, [[], []], [[], []], [[], []]
     total, n_sat, cycles, weights, sat_lists = _collect_solution(

@@ -4,9 +4,23 @@ Behavioral port of ``eulerian_cycle_t``/``eulerian_path_t``
 (``src/cycle_decomposition.py:1602-1934``): randomized retries walking
 seq -> (conc|disc) -> seq, preferring traversals satisfying the most
 subpath constraints (lexicographic metric: #unsatisfied, total length,
-total support).  Differences: the RNG is a locally seeded
-``random.Random`` so outputs are deterministic for a given seed (the
-reference uses the global ``random`` module).
+total support; the reference's ``and``/``or`` precedence quirk in the
+metric comparison is preserved below).
+
+RNG deviation (deliberate): the reference draws from the GLOBAL
+``random`` module (``random.randint``, ref ``:1683,1878``), so its
+emitted ``Segments=`` strings vary run-to-run and cannot be reproduced
+bit-for-bit.  We draw from a locally seeded ``random.Random`` so outputs
+are deterministic for a given seed.  The contract this preserves: any
+*constraint-maximal complete traversal* of the same edge multiset is
+AA-equivalent — the multiset (hence the genome structure, CN, and
+coverage accounting) is identical; only the rotation/representative
+differs, and where subpath constraints distinguish orders both
+implementations prefer the maximal class.  ``tests/test_eulerian_golden.py``
+makes this executable: it enumerates ALL complete traversals of fixed
+multisets and asserts the seeded output lies in the constraint-maximal
+class for every seed; golden comparisons elsewhere use the
+rotation/reflection-canonical form (``cycles.refmodel.canonical_tokens``).
 """
 from __future__ import annotations
 

@@ -161,3 +161,40 @@ def test_residual_truncation_reported_in_outputs(tmp_path):
     if "Cycle=" in content:
         convert_cycles_to_bed(str(tmp_path / "bad_amplicon1_cycles.txt"),
                               str(tmp_path / "bad.bed"))
+
+
+def test_cycle_decomp_threads_reaches_solver():
+    """--cycle_decomp_threads must observably reach HiGHS (reference:
+    GRB.Param.Threads, cycle_decomposition.py:356-357); round-1 parsed it
+    into config and silently dropped it.  A handler is attached directly
+    to the engine logger (trace scoping may disable propagation)."""
+    import logging
+
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    lg = logging.getLogger("coral_tpu.cycles.decomposition")
+    handler = Capture(level=logging.INFO)
+    old_level = lg.level
+    lg.addHandler(handler)
+    lg.setLevel(logging.INFO)
+    try:
+        g = dense_graph()
+        full = enumerate_candidates(g, max_states=2_000_000)
+        total = total_graph_weight(g)
+        status, cov, *_ = joint_minimize(g, full, 30, total, [],
+                                         CycleConfig(threads=1))
+        assert status == 2
+        assert any("HiGHS solver threads limited to 1" in m for m in records)
+        # and the default (-1) must NOT set the option
+        records.clear()
+        status2, cov2, *_ = joint_minimize(g, full, 30, total, [],
+                                           CycleConfig())
+        assert status2 == 2 and cov2 == pytest.approx(cov)
+        assert not any("threads limited" in m for m in records)
+    finally:
+        lg.removeHandler(handler)
+        lg.setLevel(old_level)
