@@ -285,6 +285,15 @@ class BamFile:
         idx = np.arange(lo, hi)
         return idx[self.end[lo:hi] > start]
 
+    def overlap_rows(self, chrom: str, start: int, stop: int):
+        """Iterable of candidate table-row indices for records overlapping
+        [start, stop), in coordinate order (callers still filter
+        ``end > start``).  Single-file: one contiguous range; the
+        multi-shard view (``parallel.multihost.MultiShardBam``) chains
+        per-shard ranges with global offsets."""
+        lo, hi = self.overlap_range(chrom, start, stop)
+        return range(lo, hi)
+
     # -- region decode ----------------------------------------------------
 
     def decode_region(self, chrom: str, start: int, stop: int) -> Iterator[DecodedRecord]:

@@ -1,0 +1,328 @@
+"""Multi-process / multi-host BAM-shard ingest with deterministic merge.
+
+SURVEY §2.1 / §5 "Distributed communication backend": the reference has no
+distribution of any kind; the TPU build's model of record is per-host BAM
+shard ingest with deterministic integer reductions so that N hosts produce
+byte-identical outputs to one.  This module is that host-sharding entry
+point:
+
+* :func:`split_bam` — partition a coordinate-sorted BAM into N shard
+  files preserving global record order (shard k holds the k-th contiguous
+  slice), the layout a multi-host deployment would stage per host;
+* :func:`scan_shard` — the per-process worker: scans one shard and
+  returns its raw ingest products (read lengths, SA buckets in record
+  order, NM moment sums) — everything downstream of the scan is exactly
+  the single-process code;
+* :class:`MultiShardBam` — a BamFile-compatible view over the shard set
+  whose region queries reduce deterministically across shards (integer
+  sums for coverage, order-preserving concatenation for record rows);
+* :func:`multihost_reconstruct_graphs` — end-to-end graph reconstruction
+  with the whole-BAM scan fanned out over a process pool.
+
+Determinism argument: the single-process scan visits records in file
+order; shard k is the k-th contiguous slice of that order, so merging
+per-shard products in shard order reproduces the single-process iteration
+order exactly (dict insertion order included), and all cross-shard
+reductions are integer sums or order-preserving concatenations.  The one
+float exception is the NM baseline (mean/std of per-base NM): it is
+merged from per-shard moment sums, which can differ from the fused
+single-pass result in the last ulp; it only gates the optional
+``--filter_bp_by_edit_distance`` path.  Everything that feeds graph.txt /
+cycles.txt is bit-identical — ``tests/test_multihost.py`` asserts
+byte-identical output files for 1/2/3-process runs.
+
+In a true multi-host deployment the same worker runs under
+``jax.distributed`` with one process per host and the merge travels over
+DCN; the merge math is identical, which is what these tests pin.
+"""
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..io.bam import BamFile
+from ..io.bgzf import BGZF_EOF, iter_blocks, write_bgzf
+
+
+# --------------------------------------------------------------------------
+# BAM splitting (per-host shard staging)
+# --------------------------------------------------------------------------
+
+def split_bam(path: str, out_paths: Sequence[str]) -> List[str]:
+    """Split a BAM into ``len(out_paths)`` shards of contiguous records.
+
+    Raw record blobs are copied verbatim (all tags preserved); every shard
+    carries the full header, so each is a valid standalone BAM and their
+    record-order concatenation equals the input.
+    """
+    with open(path, "rb") as fp:
+        raw = fp.read()
+    payload = b"".join(block for _, block in iter_blocks(raw))
+    if payload[:4] != b"BAM\x01":
+        raise ValueError(f"{path}: not a BAM payload")
+    p = 4
+    (l_text,) = struct.unpack_from("<i", payload, p)
+    p += 4 + l_text
+    (n_ref,) = struct.unpack_from("<i", payload, p)
+    p += 4
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", payload, p)
+        p += 4 + l_name + 4
+    header = payload[:p]
+    rec_offsets = []
+    while p < len(payload):
+        rec_offsets.append(p)
+        (block_size,) = struct.unpack_from("<i", payload, p)
+        p += 4 + block_size
+    rec_offsets.append(p)
+    n = len(rec_offsets) - 1
+    k = len(out_paths)
+    bounds = [round(i * n / k) for i in range(k + 1)]
+    for sh, out in enumerate(out_paths):
+        lo, hi = rec_offsets[bounds[sh]], rec_offsets[bounds[sh + 1]]
+        with open(out, "wb") as fp:
+            write_bgzf(fp, header + payload[lo:hi])
+            fp.write(BGZF_EOF)
+    return list(out_paths)
+
+
+# --------------------------------------------------------------------------
+# Per-process worker
+# --------------------------------------------------------------------------
+
+def scan_shard(shard_path: str) -> dict:
+    """Scan one BAM shard; return its raw ingest products (picklable).
+
+    Mirrors the bucket-building of ``ops.chimera.collect_chimeras`` but
+    stops before SA decoding, because a read's supplementary records can
+    land in a different shard than its primary: buckets must be merged
+    across shards (in shard order) before decoding.
+    """
+    bam = BamFile(shard_path)
+    try:
+        names = bam.names()
+        primary = np.asarray(bam.flag) < 256
+        has_sa = np.asarray(bam.sa_len) > 0
+        read_length: Dict[str, int] = {}
+        for i in np.flatnonzero(primary):
+            rn = names[i]
+            if rn not in read_length:
+                read_length[rn] = int(bam.qlen[i])
+        sa_buckets: Dict[str, List[str]] = {}
+        for i in np.flatnonzero(has_sa):
+            rn = names[i]
+            tag = bam.sa_tag(int(i))
+            entries = tag[:-1].split(";") if tag.endswith(";") else tag.split(";")
+            bucket = sa_buckets.setdefault(rn, [])
+            for sa in entries:
+                if sa and sa not in bucket:
+                    bucket.append(sa)
+        nm_idx = np.flatnonzero((~has_sa) & (np.asarray(bam.mapq) == 60)
+                                & (np.asarray(bam.qlen) > 0))
+        if nm_idx.size:
+            e = np.asarray(bam.nm)[nm_idx] / np.asarray(bam.qlen)[nm_idx]
+            nm_sums = (float(np.sum(e)), float(np.sum(e * e)), int(nm_idx.size))
+        else:
+            nm_sums = (0.0, 0.0, 0)
+        return {"read_length": read_length, "sa_buckets": sa_buckets,
+                "nm_sums": nm_sums}
+    finally:
+        bam.close()
+
+
+def merge_scan_products(parts: List[dict]):
+    """Merge per-shard scan products in shard order; decode chimeras.
+
+    Reproduces ``collect_chimeras`` over the unsplit BAM: read lengths
+    keep the first-seen primary, SA buckets append across shards with
+    in-order dedup, and the NM baseline merges moment sums.
+    """
+    import math
+
+    from ..ops.chimera import Chimera, alignment_from_sa
+
+    read_length: Dict[str, int] = {}
+    sa_buckets: Dict[str, List[str]] = {}
+    s1 = s2 = 0.0
+    n = 0
+    for part in parts:
+        for rn, ql in part["read_length"].items():
+            if rn not in read_length:
+                read_length[rn] = ql
+        for rn, entries in part["sa_buckets"].items():
+            bucket = sa_buckets.setdefault(rn, [])
+            for sa in entries:
+                if sa not in bucket:
+                    bucket.append(sa)
+        a, b, c = part["nm_sums"]
+        s1 += a
+        s2 += b
+        n += c
+    if n:
+        mean = s1 / n
+        nm_stats = [mean, math.sqrt(max(s2 / n - mean * mean, 0.0)), n]
+    else:
+        nm_stats = [0.0, 0.0, 0]
+    chimeras: Dict[str, Chimera] = {}
+    for rn, entries in sa_buckets.items():
+        if rn not in read_length:
+            continue
+        chim = alignment_from_sa(entries, read_length[rn])
+        chimeras[rn] = chim if chim is not None else Chimera([], [], [], [])
+    return read_length, chimeras, nm_stats
+
+
+# --------------------------------------------------------------------------
+# Shard-set BAM view with deterministic reductions
+# --------------------------------------------------------------------------
+
+class MultiShardBam:
+    """BamFile-compatible view over an ordered shard set.
+
+    Region reductions are deterministic: coverage/read counts are integer
+    sums over shards, name sets are unions, and record-row queries
+    concatenate per-shard rows in shard order — since the shards partition
+    the coordinate-sorted input contiguously, that equals the unsplit
+    file's row order.
+    """
+
+    def __init__(self, shard_paths: Sequence[str]):
+        self.shards = [BamFile(p) for p in shard_paths]
+        self._bases = np.cumsum([0] + [len(s.pos) for s in self.shards])
+        self._pos: Optional[np.ndarray] = None
+        self._end: Optional[np.ndarray] = None
+        self._mapq: Optional[np.ndarray] = None
+        self._name_blob: Optional[np.ndarray] = None
+        self._name_off: Optional[np.ndarray] = None
+
+    # integer reductions ---------------------------------------------------
+
+    def coverage_sum(self, chrom, start, stop, **kw) -> int:
+        return sum(s.coverage_sum(chrom, start, stop, **kw)
+                   for s in self.shards)
+
+    def coverage_profile(self, chrom, start, stop, **kw) -> np.ndarray:
+        out = None
+        for s in self.shards:
+            prof = s.coverage_profile(chrom, start, stop, **kw)
+            out = prof if out is None else out + prof
+        return out
+
+    def read_count(self, chrom, start, stop) -> int:
+        return sum(s.read_count(chrom, start, stop) for s in self.shards)
+
+    def names_overlapping(self, chrom, start, stop) -> set:
+        out: set = set()
+        for s in self.shards:
+            out |= s.names_overlapping(chrom, start, stop)
+        return out
+
+    # order-preserving concatenations -------------------------------------
+
+    def del_gap_alignments(self, *args, **kw) -> list:
+        rows: list = []
+        for s in self.shards:
+            rows.extend(s.del_gap_alignments(*args, **kw))
+        return rows
+
+    def overlap_rows(self, chrom, start, stop):
+        for k, s in enumerate(self.shards):
+            lo, hi = s.overlap_range(chrom, start, stop)
+            base = int(self._bases[k])
+            yield from range(base + lo, base + hi)
+
+    # concatenated flat columns (lazily materialized) ----------------------
+
+    @property
+    def pos(self) -> np.ndarray:
+        if self._pos is None:
+            self._pos = np.concatenate([np.asarray(s.pos) for s in self.shards])
+        return self._pos
+
+    @property
+    def end(self) -> np.ndarray:
+        if self._end is None:
+            self._end = np.concatenate([np.asarray(s.end) for s in self.shards])
+        return self._end
+
+    @property
+    def mapq(self) -> np.ndarray:
+        if self._mapq is None:
+            self._mapq = np.concatenate(
+                [np.asarray(s.mapq) for s in self.shards])
+        return self._mapq
+
+    @property
+    def name_blob(self) -> np.ndarray:
+        if self._name_blob is None:
+            self._name_blob = np.concatenate(
+                [np.frombuffer(bytes(s.name_blob), np.uint8)
+                 for s in self.shards])
+        return self._name_blob
+
+    @property
+    def name_off(self) -> np.ndarray:
+        if self._name_off is None:
+            parts = []
+            shift = 0
+            for k, s in enumerate(self.shards):
+                off = np.asarray(s.name_off, np.int64)
+                parts.append(off[:-1] + shift if k < len(self.shards) - 1
+                             else off + shift)
+                shift += int(off[-1])
+            self._name_off = np.concatenate(parts)
+        return self._name_off
+
+    def close(self) -> None:
+        for s in self.shards:
+            s.close()
+
+
+# --------------------------------------------------------------------------
+# End-to-end entry point
+# --------------------------------------------------------------------------
+
+def multihost_reconstruct_graphs(
+    shard_paths: Sequence[str],
+    cnv_seed: str,
+    cn_seg: str,
+    output_prefix: str,
+    cfg=None,
+    processes: Optional[int] = None,
+):
+    """Graph reconstruction with the whole-BAM scan fanned out over one
+    process per shard (the per-host ingest of a multi-host deployment).
+
+    Byte-identical outputs to single-process ``reconstruct_graphs`` on the
+    unsplit BAM — see module docstring for the determinism argument.
+    """
+    import multiprocessing as mp
+
+    from ..config import DEFAULT_CONFIG
+    from ..graph.breakpoint_graph import write_graph_file
+    from ..reconstruct import Reconstruction
+
+    cfg = cfg or DEFAULT_CONFIG
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(processes or len(shard_paths)) as pool:
+        parts = pool.map(scan_shard, list(shard_paths))
+    read_length, chimeras, nm_stats = merge_scan_products(parts)
+
+    bam = MultiShardBam(shard_paths)
+    rec = Reconstruction(bam, cnv_seed, cfg)
+    rec.read_cns(cn_seg)
+    rec.read_length = read_length
+    rec.chimeras = chimeras
+    rec.nm_stats = nm_stats
+    rec.hash_to_segments()
+    rec.find_amplicon_intervals()
+    rec.find_smalldel_breakpoints()
+    rec.find_breakpoints()
+    rec.build_graph()
+    rec.assign_cov()
+    rec.compute_cn()
+    for gi, g in enumerate(rec.graphs):
+        write_graph_file(g, f"{output_prefix}_amplicon{gi + 1}_graph.txt")
+    return rec

@@ -1135,8 +1135,7 @@ class Reconstruction:
             for aint in self.amplicon_intervals:
                 if amplicon_idx != self.ccid2id[aint[3]] - 1:
                     continue
-                lo, hi = self.bam.overlap_range(aint[0], aint[1], aint[2] + 1)
-                for i in range(lo, hi):
+                for i in self.bam.overlap_rows(aint[0], aint[1], aint[2] + 1):
                     if self.bam.end[i] <= aint[1]:
                         continue
                     if self.bam.mapq[i] < 20:
