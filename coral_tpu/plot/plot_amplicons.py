@@ -27,6 +27,7 @@ import matplotlib.pyplot as plt  # noqa: E402
 import matplotlib.ticker as ticker  # noqa: E402
 import numpy as np  # noqa: E402
 from matplotlib import gridspec  # noqa: E402
+from matplotlib.collections import LineCollection, PatchCollection  # noqa: E402
 from matplotlib.patches import Arc, Rectangle  # noqa: E402
 
 from ..constants import sort_chrom_names  # noqa: E402
@@ -41,6 +42,88 @@ ANNOTATIONS_DIRS = [
     os.path.join(os.path.dirname(__file__), "..", "annotations_data"),
     os.getcwd(),
 ]
+
+
+class GraphLayout:
+    """Figure x-coordinate system for amplified intervals, computed once
+    from the flat interval / sequence-edge tables (vectorized cumsum
+    layout; replaces the reference's per-segment cursor walk,
+    ``plot_amplicons.py:260-414``).
+
+    Two genome->figure maps coexist, matching the reference's visual
+    contract exactly:
+
+    * **seq-cumulative** (``seq_bars``): CN bar endpoints accumulate
+      per-edge lengths in edge order;
+    * **interval-linear** (``pos_x``): breakpoints/coverage/genes/ticks
+      map positions linearly within their interval.
+
+    Interval k of a chromosome starts at
+    ``chrom_x0 + k*margin + (sum of preceding edge lengths)*scale``; both
+    maps derive from the same cumulative arrays.
+    """
+
+    def __init__(self, sorted_chrs, intervals_by_chr, seq_edges_by_chr,
+                 margin, total_len):
+        self.scale = 100.0 / total_len
+        self.margin = margin
+        self.starts: Dict[str, list] = {}
+        self._iv_start: Dict[str, np.ndarray] = {}
+        self._iv_end: Dict[str, np.ndarray] = {}
+        # per-edge flat columns (all chroms, edge order)
+        bar_chrom: List[str] = []
+        bar_x1: List[np.ndarray] = []
+        bar_x2: List[np.ndarray] = []
+        bar_cn: List[np.ndarray] = []
+        bar_s: List[np.ndarray] = []
+        bar_e: List[np.ndarray] = []
+        x0 = float(margin)
+        for chrom in sorted_chrs:
+            ivs = np.asarray([iv[0] for iv in intervals_by_chr[chrom]])
+            ive = np.asarray([iv[1] for iv in intervals_by_chr[chrom]])
+            self._iv_start[chrom] = ivs
+            self._iv_end[chrom] = ive
+            edges = seq_edges_by_chr.get(chrom, [])
+            s = np.asarray([e[1] for e in edges], np.int64)
+            e_ = np.asarray([e[2] for e in edges], np.int64)
+            cn = np.asarray([e[3] for e in edges], float)
+            # interval index per edge: first interval whose end >= start
+            idx = np.searchsorted(ive, s)
+            lens = (e_ - s) * self.scale
+            cum = np.concatenate([[0.0], np.cumsum(lens)])
+            x1 = x0 + idx * margin + cum[:-1]
+            x2 = x0 + idx * margin + cum[1:]
+            # interval origins: x at the first edge of each interval
+            self.starts[chrom] = [
+                float(x0 + k * margin + cum[np.argmax(idx == k)])
+                if (idx == k).any() else float(x0 + k * margin)
+                for k in range(len(ivs))
+            ]
+            bar_chrom += [chrom] * len(edges)
+            bar_x1.append(x1)
+            bar_x2.append(x2)
+            bar_cn.append(cn)
+            bar_s.append(s)
+            bar_e.append(e_)
+            # next chrom starts one margin after this chrom's last edge
+            if len(edges):
+                x0 = float(x0 + idx[-1] * margin + cum[-1] + margin)
+            else:
+                x0 = float(x0 + margin)
+        self.bar_chrom = np.asarray(bar_chrom)
+        self.bar_x1 = np.concatenate(bar_x1) if bar_x1 else np.zeros(0)
+        self.bar_x2 = np.concatenate(bar_x2) if bar_x2 else np.zeros(0)
+        self.bar_cn = np.concatenate(bar_cn) if bar_cn else np.zeros(0)
+        self.bar_s = np.concatenate(bar_s) if bar_s else np.zeros(0, np.int64)
+        self.bar_e = np.concatenate(bar_e) if bar_e else np.zeros(0, np.int64)
+
+    def pos_x(self, chrom: str, pos) -> Tuple[np.ndarray, np.ndarray]:
+        """Interval-linear map: figure x (and interval index) for genome
+        positions on ``chrom``.  Vectorized over ``pos``."""
+        pos = np.asarray(pos)
+        idx = np.searchsorted(self._iv_end[chrom], pos)
+        x0 = np.asarray(self.starts[chrom])[idx]
+        return x0 + (pos - self._iv_start[chrom][idx]) * self.scale, idx
 
 
 class Gene:
@@ -267,30 +350,23 @@ class AmpliconVisualizer:
         if self.plot_bounds:
             zoom = float(self.plot_bounds[2] - self.plot_bounds[1]) / total_len_amp
         sorted_chrs = sort_chrom_names(self.intervals_from_graph.keys())
-        starts: Dict[str, list] = {}
-        ymax = 0
-        x = margin
-        for chrom in sorted_chrs:
-            interval_idx = 0
-            starts[chrom] = [x]
-            for seq in self.sequence_edges_by_chr[chrom]:
-                ivs = self.intervals_from_graph[chrom]
-                if interval_idx >= len(ivs) or seq[1] > ivs[interval_idx][1]:
-                    x += margin
-                    starts[chrom].append(x)
-                    interval_idx += 1
-                x1 = x
-                x += (seq[2] - seq[1]) * 100.0 / total_len_amp
-                x2 = x
-                if self.plot_bounds:
-                    if chrom != self.plot_bounds[0]:
-                        continue
-                    if not (seq[2] >= self.plot_bounds[1]
-                            and seq[1] <= self.plot_bounds[2]):
-                        continue
-                ymax = max(ymax, seq[3])
-                ax2.hlines(seq[3], x1, x2, color="black", lw=6, zorder=2)
-            x += margin
+        layout = GraphLayout(sorted_chrs, self.intervals_from_graph,
+                             self.sequence_edges_by_chr, margin, total_len_amp)
+        starts = layout.starts
+
+        # CN bars: one LineCollection over the flat sequence-edge table
+        visible = np.ones(len(layout.bar_cn), bool)
+        if self.plot_bounds:
+            visible = (layout.bar_chrom == self.plot_bounds[0]) \
+                & (layout.bar_e >= self.plot_bounds[1]) \
+                & (layout.bar_s <= self.plot_bounds[2])
+        ymax = float(layout.bar_cn[visible].max()) if visible.any() else 0
+        segs = np.stack([
+            np.stack([layout.bar_x1[visible], layout.bar_cn[visible]], axis=1),
+            np.stack([layout.bar_x2[visible], layout.bar_cn[visible]], axis=1),
+        ], axis=1)
+        ax2.add_collection(LineCollection(
+            segs, colors="black", linewidths=6, zorder=2))
 
         if not self.plot_bounds:
             for chrom in starts:
@@ -302,44 +378,43 @@ class AmpliconVisualizer:
                     ax.axvline(x=starts[chrom][i] - margin * 0.5,
                                linestyle=":", lw=2, zorder=2)
 
-        # discordant-edge arcs (orientation color code, ref :339)
+        # discordant-edge arcs (orientation color code, ref :339); endpoint
+        # x-positions come from the layout's vectorized interval-linear map
         colorcode = {"+-": "red", "++": "magenta",
                      "-+": (139 / 256.0, 69 / 256.0, 19 / 256.0), "--": "teal"}
         avg_rc = sum(bp[7] for bp in self.discordant_edges) * 1.0 / max(
             len(self.discordant_edges), 1)
+        placeable = [bp for bp in self.discordant_edges
+                     if bp[0] in self.intervals_from_graph
+                     and bp[3] in self.intervals_from_graph]
         for bp in self.discordant_edges:
-            chr1, pos1, chr2, pos2 = bp[0], bp[1], bp[3], bp[4]
-            ort = bp[2] + bp[5]
-            if chr1 not in self.intervals_from_graph or \
-                    chr2 not in self.intervals_from_graph:
+            if bp not in placeable:
                 print("Could not place " + str(bp))
-                continue
-            i1 = i2 = 0
-            while pos1 > self.intervals_from_graph[chr1][i1][1]:
-                i1 += 1
-            x1 = starts[chr1][i1] + (pos1 - self.intervals_from_graph[chr1][i1][0]) \
-                * 100.0 / total_len_amp
-            while pos2 > self.intervals_from_graph[chr2][i2][1]:
-                i2 += 1
-            x2 = starts[chr2][i2] + (pos2 - self.intervals_from_graph[chr2][i2][0]) \
-                * 100.0 / total_len_amp
-            if self.plot_bounds:
-                hit1 = (chr1 == self.plot_bounds[0]
-                        and self.plot_bounds[1] <= pos1 <= self.plot_bounds[2])
-                hit2 = (chr2 == self.plot_bounds[0]
-                        and self.plot_bounds[1] <= pos2 <= self.plot_bounds[2])
-                if not hit1 and not hit2:
-                    continue
-            arc = Arc(((x1 + x2) * 0.5, 0), x1 - x2, 2 * ymax, theta1=0,
-                      theta2=180, color=colorcode[ort],
-                      lw=min(3 * (bp[7] / avg_rc), 3), zorder=3)
-            ax2.add_patch(arc)
+        if placeable:
+            xs1 = np.concatenate([
+                layout.pos_x(bp[0], [bp[1]])[0] for bp in placeable])
+            xs2 = np.concatenate([
+                layout.pos_x(bp[3], [bp[4]])[0] for bp in placeable])
+            for bp, x1, x2 in zip(placeable, xs1, xs2):
+                if self.plot_bounds:
+                    hit1 = (bp[0] == self.plot_bounds[0]
+                            and self.plot_bounds[1] <= bp[1] <= self.plot_bounds[2])
+                    hit2 = (bp[3] == self.plot_bounds[0]
+                            and self.plot_bounds[1] <= bp[4] <= self.plot_bounds[2])
+                    if not hit1 and not hit2:
+                        continue
+                arc = Arc(((x1 + x2) * 0.5, 0), x1 - x2, 2 * ymax, theta1=0,
+                          theta2=180, color=colorcode[bp[2] + bp[5]],
+                          lw=min(3 * (bp[7] / avg_rc), 3), zorder=3)
+                ax2.add_patch(arc)
         ax2.set_ylim(0, 1.4 * ymax)
         ax2.set_ylabel("CN", fontsize=fontsize)
         ax2.tick_params(axis="y", labelsize=fontsize)
 
-        # windowed coverage (one exact profile per interval)
+        # windowed coverage: one exact profile per interval, window sums by
+        # reduceat, all bars in one PatchCollection
         max_cov = 0.0
+        cov_patches = []
         for chrom in sorted_chrs:
             for inti, iv in enumerate(self.intervals_from_graph[chrom]):
                 if self.plot_bounds:
@@ -356,16 +431,24 @@ class AmpliconVisualizer:
                     window = 10_000
                 elif ival_len >= 100_000:
                     window = 1_000
-                profile = self.bam.coverage_profile(
+                profile = np.asarray(self.bam.coverage_profile(
                     chrom, iv[0], iv[1] + window,
-                    quality_threshold=int(quality_threshold))
-                for w in range(iv[0], iv[1], window):
-                    cov = float(profile[w - iv[0]: w - iv[0] + window].sum()) / window
-                    max_cov = max(max_cov, cov)
-                    xw = starts[chrom][inti] + (w - iv[0]) * 100.0 / total_len_amp
-                    ax.add_patch(Rectangle(
-                        (xw, 0), window * 100.0 / total_len_amp, cov,
-                        color="silver", zorder=1))
+                    quality_threshold=int(quality_threshold)), float)
+                w0 = np.arange(iv[0], iv[1], window)
+                if not len(w0):
+                    continue
+                covs = np.add.reduceat(profile, w0 - iv[0]) / window
+                # reduceat's final slice runs to the profile end; re-cut it
+                # to one window to match the per-window contract
+                if len(w0):
+                    covs[-1] = profile[w0[-1] - iv[0]: w0[-1] - iv[0] + window].sum() / window
+                    max_cov = max(max_cov, float(covs.max()))
+                xw = starts[chrom][inti] + (w0 - iv[0]) * 100.0 / total_len_amp
+                cov_patches.extend(
+                    Rectangle((x, 0), window * 100.0 / total_len_amp, c)
+                    for x, c in zip(xw, covs))
+        ax.add_collection(PatchCollection(
+            cov_patches, facecolor="silver", edgecolor="silver", zorder=1))
         ax.set_ylabel("Coverage", fontsize=fontsize)
         ax.set_ylim(0, min(1.25 * max_cov, max_cov_cutoff) or 1.0)
         ax.tick_params(axis="y", labelsize=fontsize)

@@ -66,3 +66,55 @@ def test_plot_cycles_with_graph_intervals(outputs):
     ])
     assert rc == 0
     assert os.path.exists(os.path.join(out, "vis4_cycles.png"))
+
+
+def test_graph_layout_matches_cursor_walk():
+    """The vectorized GraphLayout must reproduce the reference's
+    per-segment cursor walk (plot_amplicons.py:260-414) exactly: interval
+    origins, CN-bar endpoints, and the interval-linear position map."""
+    import numpy as np
+
+    from coral_tpu.plot.plot_amplicons import GraphLayout
+
+    intervals = {
+        "chr7": [[100, 5099], [9000, 12999]],
+        "chr8": [[0, 1999]],
+    }
+    seq_edges = {
+        "chr7": [["chr7", 100, 2099, 5.0], ["chr7", 2100, 5099, 20.0],
+                 ["chr7", 9000, 12999, 8.0]],
+        "chr8": [["chr8", 0, 1999, 3.0]],
+    }
+    sorted_chrs = ["chr7", "chr8"]
+    margin = 2
+    total_len = sum(iv[1] - iv[0] + 1
+                    for ivs in intervals.values() for iv in ivs)
+    # reference cursor walk
+    x = margin
+    exp_starts = {}
+    exp_bars = []
+    for chrom in sorted_chrs:
+        ii = 0
+        exp_starts[chrom] = [x]
+        for seq in seq_edges[chrom]:
+            if seq[1] > intervals[chrom][ii][1]:
+                x += margin
+                exp_starts[chrom].append(x)
+                ii += 1
+            x1 = x
+            x += (seq[2] - seq[1]) * 100.0 / total_len
+            exp_bars.append((x1, x, seq[3]))
+        x += margin
+
+    lay = GraphLayout(sorted_chrs, intervals, seq_edges, margin, total_len)
+    for chrom in sorted_chrs:
+        np.testing.assert_allclose(lay.starts[chrom], exp_starts[chrom],
+                                   rtol=0, atol=1e-9)
+    np.testing.assert_allclose(lay.bar_x1, [b[0] for b in exp_bars], atol=1e-9)
+    np.testing.assert_allclose(lay.bar_x2, [b[1] for b in exp_bars], atol=1e-9)
+    np.testing.assert_allclose(lay.bar_cn, [b[2] for b in exp_bars], atol=0)
+    # interval-linear map at interval starts equals the interval origins
+    xs, idx = lay.pos_x("chr7", [100, 9000, 11000])
+    np.testing.assert_allclose(xs[:2], lay.starts["chr7"], atol=1e-9)
+    assert list(idx) == [0, 1, 1]
+    assert xs[2] == lay.starts["chr7"][1] + 2000 * 100.0 / total_len
