@@ -56,7 +56,7 @@ def reconstruct_mode(args) -> None:
     )
     rec = reconstruct_graphs(
         args.lr_bam, args.cnv_seed, args.cn_seg, args.output_prefix,
-        cfg=cfg, output_bp=args.output_bp)
+        cfg=cfg, output_bp=args.output_bp, scan_cache=args.scan_cache)
     if not (args.output_bp or args.skip_cycle_decomp):
         reconstruct_cycles(
             rec, args.output_prefix,
@@ -122,6 +122,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Only reconstruct and output the breakpoint graph.")
     p.add_argument("--output_all_path_constraints", action="store_true",
                    help="Output all path constraints in *.cycles file.")
+    p.add_argument("--scan_cache", action="store_true",
+                   help="Persist the BAM scan to <bam>.scanx and resume "
+                        "from it on re-runs while the BAM is unchanged "
+                        "(no reference analog: stage checkpoint for the "
+                        "whole-BAM scan).")
     p.add_argument("--min_bp_support", type=float, default=1.0,
                    help="Ignore breakpoints with less than (min_bp_support * "
                         "normal coverage) long read support.")

@@ -125,14 +125,22 @@ class BamFile:
     names in ``name_blob`` addressed by ``name_off``.
     """
 
-    def __init__(self, path: str, backend: str = "auto"):
+    def __init__(self, path: str, backend: str = "auto",
+                 scan_cache: bool = False):
+        """``scan_cache=True`` persists the scanned record table to
+        ``<path>.scanx`` and re-opens from it instantly while the BAM's
+        (size, mtime) are unchanged — the scan-resume stage checkpoint
+        (no reference analog; the reference re-scans on every run).
+        Native backend only; the python backend ignores it."""
         self.path = path
         if backend == "auto":
             backend = "native" if _native_available() else "python"
         self.backend = backend
+        self.scan_from_cache = False
         if backend == "native":
             from ..native import bamcore
-            bamcore.scan_into(self, path)
+            bamcore.scan_into(self, path,
+                              path + ".scanx" if scan_cache else None)
         else:
             self._scan_python(path)
         self._build_index()

@@ -22,6 +22,7 @@
 #include <unordered_set>
 #include <vector>
 #include <thread>
+#include <sys/stat.h>
 #include <zlib.h>
 
 namespace {
@@ -86,6 +87,7 @@ struct BamCore {
   std::string path;
   FILE* fp = nullptr;
   std::string error;
+  bool from_cache = false;   // record table loaded from a scan cache
 
   // chimera tables (filled by bc_parse_sa)
   std::vector<int64_t> chim_rec;    // representative record idx per read
@@ -744,6 +746,129 @@ bool parse_sa_entry(const BamCore* bc, const char* s, const char* end,
   return true;
 }
 
+// ---- scan cache: persist the record table for instant re-open ----------
+// Format: magic, version, source BAM (size, mtime), references, then the
+// raw column vectors.  Validity is keyed on the BAM's (size, mtime): any
+// change invalidates the cache and a full scan runs instead.
+
+constexpr uint32_t BCX_MAGIC = 0x31584342;  // "BCX1"
+constexpr uint32_t BCX_VERSION = 1;
+
+template <typename T>
+bool write_vec(FILE* f, const dvec<T>& v) {
+  uint64_t n = v.size();
+  if (fwrite(&n, 8, 1, f) != 1) return false;
+  return n == 0 || fwrite(v.data(), sizeof(T), n, f) == n;
+}
+
+template <typename T>
+bool read_vec(FILE* f, dvec<T>& v) {
+  uint64_t n = 0;
+  if (fread(&n, 8, 1, f) != 1) return false;
+  ensure_size(v, n);
+  v.resize(n);
+  return n == 0 || fread(v.data(), sizeof(T), n, f) == n;
+}
+
+bool stat_file(const std::string& path, int64_t* size, int64_t* mtime) {
+  struct stat st;
+  if (stat(path.c_str(), &st) != 0) return false;
+  *size = static_cast<int64_t>(st.st_size);
+  *mtime = static_cast<int64_t>(st.st_mtime);
+  return true;
+}
+
+bool save_cache(BamCore* bc, const char* cache_path) {
+  int64_t size, mtime;
+  if (!stat_file(bc->path, &size, &mtime)) return false;
+  FILE* f = fopen(cache_path, "wb");
+  if (!f) return false;
+  bool ok = true;
+  uint32_t hdr[2] = {BCX_MAGIC, BCX_VERSION};
+  ok = ok && fwrite(hdr, 4, 2, f) == 2;
+  ok = ok && fwrite(&size, 8, 1, f) == 1 && fwrite(&mtime, 8, 1, f) == 1;
+  uint64_t n_ref = bc->ref_names.size();
+  ok = ok && fwrite(&n_ref, 8, 1, f) == 1;
+  for (size_t i = 0; ok && i < bc->ref_names.size(); i++) {
+    uint64_t ln = bc->ref_names[i].size();
+    ok = fwrite(&ln, 8, 1, f) == 1 &&
+         (ln == 0 || fwrite(bc->ref_names[i].data(), 1, ln, f) == ln) &&
+         fwrite(&bc->ref_lens[i], 8, 1, f) == 1;
+  }
+  ok = ok && write_vec(f, bc->flag) && write_vec(f, bc->ref_id) &&
+       write_vec(f, bc->pos) && write_vec(f, bc->end) &&
+       write_vec(f, bc->mapq) && write_vec(f, bc->qlen) &&
+       write_vec(f, bc->nm) && write_vec(f, bc->voffset) &&
+       write_vec(f, bc->name_blob) && write_vec(f, bc->name_off) &&
+       write_vec(f, bc->sa_blob) && write_vec(f, bc->sa_off) &&
+       write_vec(f, bc->sa_len);
+  fclose(f);
+  if (!ok) remove(cache_path);
+  return ok;
+}
+
+bool load_cache(BamCore* bc, const char* cache_path) {
+  int64_t size, mtime;
+  if (!stat_file(bc->path, &size, &mtime)) return false;
+  FILE* f = fopen(cache_path, "rb");
+  if (!f) return false;
+  bool ok = true;
+  uint32_t hdr[2];
+  int64_t csize, cmtime;
+  ok = fread(hdr, 4, 2, f) == 2 && hdr[0] == BCX_MAGIC &&
+       hdr[1] == BCX_VERSION;
+  ok = ok && fread(&csize, 8, 1, f) == 1 && fread(&cmtime, 8, 1, f) == 1 &&
+       csize == size && cmtime == mtime;
+  uint64_t n_ref = 0;
+  ok = ok && fread(&n_ref, 8, 1, f) == 1 && n_ref < (1u << 20);
+  for (uint64_t i = 0; ok && i < n_ref; i++) {
+    uint64_t ln = 0;
+    ok = fread(&ln, 8, 1, f) == 1 && ln < (1u << 16);
+    if (ok) {
+      std::string name(ln, '\0');
+      int64_t rlen = 0;
+      ok = (ln == 0 || fread(&name[0], 1, ln, f) == ln) &&
+           fread(&rlen, 8, 1, f) == 1;
+      if (ok) {
+        bc->ref_names.push_back(std::move(name));
+        bc->ref_lens.push_back(rlen);
+      }
+    }
+  }
+  ok = ok && read_vec(f, bc->flag) && read_vec(f, bc->ref_id) &&
+       read_vec(f, bc->pos) && read_vec(f, bc->end) &&
+       read_vec(f, bc->mapq) && read_vec(f, bc->qlen) &&
+       read_vec(f, bc->nm) && read_vec(f, bc->voffset) &&
+       read_vec(f, bc->name_blob) && read_vec(f, bc->name_off) &&
+       read_vec(f, bc->sa_blob) && read_vec(f, bc->sa_off) &&
+       read_vec(f, bc->sa_len);
+  ok = ok && bc->name_off.size() == bc->flag.size() + 1 &&
+       bc->sa_off.size() == bc->flag.size() &&
+       bc->sa_len.size() == bc->flag.size();
+  fclose(f);
+  if (!ok) {
+    // clear EVERYTHING a partial load may have filled: the fallback scan
+    // grows the column vectors with ensure_size and would append to any
+    // residue, silently doubling the table
+    bc->ref_names.clear();
+    bc->ref_lens.clear();
+    bc->flag.clear();
+    bc->ref_id.clear();
+    bc->pos.clear();
+    bc->end.clear();
+    bc->mapq.clear();
+    bc->qlen.clear();
+    bc->nm.clear();
+    bc->voffset.clear();
+    bc->name_blob.clear();
+    bc->name_off.clear();
+    bc->sa_blob.clear();
+    bc->sa_off.clear();
+    bc->sa_len.clear();
+  }
+  return ok;
+}
+
 }  // namespace
 
 extern "C" {
@@ -761,6 +886,32 @@ BamCore* bc_open(const char* path, int nthreads) {
   }
   return bc;
 }
+
+// Open with a scan cache: load the record table from cache_path when it
+// matches the BAM's (size, mtime); otherwise scan and write the cache.
+// The BGZF file stays open either way (region re-decode reads it).
+BamCore* bc_open_cached(const char* path, const char* cache_path,
+                        int nthreads) {
+  auto* bc = new BamCore();
+  bc->path = path;
+  bc->fp = fopen(path, "rb");
+  if (!bc->fp) {
+    bc->error = "cannot open file";
+    return bc;
+  }
+  if (load_cache(bc, cache_path)) {
+    bc->from_cache = true;
+    return bc;
+  }
+  if (!scan_file(bc, nthreads)) {
+    if (bc->error.empty()) bc->error = "scan failed";
+    return bc;
+  }
+  save_cache(bc, cache_path);
+  return bc;
+}
+
+int32_t bc_from_cache(BamCore* bc) { return bc->from_cache ? 1 : 0; }
 
 void bc_close(BamCore* bc) { delete bc; }
 const char* bc_error(BamCore* bc) { return bc->error.empty() ? nullptr : bc->error.c_str(); }

@@ -22,6 +22,10 @@ def _load():
     lib = C.CDLL(_SO_PATH)
     lib.bc_open.restype = C.c_void_p
     lib.bc_open.argtypes = [C.c_char_p, C.c_int]
+    lib.bc_open_cached.restype = C.c_void_p
+    lib.bc_open_cached.argtypes = [C.c_char_p, C.c_char_p, C.c_int]
+    lib.bc_from_cache.restype = C.c_int32
+    lib.bc_from_cache.argtypes = [C.c_void_p]
     lib.bc_close.argtypes = [C.c_void_p]
     lib.bc_error.restype = C.c_char_p
     lib.bc_error.argtypes = [C.c_void_p]
@@ -81,18 +85,24 @@ def _as_np(ptr, dtype, n):
 class NativeBam:
     """Owns the C++ handle; arrays are views into C++ memory."""
 
-    def __init__(self, path: str, nthreads: int = 0):
+    def __init__(self, path: str, nthreads: int = 0,
+                 cache_path: str | None = None):
         lib = _load()
         if nthreads <= 0:
             nthreads = min(os.cpu_count() or 1, 8)
         self._lib = lib
-        self._h = lib.bc_open(path.encode(), nthreads)
+        if cache_path:
+            self._h = lib.bc_open_cached(
+                path.encode(), cache_path.encode(), nthreads)
+        else:
+            self._h = lib.bc_open(path.encode(), nthreads)
         err = lib.bc_error(self._h)
         if err:
             msg = err.decode()
             lib.bc_close(self._h)
             self._h = None
             raise ValueError(f"{path}: {msg}")
+        self.from_cache = bool(cache_path and lib.bc_from_cache(self._h))
 
     def __del__(self):
         if getattr(self, "_h", None):
@@ -100,9 +110,12 @@ class NativeBam:
             self._h = None
 
 
-def scan_into(bam, path: str) -> None:
-    """Populate a BamFile's table from the native scanner."""
-    nb = NativeBam(path)
+def scan_into(bam, path: str, cache_path: str | None = None) -> None:
+    """Populate a BamFile's table from the native scanner (or its scan
+    cache — see ``bc_open_cached``: the cache loads when it matches the
+    BAM's (size, mtime) and is written after a fresh scan otherwise)."""
+    nb = NativeBam(path, cache_path=cache_path)
+    bam.scan_from_cache = nb.from_cache
     lib, h = nb._lib, nb._h
     n = lib.bc_nrecords(h)
     bam._native = nb  # keep C++ memory alive

@@ -64,32 +64,23 @@ def _pair_kernel(ic_ref, is_ref, ie_ref,
     io_out[:] = io_i
 
 
-def pair_predicates_pallas(
-    cols: dict, int_chrom, int_start, int_end,
-    min_bp_match_cutoff: int = 100, min_mapq: int = 20, gap_: float = 100.0,
-    interpret: bool = False,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Evaluate pair predicates with the Pallas kernel.
+PAIR_COL_ORDER = ("qi_end", "qj_start", "chrom_i", "r1_i", "r2_i",
+                  "strand_i", "mapq_i", "chrom_j", "r1_j", "r2_j",
+                  "strand_j", "mapq_j")
 
-    ``cols`` holds flat int32 arrays (qi_end, qj_start, chrom_i, r1_i,
-    r2_i, strand_i, mapq_i, chrom_j, r1_j, r2_j, strand_j, mapq_j).
-    Returns (hit_mask, io) trimmed to the input length.
+
+@functools.lru_cache(maxsize=64)
+def make_pair_pallas_fn(rows: int, n_int: int,
+                        min_bp_match_cutoff: int = 100, min_mapq: int = 20,
+                        gap_: float = 100.0, interpret: bool = False):
+    """Compiled device-resident pair-predicate evaluator.
+
+    Returns a jitted fn(ic, is_, ie, *12 cols) over pre-padded (rows, 128)
+    int32 column blocks and (1, n_int) interval rows -> (hit, io) blocks.
+    Use this (not the numpy convenience wrapper) when benchmarking or
+    running a resident pipeline — the wrapper's per-call host padding and
+    transfers dominate otherwise.
     """
-    n = len(cols["qi_end"])
-    rows = max(-(-n // LANES), SUBLANES)
-    rows = -(-rows // SUBLANES) * SUBLANES
-    order = ["qi_end", "qj_start", "chrom_i", "r1_i", "r2_i", "strand_i",
-             "mapq_i", "chrom_j", "r1_j", "r2_j", "strand_j", "mapq_j"]
-    padded = [_pad2d(np.asarray(cols[k], np.int32), rows) for k in order]
-    # inert sentinel rows: chrom -2 never matches any alignment chrom
-    n_int = max(len(int_chrom), 1)
-    ic = np.full((1, n_int), -2, np.int32)
-    is_ = np.zeros((1, n_int), np.int32)
-    ie = np.zeros((1, n_int), np.int32)
-    ic[0, : len(int_chrom)] = int_chrom
-    is_[0, : len(int_start)] = int_start
-    ie[0, : len(int_end)] = int_end
-
     kernel = functools.partial(
         _pair_kernel, n_int=n_int,
         min_bp_match_cutoff=min_bp_match_cutoff, min_mapq=min_mapq,
@@ -99,7 +90,7 @@ def pair_predicates_pallas(
                          memory_space=pltpu.VMEM)
     int_spec = pl.BlockSpec((1, n_int), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
-    hit, io = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[int_spec] * 3 + [block] * 12,
@@ -109,8 +100,40 @@ def pair_predicates_pallas(
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         ),
         interpret=interpret,
-    )(jnp.asarray(ic), jnp.asarray(is_), jnp.asarray(ie),
-      *[jnp.asarray(p) for p in padded])
+    )
+    return jax.jit(call)
+
+
+def pair_predicates_pallas(
+    cols: dict, int_chrom, int_start, int_end,
+    min_bp_match_cutoff: int = 100, min_mapq: int = 20, gap_: float = 100.0,
+    interpret: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Evaluate pair predicates with the Pallas kernel (host convenience
+    wrapper: pads, transfers, calls :func:`make_pair_pallas_fn`).
+
+    ``cols`` holds flat int32 arrays (qi_end, qj_start, chrom_i, r1_i,
+    r2_i, strand_i, mapq_i, chrom_j, r1_j, r2_j, strand_j, mapq_j).
+    Returns (hit_mask, io) trimmed to the input length.
+    """
+    n = len(cols["qi_end"])
+    rows = max(-(-n // LANES), SUBLANES)
+    rows = -(-rows // SUBLANES) * SUBLANES
+    padded = [_pad2d(np.asarray(cols[k], np.int32), rows)
+              for k in PAIR_COL_ORDER]
+    # inert sentinel rows: chrom -2 never matches any alignment chrom
+    n_int = max(len(int_chrom), 1)
+    ic = np.full((1, n_int), -2, np.int32)
+    is_ = np.zeros((1, n_int), np.int32)
+    ie = np.zeros((1, n_int), np.int32)
+    ic[0, : len(int_chrom)] = int_chrom
+    is_[0, : len(int_start)] = int_start
+    ie[0, : len(int_end)] = int_end
+
+    fn = make_pair_pallas_fn(rows, n_int, min_bp_match_cutoff, min_mapq,
+                             gap_, interpret)
+    hit, io = fn(jnp.asarray(ic), jnp.asarray(is_), jnp.asarray(ie),
+                 *[jnp.asarray(p) for p in padded])
     hit = np.asarray(hit).reshape(-1)[:n].astype(bool)
     io = np.asarray(io).reshape(-1)[:n]
     return hit, io
@@ -118,7 +141,11 @@ def pair_predicates_pallas(
 
 def _bin_kernel(starts, ends, edge_lo, edge_hi, out_ref, *, n_bins: int):
     """Per-block partial bin histogram: each grid step owns an (8, 128)
-    block of reads and accumulates exact overlap into all bins."""
+    block of reads and accumulates exact overlap into all bins.
+
+    The per-bin partial sums accumulate via a one-hot lane mask instead of
+    stacking scalars (``jnp.stack``/``concatenate`` of per-bin scalars
+    does not lower on Mosaic: "input offsets outside of the first tile")."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -127,14 +154,36 @@ def _bin_kernel(starts, ends, edge_lo, edge_hi, out_ref, *, n_bins: int):
 
     s = starts[:]
     e = ends[:]
-    sums = []
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_bins), 1)
+    acc = jnp.zeros((1, n_bins), jnp.int32)
     for b in range(n_bins):
         lo = edge_lo[0, b]
         hi = edge_hi[0, b]
         ov = jnp.minimum(e, hi) - jnp.maximum(s, lo)
-        sums.append(jnp.sum(jnp.maximum(ov, 0)))
-    acc = jnp.stack(sums).reshape(1, n_bins)
+        tot = jnp.sum(jnp.maximum(ov, 0))
+        acc = acc + jnp.where(lane == b, tot, 0)
     out_ref[:] += acc
+
+
+@functools.lru_cache(maxsize=64)
+def make_bin_pallas_fn(rows: int, n_bins: int, interpret: bool = False):
+    """Compiled device-resident bin-histogram accumulator over pre-padded
+    (rows, 128) read-span blocks and (1, n_bins) edge rows."""
+    kernel = functools.partial(_bin_kernel, n_bins=n_bins)
+    block = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    espec = pl.BlockSpec((1, n_bins), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(rows // SUBLANES,),
+        in_specs=[block, block, espec, espec],
+        out_specs=pl.BlockSpec((1, n_bins), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_bins), jnp.int32),
+        interpret=interpret,
+    )
+    return jax.jit(call)
 
 
 def bin_coverage_pallas(starts, ends, origin: int, bin_size: int,
@@ -149,21 +198,9 @@ def bin_coverage_pallas(starts, ends, origin: int, bin_size: int,
     edge_lo = edges[:-1].astype(np.int32).reshape(1, n_bins)
     edge_hi = edges[1:].astype(np.int32).reshape(1, n_bins)
 
-    kernel = functools.partial(_bin_kernel, n_bins=n_bins)
-    block = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-    escpec = pl.BlockSpec((1, n_bins), lambda i: (0, 0),
-                          memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=(rows // SUBLANES,),
-        in_specs=[block, block, escpec, escpec],
-        out_specs=pl.BlockSpec((1, n_bins), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, n_bins), jnp.int32),
-        interpret=interpret,
-    )(jnp.asarray(s2), jnp.asarray(e2), jnp.asarray(edge_lo),
-      jnp.asarray(edge_hi))
+    fn = make_bin_pallas_fn(rows, n_bins, interpret)
+    out = fn(jnp.asarray(s2), jnp.asarray(e2), jnp.asarray(edge_lo),
+             jnp.asarray(edge_hi))
     return np.asarray(out).reshape(-1)
 
 
@@ -173,6 +210,28 @@ def _match_kernel(r1, r2, c1, c2, out_ref, *, cutoff: int):
     d1 = jnp.abs(r1[:] - c1[:])
     d2 = jnp.abs(r2[:] - c2[:])
     out_ref[:] = ((d1 < cutoff) & (d2 < cutoff)).astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=64)
+def make_match_pallas_fn(N: int, cutoff: int, interpret: bool = False):
+    """Compiled device-resident (N, N) match-matrix kernel over padded
+    (N, 1) row and (1, N) column position arrays."""
+    kernel = functools.partial(_match_kernel, cutoff=int(cutoff))
+    row_spec = pl.BlockSpec((SUBLANES, 1), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((1, LANES), lambda i, j: (0, j),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((SUBLANES, LANES), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(N // SUBLANES, N // LANES),
+        in_specs=[row_spec, row_spec, col_spec, col_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((N, N), jnp.int32),
+        interpret=interpret,
+    )
+    return jax.jit(call)
 
 
 def match_matrix_pallas(p1, p2, cutoff: int,
@@ -189,19 +248,7 @@ def match_matrix_pallas(p1, p2, cutoff: int,
     c1 = r1.reshape(1, N).copy()
     c2 = r2.reshape(1, N).copy()
 
-    kernel = functools.partial(_match_kernel, cutoff=int(cutoff))
-    row_spec = pl.BlockSpec((SUBLANES, 1), lambda i, j: (i, 0),
-                            memory_space=pltpu.VMEM)
-    col_spec = pl.BlockSpec((1, LANES), lambda i, j: (0, j),
-                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((SUBLANES, LANES), lambda i, j: (i, j),
-                            memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=(N // SUBLANES, N // LANES),
-        in_specs=[row_spec, row_spec, col_spec, col_spec],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((N, N), jnp.int32),
-        interpret=interpret,
-    )(jnp.asarray(r1), jnp.asarray(r2), jnp.asarray(c1), jnp.asarray(c2))
+    fn = make_match_pallas_fn(N, cutoff, interpret)
+    out = fn(jnp.asarray(r1), jnp.asarray(r2), jnp.asarray(c1),
+             jnp.asarray(c2))
     return np.asarray(out)[:n, :n]

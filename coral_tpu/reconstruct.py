@@ -1187,12 +1187,17 @@ def reconstruct_graphs(
     output_prefix: str,
     cfg: Config = DEFAULT_CONFIG,
     output_bp: bool = False,
+    scan_cache: bool = False,
 ) -> Reconstruction:
     """End-to-end graph reconstruction (reference ``reconstruct_graph``,
-    ``infer_breakpoint_graph.py:1333-1395``)."""
+    ``infer_breakpoint_graph.py:1333-1395``).  ``scan_cache`` enables the
+    BAM scan-resume checkpoint (``BamFile(scan_cache=True)``)."""
     from .graph.breakpoint_graph import write_breakpoints_file, write_graph_file
 
-    bam = BamFile(lr_bam)
+    bam = BamFile(lr_bam, scan_cache=scan_cache)
+    if bam.scan_from_cache:
+        logger.info("BAM record table restored from scan cache (%s.scanx)",
+                    lr_bam)
     rec = Reconstruction(bam, cnv_seed, cfg)
     rec.read_cns(cn_seg)
     rec.collect()

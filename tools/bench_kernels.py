@@ -40,7 +40,8 @@ def bench_pair_predicates(n_pairs, n_intervals=16):
     import jax
 
     from coral_tpu.ops.pairs import _pair_predicates
-    from coral_tpu.ops.pallas_kernels import pair_predicates_pallas
+    from coral_tpu.ops.pallas_kernels import (
+        LANES, PAIR_COL_ORDER, SUBLANES, _pad2d, make_pair_pallas_fn)
 
     rng = np.random.default_rng(0)
     cols = {
@@ -72,14 +73,24 @@ def bench_pair_predicates(n_pairs, n_intervals=16):
             dev["chrom_j"], dev["r1_j"], dev["r2_j"], dev["strand_j"],
             dev["mapq_j"], dz, dic, dis, die, 100, 20, 100.0, np.inf)
 
+    # device-resident pallas path: pad + transfer once, time the kernel
+    rows = -(-max(-(-n_pairs // LANES), SUBLANES) // SUBLANES) * SUBLANES
+    blocks = [jax.device_put(_pad2d(cols[k], rows)) for k in PAIR_COL_ORDER]
+    ic2 = jax.device_put(np.asarray(ic).reshape(1, -1))
+    is2 = jax.device_put(np.asarray(is_).reshape(1, -1))
+    ie2 = jax.device_put(np.asarray(ie).reshape(1, -1))
+    pal_fn = make_pair_pallas_fn(rows, n_intervals)
+
     def pallas():
-        return pair_predicates_pallas(cols, ic, is_, ie)
+        return pal_fn(ic2, is2, ie2, *blocks)
 
     t_xla = timeit(xla)
     t_pal = timeit(pallas)
     # agreement check
     hx, iox = [np.asarray(o) for o in xla()]
-    hp, iop = pallas()
+    hp2, iop2 = pallas()
+    hp = np.asarray(hp2).reshape(-1)[:n_pairs].astype(bool)
+    iop = np.asarray(iop2).reshape(-1)[:n_pairs]
     agree = bool((hx == hp).all() and (iox == iop).all())
     for name, t in (("xla", t_xla), ("pallas", t_pal)):
         print(json.dumps({"kernel": "pair_predicates", "engine": name,
@@ -92,23 +103,34 @@ def bench_coverage_bins(n_reads, n_bins):
     import jax
 
     from coral_tpu.ops.coverage import CoverageIndex
-    from coral_tpu.ops.pallas_kernels import bin_coverage_pallas
+    from coral_tpu.ops.pallas_kernels import (
+        LANES, SUBLANES, _pad2d, make_bin_pallas_fn)
 
     rng = np.random.default_rng(1)
     starts = rng.integers(0, 200_000_000, n_reads).astype(np.int32)
     ends = (starts + rng.integers(1_000, 60_000, n_reads)).astype(np.int32)
     bin_size = 200_000_000 // n_bins
 
+    idx = CoverageIndex(starts, ends)  # device tables built once
+
     def xla():
-        return CoverageIndex(starts, ends).bin_histogram(0, bin_size, n_bins)
+        return idx.bin_histogram(0, bin_size, n_bins)
+
+    rows = -(-max(-(-n_reads // LANES), SUBLANES) // SUBLANES) * SUBLANES
+    s2 = jax.device_put(_pad2d(starts, rows))
+    e2 = jax.device_put(_pad2d(ends, rows))
+    edges = (bin_size * np.arange(n_bins + 1, dtype=np.int64))
+    lo = jax.device_put(edges[:-1].astype(np.int32).reshape(1, n_bins))
+    hi = jax.device_put(edges[1:].astype(np.int32).reshape(1, n_bins))
+    bin_fn = make_bin_pallas_fn(rows, n_bins)
 
     def pallas():
-        return bin_coverage_pallas(starts, ends, 0, bin_size, n_bins)
+        return bin_fn(s2, e2, lo, hi)
 
     t_xla = timeit(xla)
     t_pal = timeit(pallas)
     agree = bool((np.asarray(xla(), np.int64)
-                  == np.asarray(pallas(), np.int64)).all())
+                  == np.asarray(pallas(), np.int64).reshape(-1)).all())
     for name, t in (("xla", t_xla), ("pallas", t_pal)):
         print(json.dumps({"kernel": "coverage_bins", "engine": name,
                           "n": n_reads, "bins": n_bins,
@@ -121,7 +143,7 @@ def bench_match_matrix(n):
     import jax
     import jax.numpy as jnp
 
-    from coral_tpu.ops.pallas_kernels import match_matrix_pallas
+    from coral_tpu.ops.pallas_kernels import LANES, make_match_pallas_fn
 
     rng = np.random.default_rng(2)
     p1 = rng.integers(0, 1_000_000, n).astype(np.int32)
@@ -139,12 +161,23 @@ def bench_match_matrix(n):
     def xla():
         return xla_match(da, db)
 
+    N = max(-(-n // LANES) * LANES, LANES)
+    r1 = np.zeros((N, 1), np.int32)
+    r2 = np.zeros((N, 1), np.int32)
+    r1[:n, 0] = p1
+    r2[:n, 0] = p2
+    dr1, dr2 = jax.device_put(r1), jax.device_put(r2)
+    dc1 = jax.device_put(r1.reshape(1, N).copy())
+    dc2 = jax.device_put(r2.reshape(1, N).copy())
+    match_fn = make_match_pallas_fn(N, cutoff)
+
     def pallas():
-        return match_matrix_pallas(p1, p2, cutoff)
+        return match_fn(dr1, dr2, dc1, dc2)
 
     t_xla = timeit(xla)
     t_pal = timeit(pallas)
-    agree = bool((np.asarray(xla()) == pallas()).all())
+    agree = bool((np.asarray(xla())
+                  == np.asarray(pallas())[:n, :n]).all())
     for name, t in (("xla", t_xla), ("pallas", t_pal)):
         print(json.dumps({"kernel": "match_matrix", "engine": name,
                           "n": n, "ms": round(t * 1e3, 3),
