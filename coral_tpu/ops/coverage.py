@@ -22,20 +22,33 @@ import numpy as np
 
 @jax.jit
 def _prefix_eval(s_sorted, e_sorted, s_cum, e_cum, xs):
-    """P(x) for each query position in xs."""
+    """P(x) for each query position in xs (64-bit accumulation)."""
     n_s = jnp.searchsorted(s_sorted, xs, side="right")
     n_e = jnp.searchsorted(e_sorted, xs, side="right")
-    term_s = xs * n_s - s_cum[n_s]
-    term_e = xs * n_e - e_cum[n_e]
+    xs_w = xs.astype(s_cum.dtype)
+    term_s = xs_w * n_s - s_cum[n_s]
+    term_e = xs_w * n_e - e_cum[n_e]
     return term_s - term_e
 
 
 @jax.jit
 def _build_tables(starts, ends):
+    """Sorted endpoints (int32) + WIDE cumulative sums.
+
+    The cumsums reach sum(positions) ~ 2e14 at WGS read counts — far past
+    int32 (numpy's cumsum auto-promotes to the platform int; JAX does
+    not, which silently corrupted whole-genome coverage until the on-chip
+    kernel benchmark caught the disagreement).  Callers trace this under
+    ``jax.enable_x64`` so the widening below really is 64-bit; XLA:TPU
+    supports s64 arithmetic (emulated 2x32).
+    """
     s_sorted = jnp.sort(starts)
     e_sorted = jnp.sort(ends)
-    s_cum = jnp.concatenate([jnp.zeros(1, starts.dtype), jnp.cumsum(s_sorted)])
-    e_cum = jnp.concatenate([jnp.zeros(1, ends.dtype), jnp.cumsum(e_sorted)])
+    wide = jnp.int64 if jax.config.read("jax_enable_x64") else jnp.int32
+    s_cum = jnp.concatenate([jnp.zeros(1, wide),
+                             jnp.cumsum(s_sorted.astype(wide))])
+    e_cum = jnp.concatenate([jnp.zeros(1, wide),
+                             jnp.cumsum(e_sorted.astype(wide))])
     return s_sorted, e_sorted, s_cum, e_cum
 
 
@@ -45,12 +58,14 @@ class CoverageIndex:
     def __init__(self, starts: np.ndarray, ends: np.ndarray):
         starts = jnp.asarray(np.asarray(starts, np.int32))
         ends = jnp.asarray(np.asarray(ends, np.int32))
-        self._tables = _build_tables(starts, ends)
+        with jax.enable_x64(True):
+            self._tables = _build_tables(starts, ends)
         self.n = int(starts.shape[0])
 
     def prefix(self, xs) -> np.ndarray:
         xs = jnp.asarray(np.asarray(xs, np.int32))
-        return np.asarray(_prefix_eval(*self._tables, xs), np.int64)
+        with jax.enable_x64(True):
+            return np.asarray(_prefix_eval(*self._tables, xs), np.int64)
 
     def interval_coverage(self, starts, ends) -> np.ndarray:
         """Total aligned-base overlap for each query interval [s, e)."""
@@ -107,4 +122,5 @@ def bin_coverage_sharded(starts, ends, origin, bin_size, n_bins, mesh,
     fn = shard_map(shard_fn, mesh=mesh,
                    in_specs=(P(axis), P(axis), P(genome_axis), P(genome_axis)),
                    out_specs=P(genome_axis))
-    return np.asarray(jax.jit(fn)(starts, ends, edges[:-1], edges[1:]))
+    with jax.enable_x64(True):  # 64-bit cumsums (see _build_tables)
+        return np.asarray(jax.jit(fn)(starts, ends, edges[:-1], edges[1:]))

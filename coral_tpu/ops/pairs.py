@@ -325,7 +325,10 @@ def score_pairs_l(
     ``engine='numpy'`` (default) evaluates on host: for typical pair counts
     the kernel is sub-second and avoids paying an accelerator compile.
     ``engine='jax'`` dispatches the jitted kernel (use on a mesh or when
-    pair counts reach the hundreds of millions).
+    pair counts reach the hundreds of millions); on a TPU backend with the
+    NM gate disabled it routes to the Pallas kernel, which measured ~7%
+    faster than the XLA program at 2M pairs on v5e
+    (``tools/bench_kernels.py``; table in ``docs/ARCHITECTURE.md``).
     """
     pi, pj = adjacent_pair_indices(table.read_off)
     if pi.size == 0:
@@ -333,6 +336,28 @@ def score_pairs_l(
     int_chrom = np.asarray([CHR_IDX.get(iv[0], -2) for iv in intervals], np.int32)
     int_start = np.asarray([iv[1] for iv in intervals], np.int64)
     int_end = np.asarray([iv[2] for iv in intervals], np.int64)
+    if engine == "jax" and np.isinf(max_nm) \
+            and jax.default_backend() == "tpu":
+        engine = "pallas"
+    if engine == "pallas":
+        from .pallas_kernels import pair_predicates_pallas
+
+        cols = {
+            "qi_end": table.q_end[pi], "qj_start": table.q_start[pj],
+            "chrom_i": table.chrom[pi], "r1_i": table.r1[pi],
+            "r2_i": table.r2[pi], "strand_i": table.strand[pi].astype(np.int32),
+            "mapq_i": table.mapq[pi],
+            "chrom_j": table.chrom[pj], "r1_j": table.r1[pj],
+            "r2_j": table.r2[pj], "strand_j": table.strand[pj].astype(np.int32),
+            "mapq_j": table.mapq[pj],
+        }
+        hit, _ = pair_predicates_pallas(
+            cols, int_chrom, int_start.astype(np.int32),
+            int_end.astype(np.int32),
+            min_bp_match_cutoff=min_bp_match_cutoff, min_mapq=int(min_mapq),
+            gap_=float(gap_),
+            interpret=jax.default_backend() != "tpu")
+        return pi, pj, hit
     hits = np.zeros(pi.size, bool)
     fn = _pair_predicates if engine == "jax" else _pair_predicates_numpy
     for lo in range(0, pi.size, batch):

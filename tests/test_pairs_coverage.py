@@ -180,3 +180,40 @@ def test_subset_batch_matches_per_read(tmp_path):
         host += chimera_to_bps(rn, store[rn], 100, 20, iv1, iv2)
     assert batch == host
     assert len(host) > 5
+
+
+def test_coverage_index_wide_accumulation():
+    """WGS-scale prefix sums overflow int32 (numpy auto-promotes cumsum,
+    JAX does not) — regression for the silent corruption the on-chip
+    kernel benchmark caught: wrapped P values lose modular consistency
+    once differenced in int64."""
+    rng = np.random.default_rng(9)
+    n = 1 << 20
+    starts = rng.integers(0, 200_000_000, n).astype(np.int32)
+    ends = (starts + rng.integers(1_000, 60_000, n)).astype(np.int32)
+    idx = CoverageIndex(starts, ends)
+    n_bins = 64
+    bin_size = 200_000_000 // n_bins
+    hist = np.asarray(idx.bin_histogram(0, bin_size, n_bins), np.int64)
+    s64 = starts.astype(np.int64)
+    e64 = ends.astype(np.int64)
+    edges = bin_size * np.arange(n_bins + 1, dtype=np.int64)
+    expect = np.array([
+        np.clip(np.minimum(e64, edges[k + 1]) - np.maximum(s64, edges[k]),
+                0, None).sum()
+        for k in range(n_bins)])
+    np.testing.assert_array_equal(hist, expect)
+    assert expect.sum() > np.iinfo(np.int32).max  # scale actually overflows
+
+
+def test_score_pairs_pallas_engine_matches_numpy():
+    """engine='pallas' (the measured TPU-dispatch default when the NM
+    gate is off) must agree with the host engine row-for-row."""
+    chims = random_chimeras(200, seed=5)
+    table = build_chimera_table(chims)
+    pi_n, pj_n, hits_n = score_pairs_l(table, INTERVALS, 100, 20, 100)
+    pi_p, pj_p, hits_p = score_pairs_l(table, INTERVALS, 100, 20, 100,
+                                       engine="pallas")
+    np.testing.assert_array_equal(pi_n, pi_p)
+    np.testing.assert_array_equal(hits_n, hits_p)
+    assert hits_n.sum() > 0
