@@ -502,18 +502,23 @@ def cycle_decomposition(rec, cfg: CycleConfig, model_prefix: str = "") -> None:
         if not sol_flag:
             model_info["solver"] = "greedy(fallback)"
             greedy_sol = greedy_extract(g, candidates, total_weights, pc_list, cfg)
+            post_ok = False
             if cfg.postprocess:
                 status, total, n_sat, cycles, weights, sat_lists = \
                     postprocess_minimize(g, candidates, total_weights,
                                          pc_list, greedy_sol, cfg)
                 if status != STATUS_INFEASIBLE:
+                    # NO early continue: the escalation / truncation
+                    # accounting below must still run for this amplicon
+                    model_info["solver"] = "greedy(fallback)+postprocess"
                     rec.cycles[amplicon_idx] = cycles
                     rec.cycle_weights[amplicon_idx] = weights
                     rec.path_constraints_satisfied[amplicon_idx] = sat_lists
-                    continue
-            rec.cycles[amplicon_idx] = greedy_sol[2]
-            rec.cycle_weights[amplicon_idx] = greedy_sol[3]
-            rec.path_constraints_satisfied[amplicon_idx] = greedy_sol[4]
+                    post_ok = True
+            if not post_ok:
+                rec.cycles[amplicon_idx] = greedy_sol[2]
+                rec.cycle_weights[amplicon_idx] = greedy_sol[3]
+                rec.path_constraints_satisfied[amplicon_idx] = greedy_sol[4]
 
         # Escalating exact fallback (reference contrast: the Gurobi model
         # searches edge multisets implicitly and never truncates,
@@ -525,7 +530,11 @@ def cycle_decomposition(rec, cfg: CycleConfig, model_prefix: str = "") -> None:
         # (coverage, pc-satisfaction, -count).  Any residual degradation is
         # recorded in the model artifact and the cycles.txt header.
         escalations = []
-        final_truncated = candidates.truncated
+        # the search space counts as exhausted only when an enumeration at
+        # the FULL reference multiplicity caps ('wide') completed; a
+        # completed narrow-cap pool still prunes candidates the reference
+        # model admits, so it cannot clear a coverage-miss degradation
+        space_exhausted_wide = False
         if candidates.truncated or not coverage_met():
             best = _current_stats(rec, g, amplicon_idx)
             for cap_mode, factor in cfg.pool_escalation:
@@ -567,13 +576,11 @@ def cycle_decomposition(rec, cfg: CycleConfig, model_prefix: str = "") -> None:
                 stats = (sol[0], sol[1], -(len(sol[3][0]) + len(sol[3][1])))
                 attempt["coverage"] = sol[0]
                 escalations.append(attempt)
-                # a completed (non-truncated) pool bounds the optimum: even
-                # if its solution is not adopted, the recorded one is at
-                # least as good, so no residual truncation degradation
-                if not wide.truncated:
-                    final_truncated = False
-                elif stats > best:
-                    final_truncated = True
+                if not wide.truncated and cap_mode == "wide":
+                    # the full reference-cap walk space was enumerated and
+                    # solved: even if this solution is not adopted, the
+                    # recorded one is at least as good as its optimum
+                    space_exhausted_wide = True
                 if stats > best:
                     best = stats
                     model_info["solver"] = (f"{model_info['solver']}"
@@ -586,13 +593,14 @@ def cycle_decomposition(rec, cfg: CycleConfig, model_prefix: str = "") -> None:
         model_info["truncation"] = {
             "initial_truncated": candidates.truncated,
             "escalations": escalations,
-            "final_truncated": final_truncated,
+            "space_exhausted_wide": space_exhausted_wide,
             "coverage_met": coverage_met(),
         }
-        if final_truncated and not coverage_met():
-            note = (f"candidate enumeration truncated (budget "
-                    f"{candidates.max_states}) and coverage target missed: "
-                    f"decomposition may be suboptimal")
+        if not coverage_met() and not space_exhausted_wide:
+            note = ("coverage target missed and the candidate walk space "
+                    "was never exhausted at full multiplicity caps "
+                    f"(initial budget {candidates.max_states}): "
+                    "decomposition may be suboptimal")
             logger.warning("amplicon %d: %s", amplicon_idx + 1, note)
             if not hasattr(rec, "decomposition_notes"):
                 rec.decomposition_notes = {}

@@ -752,7 +752,7 @@ bool parse_sa_entry(const BamCore* bc, const char* s, const char* end,
 // change invalidates the cache and a full scan runs instead.
 
 constexpr uint32_t BCX_MAGIC = 0x31584342;  // "BCX1"
-constexpr uint32_t BCX_VERSION = 1;
+constexpr uint32_t BCX_VERSION = 2;
 
 template <typename T>
 bool write_vec(FILE* f, const dvec<T>& v) {
@@ -770,23 +770,29 @@ bool read_vec(FILE* f, dvec<T>& v) {
   return n == 0 || fread(v.data(), sizeof(T), n, f) == n;
 }
 
-bool stat_file(const std::string& path, int64_t* size, int64_t* mtime) {
+bool stat_file(const std::string& path, int64_t* size, int64_t* mtime_ns,
+               int64_t* ino) {
   struct stat st;
   if (stat(path.c_str(), &st) != 0) return false;
   *size = static_cast<int64_t>(st.st_size);
-  *mtime = static_cast<int64_t>(st.st_mtime);
+  // nanosecond mtime + inode: whole-second mtime alone leaves a window
+  // where a same-size rewrite within one second serves a stale table
+  *mtime_ns = static_cast<int64_t>(st.st_mtim.tv_sec) * 1000000000
+            + static_cast<int64_t>(st.st_mtim.tv_nsec);
+  *ino = static_cast<int64_t>(st.st_ino);
   return true;
 }
 
 bool save_cache(BamCore* bc, const char* cache_path) {
-  int64_t size, mtime;
-  if (!stat_file(bc->path, &size, &mtime)) return false;
+  int64_t size, mtime_ns, ino;
+  if (!stat_file(bc->path, &size, &mtime_ns, &ino)) return false;
   FILE* f = fopen(cache_path, "wb");
   if (!f) return false;
   bool ok = true;
   uint32_t hdr[2] = {BCX_MAGIC, BCX_VERSION};
   ok = ok && fwrite(hdr, 4, 2, f) == 2;
-  ok = ok && fwrite(&size, 8, 1, f) == 1 && fwrite(&mtime, 8, 1, f) == 1;
+  ok = ok && fwrite(&size, 8, 1, f) == 1 && fwrite(&mtime_ns, 8, 1, f) == 1
+     && fwrite(&ino, 8, 1, f) == 1;
   uint64_t n_ref = bc->ref_names.size();
   ok = ok && fwrite(&n_ref, 8, 1, f) == 1;
   for (size_t i = 0; ok && i < bc->ref_names.size(); i++) {
@@ -808,17 +814,18 @@ bool save_cache(BamCore* bc, const char* cache_path) {
 }
 
 bool load_cache(BamCore* bc, const char* cache_path) {
-  int64_t size, mtime;
-  if (!stat_file(bc->path, &size, &mtime)) return false;
+  int64_t size, mtime_ns, ino;
+  if (!stat_file(bc->path, &size, &mtime_ns, &ino)) return false;
   FILE* f = fopen(cache_path, "rb");
   if (!f) return false;
   bool ok = true;
   uint32_t hdr[2];
-  int64_t csize, cmtime;
+  int64_t csize, cmtime, cino;
   ok = fread(hdr, 4, 2, f) == 2 && hdr[0] == BCX_MAGIC &&
        hdr[1] == BCX_VERSION;
   ok = ok && fread(&csize, 8, 1, f) == 1 && fread(&cmtime, 8, 1, f) == 1 &&
-       csize == size && cmtime == mtime;
+       fread(&cino, 8, 1, f) == 1 &&
+       csize == size && cmtime == mtime_ns && cino == ino;
   uint64_t n_ref = 0;
   ok = ok && fread(&n_ref, 8, 1, f) == 1 && n_ref < (1u << 20);
   for (uint64_t i = 0; ok && i < n_ref; i++) {

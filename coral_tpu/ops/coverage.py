@@ -22,34 +22,29 @@ import numpy as np
 
 @jax.jit
 def _prefix_eval(s_sorted, e_sorted, s_cum, e_cum, xs):
-    """P(x) for each query position in xs (64-bit accumulation)."""
-    n_s = jnp.searchsorted(s_sorted, xs, side="right")
-    n_e = jnp.searchsorted(e_sorted, xs, side="right")
-    xs_w = xs.astype(s_cum.dtype)
-    term_s = xs_w * n_s - s_cum[n_s]
-    term_e = xs_w * n_e - e_cum[n_e]
-    return term_s - term_e
+    """P(x) for each query position in xs (64-bit accumulation).
+
+    Thin jit wrapper over the single implementation in
+    ``ops.scoring.coverage_prefix_eval``."""
+    from .scoring import coverage_prefix_eval
+
+    return coverage_prefix_eval(jnp, (s_sorted, e_sorted, s_cum, e_cum), xs)
 
 
 @jax.jit
 def _build_tables(starts, ends):
-    """Sorted endpoints (int32) + WIDE cumulative sums.
+    """Sorted endpoints (int32) + WIDE (int64) cumulative sums.
 
     The cumsums reach sum(positions) ~ 2e14 at WGS read counts — far past
     int32 (numpy's cumsum auto-promotes to the platform int; JAX does
     not, which silently corrupted whole-genome coverage until the on-chip
     kernel benchmark caught the disagreement).  Callers trace this under
-    ``jax.enable_x64`` so the widening below really is 64-bit; XLA:TPU
-    supports s64 arithmetic (emulated 2x32).
-    """
-    s_sorted = jnp.sort(starts)
-    e_sorted = jnp.sort(ends)
-    wide = jnp.int64 if jax.config.read("jax_enable_x64") else jnp.int32
-    s_cum = jnp.concatenate([jnp.zeros(1, wide),
-                             jnp.cumsum(s_sorted.astype(wide))])
-    e_cum = jnp.concatenate([jnp.zeros(1, wide),
-                             jnp.cumsum(e_sorted.astype(wide))])
-    return s_sorted, e_sorted, s_cum, e_cum
+    ``jax.enable_x64`` so the widening really is 64-bit; XLA:TPU supports
+    s64 arithmetic (emulated 2x32).  Single implementation:
+    ``ops.scoring.coverage_prefix_tables``."""
+    from .scoring import coverage_prefix_tables
+
+    return coverage_prefix_tables(jnp, starts, ends)
 
 
 class CoverageIndex:

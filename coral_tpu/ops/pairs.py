@@ -339,6 +339,16 @@ def score_pairs_l(
     if engine == "jax" and np.isinf(max_nm) \
             and jax.default_backend() == "tpu":
         engine = "pallas"
+    if engine == "pallas" and not np.isinf(max_nm):
+        # the Pallas kernel carries no NM columns; silently dropping the
+        # edit-distance gate would admit breakpoints the reference's
+        # filter_bp_by_edit_distance path rejects
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "engine='pallas' does not implement the NM gate "
+            "(max_nm=%s); falling back to the XLA engine", max_nm)
+        engine = "jax"
     if engine == "pallas":
         from .pallas_kernels import pair_predicates_pallas
 

@@ -84,12 +84,20 @@ def coverage_prefix_tables(xp, starts, ends):
     """Sorted-endpoint prefix tables for exact interval-coverage queries.
 
     P(x) = sum_r clip(x - rs_r, 0, re_r - rs_r); see ``ops.coverage``.
+
+    The cumulative sums are built in int64: sum(positions) reaches ~2e14
+    at WGS read counts, far past int32, and once the wrapped P values are
+    differenced outside the modular ring the results are garbage (numpy
+    auto-promotes cumsum; JAX does not).  JAX callers must trace under
+    ``jax.enable_x64`` or the xp.int64 below silently degrades to int32 —
+    every jit wrapper in this module and ``ops.coverage`` does so.
     """
     s_sorted = xp.sort(starts)
     e_sorted = xp.sort(ends)
-    zero = xp.zeros(1, starts.dtype)
-    s_cum = xp.concatenate([zero, xp.cumsum(s_sorted)])
-    e_cum = xp.concatenate([zero, xp.cumsum(e_sorted)])
+    wide = xp.int64
+    zero = xp.zeros(1, wide)
+    s_cum = xp.concatenate([zero, xp.cumsum(s_sorted.astype(wide))])
+    e_cum = xp.concatenate([zero, xp.cumsum(e_sorted.astype(wide))])
     return s_sorted, e_sorted, s_cum, e_cum
 
 
@@ -97,7 +105,8 @@ def coverage_prefix_eval(xp, tables, xs):
     s_sorted, e_sorted, s_cum, e_cum = tables
     n_s = xp.searchsorted(s_sorted, xs, side="right")
     n_e = xp.searchsorted(e_sorted, xs, side="right")
-    return (xs * n_s - s_cum[n_s]) - (xs * n_e - e_cum[n_e])
+    xs_w = xs.astype(s_cum.dtype)
+    return (xs_w * n_s - s_cum[n_s]) - (xs_w * n_e - e_cum[n_e])
 
 
 def fused_scoring_step(
@@ -107,6 +116,7 @@ def fused_scoring_step(
     chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_j,
     int_chrom, int_start, int_end,
     min_bp_match_cutoff=100, min_mapq=20, gap_=100.0, max_nm=np.inf,
+    coverage_ctx=None,
 ):
     """One fused device step: junction predicates -> per-interval support
     histogram, plus exact per-interval aligned-base coverage.
@@ -129,14 +139,21 @@ def fused_scoring_step(
                               ).astype(np.int32)[:n_int]
     else:
         support = xp.zeros(n_int, xp.int32).at[clipped].add(hit_i)
-    tables = coverage_prefix_tables(xp, starts, ends)
-    cov = coverage_prefix_eval(xp, tables, int_end) \
-        - coverage_prefix_eval(xp, tables, int_start)
+    import contextlib
+
+    with (coverage_ctx() if coverage_ctx else contextlib.nullcontext()):
+        tables = coverage_prefix_tables(xp, starts, ends)
+        cov = coverage_prefix_eval(xp, tables, int_end) \
+            - coverage_prefix_eval(xp, tables, int_start)
     return support, cov
 
 
 def make_fused_step_jax(int_chrom, int_start, int_end, **scalars):
-    """Jit-compiled fused scoring step with the interval table closed over."""
+    """Jit-compiled fused scoring step with the interval table closed over.
+
+    The step body enters ``jax.enable_x64`` so the coverage prefix tables
+    really are int64 regardless of the caller's config (see
+    :func:`coverage_prefix_tables`)."""
     import jax
     import jax.numpy as jnp
 
@@ -148,8 +165,9 @@ def make_fused_step_jax(int_chrom, int_start, int_end, **scalars):
              mapq_i, nm_i, chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_j):
         return fused_scoring_step(
             jnp, starts, ends, qi_end, qj_start, chrom_i, r1_i, r2_i,
-            strand_i, mapq_i, nm_i, chrom_j, r1_j, r2_j, strand_j, mapq_j,
-            nm_j, ic, is_, ie, **scalars)
+            strand_i, mapq_i, nm_i, chrom_j, r1_j, r2_j, strand_j,
+            mapq_j, nm_j, ic, is_, ie,
+            coverage_ctx=lambda: jax.enable_x64(True), **scalars)
 
     return jax.jit(step)
 

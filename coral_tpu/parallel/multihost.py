@@ -43,48 +43,128 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..io.bam import BamFile
-from ..io.bgzf import BGZF_EOF, iter_blocks, write_bgzf
+from ..io.bgzf import BGZF_EOF, write_bgzf
 
 
 # --------------------------------------------------------------------------
 # BAM splitting (per-host shard staging)
 # --------------------------------------------------------------------------
 
+def _iter_payload(path: str):
+    """Stream a BGZF file's decompressed payload block by block in O(1)
+    memory (BGZF members are <= 64 KiB, so a small rolling compressed
+    buffer always holds at least one complete member)."""
+    from ..io.bgzf import read_block_at
+
+    with open(path, "rb") as fp:
+        buf = b""
+        off = 0
+        while True:
+            if len(buf) - off < (1 << 17):
+                chunk = fp.read(1 << 22)
+                buf = buf[off:] + chunk
+                off = 0
+            if off >= len(buf):
+                return
+            payload, off = read_block_at(buf, off)
+            if payload:
+                yield payload
+
+
+def _walk_bam(path: str):
+    """Yield ('header', bytes) once, then ('record', bytes) per record,
+    streaming with memory bounded by one record + one block."""
+    buf = bytearray()
+    chunks = _iter_payload(path)
+
+    def need(n: int) -> bool:
+        while len(buf) < n:
+            try:
+                buf.extend(next(chunks))
+            except StopIteration:
+                return False
+        return True
+
+    if not need(12) or bytes(buf[:4]) != b"BAM\x01":
+        raise ValueError(f"{path}: not a BAM payload")
+    (l_text,) = struct.unpack_from("<i", buf, 4)
+    if not need(8 + l_text + 4):
+        raise ValueError(f"{path}: truncated header")
+    p = 8 + l_text
+    (n_ref,) = struct.unpack_from("<i", buf, p)
+    p += 4
+    for _ in range(n_ref):
+        if not need(p + 4):
+            raise ValueError(f"{path}: truncated reference table")
+        (l_name,) = struct.unpack_from("<i", buf, p)
+        if not need(p + 8 + l_name):
+            raise ValueError(f"{path}: truncated reference table")
+        p += 4 + l_name + 4
+    yield ("header", bytes(buf[:p]))
+    del buf[:p]
+    while True:
+        if not need(4):
+            return
+        (block_size,) = struct.unpack_from("<i", buf, 0)
+        if not need(4 + block_size):
+            raise ValueError(f"{path}: truncated record")
+        yield ("record", bytes(buf[: 4 + block_size]))
+        del buf[: 4 + block_size]
+
+
+class _ShardWriter:
+    """Buffered BGZF shard writer (~1 MiB deflate batches)."""
+
+    def __init__(self, out_path: str, header: bytes):
+        self._fp = open(out_path, "wb")
+        self._buf = bytearray(header)
+
+    def write(self, blob: bytes) -> None:
+        self._buf.extend(blob)
+        if len(self._buf) >= (1 << 20):
+            self.flush()
+
+    def flush(self) -> None:
+        if self._buf:
+            write_bgzf(self._fp, bytes(self._buf))
+            self._buf.clear()
+
+    def close(self) -> None:
+        self.flush()
+        self._fp.write(BGZF_EOF)
+        self._fp.close()
+
+
 def split_bam(path: str, out_paths: Sequence[str]) -> List[str]:
     """Split a BAM into ``len(out_paths)`` shards of contiguous records.
 
     Raw record blobs are copied verbatim (all tags preserved); every shard
     carries the full header, so each is a valid standalone BAM and their
-    record-order concatenation equals the input.
+    record-order concatenation equals the input.  Two streaming passes
+    (count, then write) keep memory bounded by one record + one BGZF
+    block — WGS-size inputs never materialize in RAM.
     """
-    with open(path, "rb") as fp:
-        raw = fp.read()
-    payload = b"".join(block for _, block in iter_blocks(raw))
-    if payload[:4] != b"BAM\x01":
-        raise ValueError(f"{path}: not a BAM payload")
-    p = 4
-    (l_text,) = struct.unpack_from("<i", payload, p)
-    p += 4 + l_text
-    (n_ref,) = struct.unpack_from("<i", payload, p)
-    p += 4
-    for _ in range(n_ref):
-        (l_name,) = struct.unpack_from("<i", payload, p)
-        p += 4 + l_name + 4
-    header = payload[:p]
-    rec_offsets = []
-    while p < len(payload):
-        rec_offsets.append(p)
-        (block_size,) = struct.unpack_from("<i", payload, p)
-        p += 4 + block_size
-    rec_offsets.append(p)
-    n = len(rec_offsets) - 1
+    n = sum(1 for kind, _ in _walk_bam(path) if kind == "record")
     k = len(out_paths)
     bounds = [round(i * n / k) for i in range(k + 1)]
-    for sh, out in enumerate(out_paths):
-        lo, hi = rec_offsets[bounds[sh]], rec_offsets[bounds[sh + 1]]
-        with open(out, "wb") as fp:
-            write_bgzf(fp, header + payload[lo:hi])
-            fp.write(BGZF_EOF)
+    walker = _walk_bam(path)
+    kind, header = next(walker)
+    assert kind == "header"
+    sh = 0
+    writer = _ShardWriter(out_paths[0], header)
+    try:
+        for i, (kind, blob) in enumerate(walker):
+            while i >= bounds[sh + 1] and sh < k - 1:
+                writer.close()
+                sh += 1
+                writer = _ShardWriter(out_paths[sh], header)
+            writer.write(blob)
+    finally:
+        writer.close()
+    # empty trailing shards still need valid headers
+    for j in range(sh + 1, k):
+        w = _ShardWriter(out_paths[j], header)
+        w.close()
     return list(out_paths)
 
 

@@ -93,10 +93,13 @@ class GraphLayout:
             cum = np.concatenate([[0.0], np.cumsum(lens)])
             x1 = x0 + idx * margin + cum[:-1]
             x2 = x0 + idx * margin + cum[1:]
-            # interval origins: x at the first edge of each interval
+            # interval origins: x at the first edge of each interval; an
+            # interval with no edges still sits after ALL preceding edge
+            # lengths (searchsorted gives the cumulative length up to the
+            # first edge of any later interval — the running-cursor
+            # semantics of the reference walk)
             self.starts[chrom] = [
-                float(x0 + k * margin + cum[np.argmax(idx == k)])
-                if (idx == k).any() else float(x0 + k * margin)
+                float(x0 + k * margin + cum[np.searchsorted(idx, k)])
                 for k in range(len(ivs))
             ]
             bar_chrom += [chrom] * len(edges)
@@ -384,11 +387,12 @@ class AmpliconVisualizer:
                      "-+": (139 / 256.0, 69 / 256.0, 19 / 256.0), "--": "teal"}
         avg_rc = sum(bp[7] for bp in self.discordant_edges) * 1.0 / max(
             len(self.discordant_edges), 1)
-        placeable = [bp for bp in self.discordant_edges
-                     if bp[0] in self.intervals_from_graph
-                     and bp[3] in self.intervals_from_graph]
+        placeable = []
         for bp in self.discordant_edges:
-            if bp not in placeable:
+            if bp[0] in self.intervals_from_graph \
+                    and bp[3] in self.intervals_from_graph:
+                placeable.append(bp)
+            else:
                 print("Could not place " + str(bp))
         if placeable:
             xs1 = np.concatenate([

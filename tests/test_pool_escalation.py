@@ -108,7 +108,6 @@ def test_escalation_recovers_exact_solution(tmp_path):
     trunc = info["truncation"]
     assert trunc["initial_truncated"] is True
     assert len(trunc["escalations"]) >= 1
-    assert trunc["final_truncated"] is False
     assert trunc["coverage_met"] is True
     assert any(e["solver"].startswith("joint_milp")
                for e in trunc["escalations"])
@@ -145,14 +144,14 @@ def test_residual_truncation_reported_in_outputs(tmp_path):
     rec = _rec_for(g)
     cycle_decomposition(rec, cfg, model_prefix=str(tmp_path / "m"))
     info = json.loads((tmp_path / "m_amplicon1_model.json").read_text())
-    assert info["truncation"]["final_truncated"] is True
+    assert info["truncation"]["space_exhausted_wide"] is False
     assert info["truncation"]["coverage_met"] is False
-    assert rec.decomposition_notes[0].startswith("candidate enumeration truncated")
+    assert rec.decomposition_notes[0].startswith("coverage target missed")
     from coral_tpu.cycles.output import output_cycles
 
     output_cycles(rec, str(tmp_path / "bad"))
     content = (tmp_path / "bad_amplicon1_cycles.txt").read_text()
-    assert content.startswith("# WARNING: candidate enumeration truncated")
+    assert content.startswith("# WARNING: coverage target missed")
     # the warning-bearing file still parses (comment lines are inert)
     from coral_tpu.cycle2bed import convert_cycles_to_bed
     from coral_tpu.cycles.refmodel import parse_cycles_text

@@ -107,3 +107,25 @@ def test_no_second_predicate_copy():
         if "gap_disc" in text and "def pair_predicate" not in text:
             offenders.append(rel)
     assert not offenders, f"duplicated predicate logic in {offenders}"
+
+
+def test_fused_step_wide_coverage_no_overflow():
+    """Reviewer-reproduced bug: the fused step's coverage path wrapped at
+    int32 on the JAX engine while numpy auto-promoted — any interval
+    whose aligned-base total exceeds 2^31 got a silently wrong device
+    result.  The coverage ops now run under a scoped x64 context."""
+    rng = np.random.default_rng(11)
+    n = 1 << 20
+    starts = rng.integers(0, 200_000_000, n).astype(np.int32)
+    ends = (starts + rng.integers(1_000, 60_000, n)).astype(np.int32)
+    cols = {k: np.zeros(8, np.float32 if k.startswith("nm") else np.int32)
+            for k in COL_ORDER}
+    ic = np.array([0], np.int32)
+    is_ = np.array([0], np.int32)
+    ie = np.array([200_000_000], np.int32)
+    args = (starts, ends) + tuple(cols[k] for k in COL_ORDER)
+    _, cov_np = make_fused_step_numpy(ic, is_, ie)(*args)
+    _, cov_j = make_fused_step_jax(ic, is_, ie)(*args)
+    assert int(cov_np[0]) > np.iinfo(np.int32).max  # scale overflows int32
+    np.testing.assert_array_equal(np.asarray(cov_j, np.int64),
+                                  np.asarray(cov_np, np.int64))
