@@ -21,27 +21,29 @@ import numpy as np
 
 
 @jax.jit
-def _prefix_eval(s_sorted, e_sorted, s_cum, e_cum, xs):
-    """P(x) for each query position in xs (64-bit accumulation).
+def _prefix_eval(s_sorted, e_sorted, s_cum, e_cum, s_est, e_est, xs):
+    """(int32 residue, float32 estimate) of P(x) per query position.
 
     Thin jit wrapper over the single implementation in
-    ``ops.scoring.coverage_prefix_eval``."""
+    ``ops.scoring.coverage_prefix_eval``; combine on host with
+    ``scoring.combine_coverage`` for the exact int64 value."""
     from .scoring import coverage_prefix_eval
 
-    return coverage_prefix_eval(jnp, (s_sorted, e_sorted, s_cum, e_cum), xs)
+    return coverage_prefix_eval(
+        jnp, (s_sorted, e_sorted, s_cum, e_cum, s_est, e_est), xs)
 
 
 @jax.jit
 def _build_tables(starts, ends):
-    """Sorted endpoints (int32) + WIDE (int64) cumulative sums.
+    """Sorted endpoints (int32) + residue/estimate cumulative tables.
 
     The cumsums reach sum(positions) ~ 2e14 at WGS read counts — far past
     int32 (numpy's cumsum auto-promotes to the platform int; JAX does
     not, which silently corrupted whole-genome coverage until the on-chip
-    kernel benchmark caught the disagreement).  Callers trace this under
-    ``jax.enable_x64`` so the widening really is 64-bit; XLA:TPU supports
-    s64 arithmetic (emulated 2x32).  Single implementation:
-    ``ops.scoring.coverage_prefix_tables``."""
+    kernel benchmark caught the disagreement).  TPU s64 is emulated and
+    measured ~500x slower end-to-end, so exact 64-bit results come from
+    the int32-ring + float32-estimate scheme of
+    ``ops.scoring.coverage_prefix_tables`` (the single implementation)."""
     from .scoring import coverage_prefix_tables
 
     return coverage_prefix_tables(jnp, starts, ends)
@@ -53,14 +55,15 @@ class CoverageIndex:
     def __init__(self, starts: np.ndarray, ends: np.ndarray):
         starts = jnp.asarray(np.asarray(starts, np.int32))
         ends = jnp.asarray(np.asarray(ends, np.int32))
-        with jax.enable_x64(True):
-            self._tables = _build_tables(starts, ends)
+        self._tables = _build_tables(starts, ends)
         self.n = int(starts.shape[0])
 
     def prefix(self, xs) -> np.ndarray:
+        from .scoring import combine_coverage
+
         xs = jnp.asarray(np.asarray(xs, np.int32))
-        with jax.enable_x64(True):
-            return np.asarray(_prefix_eval(*self._tables, xs), np.int64)
+        res, est = _prefix_eval(*self._tables, xs)
+        return combine_coverage(res, est)
 
     def interval_coverage(self, starts, ends) -> np.ndarray:
         """Total aligned-base overlap for each query interval [s, e)."""
@@ -110,12 +113,18 @@ def bin_coverage_sharded(starts, ends, origin, bin_size, n_bins, mesh,
 
     def shard_fn(s, e, lo, hi):
         tables = _build_tables(s, e)
-        p_lo = _prefix_eval(*tables, lo)
-        p_hi = _prefix_eval(*tables, hi)
-        return jax.lax.psum(p_hi - p_lo, axis)
+        res_lo, est_lo = _prefix_eval(*tables, lo)
+        res_hi, est_hi = _prefix_eval(*tables, hi)
+        # int32 residue psum wraps consistently (exact mod 2^32); the f32
+        # estimate psum only needs to stay within 2^31 of the truth
+        res = jax.lax.psum(res_hi - res_lo, axis)
+        est = jax.lax.psum(est_hi - est_lo, axis)
+        return res, est
 
     fn = shard_map(shard_fn, mesh=mesh,
                    in_specs=(P(axis), P(axis), P(genome_axis), P(genome_axis)),
-                   out_specs=P(genome_axis))
-    with jax.enable_x64(True):  # 64-bit cumsums (see _build_tables)
-        return np.asarray(jax.jit(fn)(starts, ends, edges[:-1], edges[1:]))
+                   out_specs=(P(genome_axis), P(genome_axis)))
+    from .scoring import combine_coverage
+
+    res, est = jax.jit(fn)(starts, ends, edges[:-1], edges[1:])
+    return combine_coverage(res, est)

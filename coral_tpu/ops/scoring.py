@@ -85,28 +85,57 @@ def coverage_prefix_tables(xp, starts, ends):
 
     P(x) = sum_r clip(x - rs_r, 0, re_r - rs_r); see ``ops.coverage``.
 
-    The cumulative sums are built in int64: sum(positions) reaches ~2e14
-    at WGS read counts, far past int32, and once the wrapped P values are
-    differenced outside the modular ring the results are garbage (numpy
-    auto-promotes cumsum; JAX does not).  JAX callers must trace under
-    ``jax.enable_x64`` or the xp.int64 below silently degrades to int32 —
-    every jit wrapper in this module and ``ops.coverage`` does so.
+    TPU-first 64-bit exactness without any s64 op: the cumulative sums
+    reach sum(positions) ~ 2e14 at WGS read counts, far past int32, and
+    TPU s64 is emulated (measured ~500x slower end-to-end).  Instead each
+    table is kept twice —
+
+    * an **int32 modular residue** cumsum (wraps freely; every +,-,* on
+      it stays exact mod 2^32), and
+    * a **float32 estimate** cumsum (associative-scan error is
+      ~log2(n) * eps * total, well under 2^31 for any realistic
+      dispatch: < 6M reads at genome positions).
+
+    A query evaluates both; :func:`combine_coverage` reconstructs the
+    exact int64 value on host as ``est + centered((res - est) mod 2^32)``
+    — exact whenever |est - true| < 2^31.
     """
     s_sorted = xp.sort(starts)
     e_sorted = xp.sort(ends)
-    wide = xp.int64
-    zero = xp.zeros(1, wide)
-    s_cum = xp.concatenate([zero, xp.cumsum(s_sorted.astype(wide))])
-    e_cum = xp.concatenate([zero, xp.cumsum(e_sorted.astype(wide))])
-    return s_sorted, e_sorted, s_cum, e_cum
+    i32 = xp.int32
+    f32 = xp.float32
+    zero_i = xp.zeros(1, i32)
+    zero_f = xp.zeros(1, f32)
+    s_cum = xp.concatenate([zero_i, xp.cumsum(s_sorted, dtype=i32)])
+    e_cum = xp.concatenate([zero_i, xp.cumsum(e_sorted, dtype=i32)])
+    s_est = xp.concatenate([zero_f, xp.cumsum(s_sorted.astype(f32))])
+    e_est = xp.concatenate([zero_f, xp.cumsum(e_sorted.astype(f32))])
+    return s_sorted, e_sorted, s_cum, e_cum, s_est, e_est
 
 
 def coverage_prefix_eval(xp, tables, xs):
-    s_sorted, e_sorted, s_cum, e_cum = tables
-    n_s = xp.searchsorted(s_sorted, xs, side="right")
-    n_e = xp.searchsorted(e_sorted, xs, side="right")
-    xs_w = xs.astype(s_cum.dtype)
-    return (xs_w * n_s - s_cum[n_s]) - (xs_w * n_e - e_cum[n_e])
+    """(residue_int32, estimate_float32) of P(x) per query position."""
+    s_sorted, e_sorted, s_cum, e_cum, s_est, e_est = tables
+    n_s = xp.searchsorted(s_sorted, xs, side="right").astype(xp.int32)
+    n_e = xp.searchsorted(e_sorted, xs, side="right").astype(xp.int32)
+    xi = xs.astype(xp.int32)
+    res = (xi * n_s - s_cum[n_s]) - (xi * n_e - e_cum[n_e])
+    xf = xs.astype(xp.float32)
+    est = (xf * n_s.astype(xp.float32) - s_est[n_s]) \
+        - (xf * n_e.astype(xp.float32) - e_est[n_e])
+    return res, est
+
+
+def combine_coverage(res, est) -> np.ndarray:
+    """Exact int64 reconstruction from (int32 residue, float32 estimate).
+
+    ``res`` is the true value mod 2^32; ``est`` approximates it to better
+    than 2^31.  Host-side numpy; inputs may be device arrays.
+    """
+    est_i = np.rint(np.asarray(est, np.float64)).astype(np.int64)
+    res_i = np.asarray(res).astype(np.int64)
+    delta = ((res_i - est_i + (1 << 31)) & 0xFFFFFFFF) - (1 << 31)
+    return est_i + delta
 
 
 def fused_scoring_step(
@@ -116,15 +145,17 @@ def fused_scoring_step(
     chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_j,
     int_chrom, int_start, int_end,
     min_bp_match_cutoff=100, min_mapq=20, gap_=100.0, max_nm=np.inf,
-    coverage_ctx=None,
 ):
     """One fused device step: junction predicates -> per-interval support
-    histogram, plus exact per-interval aligned-base coverage.
+    histogram, plus exact per-interval aligned-base coverage returned as
+    (residue, estimate) pairs — combine with :func:`combine_coverage` on
+    host (the ``make_fused_step_*`` wrappers do).
 
     This is the flagship kernel the benchmark times and the driver
     compile-checks; it composes the two product primitives
     (:func:`pair_predicate`, :func:`coverage_prefix_eval`) with nothing
-    re-implemented inline.
+    re-implemented inline, and runs entirely in int32/float32 (see
+    :func:`coverage_prefix_tables` for why no s64 appears on device).
     """
     hits, io_i = pair_predicate(
         xp, qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i, mapq_i, nm_i,
@@ -138,22 +169,23 @@ def fused_scoring_step(
         support = np.bincount(clipped, weights=hit_i, minlength=n_int
                               ).astype(np.int32)[:n_int]
     else:
-        support = xp.zeros(n_int, xp.int32).at[clipped].add(hit_i)
-    import contextlib
-
-    with (coverage_ctx() if coverage_ctx else contextlib.nullcontext()):
-        tables = coverage_prefix_tables(xp, starts, ends)
-        cov = coverage_prefix_eval(xp, tables, int_end) \
-            - coverage_prefix_eval(xp, tables, int_start)
-    return support, cov
+        # one-hot reduce, NOT scatter-add: a 2M-element .at[].add into a
+        # few bins serializes on TPU (measured ~25 ms vs sub-ms here)
+        lane = xp.arange(n_int, dtype=xp.int32)
+        support = xp.sum(
+            ((io_i[:, None] == lane[None, :]) & hits[:, None])
+            .astype(xp.int32), axis=0)
+    tables = coverage_prefix_tables(xp, starts, ends)
+    res_e, est_e = coverage_prefix_eval(xp, tables, int_end)
+    res_s, est_s = coverage_prefix_eval(xp, tables, int_start)
+    return support, res_e - res_s, est_e - est_s
 
 
 def make_fused_step_jax(int_chrom, int_start, int_end, **scalars):
-    """Jit-compiled fused scoring step with the interval table closed over.
-
-    The step body enters ``jax.enable_x64`` so the coverage prefix tables
-    really are int64 regardless of the caller's config (see
-    :func:`coverage_prefix_tables`)."""
+    """Jit-compiled fused scoring step with the interval table closed
+    over.  The device program is pure int32/float32; the exact int64
+    coverage is reconstructed on host by :func:`combine_coverage`.
+    Returns a callable -> (support, cov_int64)."""
     import jax
     import jax.numpy as jnp
 
@@ -166,10 +198,59 @@ def make_fused_step_jax(int_chrom, int_start, int_end, **scalars):
         return fused_scoring_step(
             jnp, starts, ends, qi_end, qj_start, chrom_i, r1_i, r2_i,
             strand_i, mapq_i, nm_i, chrom_j, r1_j, r2_j, strand_j,
-            mapq_j, nm_j, ic, is_, ie,
-            coverage_ctx=lambda: jax.enable_x64(True), **scalars)
+            mapq_j, nm_j, ic, is_, ie, **scalars)
 
-    return jax.jit(step)
+    jit_step = jax.jit(step)
+
+    def call(*args):
+        support, res, est = jit_step(*args)
+        return support, combine_coverage(res, est)
+
+    # expose the raw device program (no host sync per call) for
+    # benchmarking pipelined dispatches
+    call.device_step = jit_step
+    return call
+
+
+def make_batch_scorer_jax(int_chrom, int_start, int_end, **scalars):
+    """Product-shaped device scorer: coverage tables build ONCE per read
+    batch (the pipeline reuses them across every interval/bin query) and
+    the per-dispatch step is pure predicate + histogram + table lookups.
+
+    Returns (build_tables, score):
+      build_tables(starts, ends) -> device table tuple (jitted)
+      score(tables, *pair_cols)  -> (support, cov_res, cov_est) (jitted)
+    Combine cov pairs with :func:`combine_coverage`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ic = jnp.asarray(int_chrom)
+    is_ = jnp.asarray(int_start)
+    ie = jnp.asarray(int_end)
+
+    @jax.jit
+    def build_tables(starts, ends):
+        return coverage_prefix_tables(jnp, starts, ends)
+
+    @jax.jit
+    def score(tables, qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i,
+              mapq_i, nm_i, chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_j):
+        hits, io_i = pair_predicate(
+            jnp, qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i, mapq_i,
+            nm_i, chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_j,
+            ic, is_, ie, **{**dict(min_bp_match_cutoff=100, min_mapq=20,
+                                   gap_=100.0, max_nm=np.inf), **scalars})
+        # one-hot reduce, NOT scatter-add (TPU scatter serializes)
+        lane = jnp.arange(ic.shape[0], dtype=jnp.int32)
+        support = jnp.sum(
+            ((io_i[:, None] == lane[None, :]) & hits[:, None])
+            .astype(jnp.int32), axis=0)
+        res_e, est_e = coverage_prefix_eval(jnp, tables, ie)
+        res_s, est_s = coverage_prefix_eval(jnp, tables, is_)
+        return support, res_e - res_s, est_e - est_s
+
+    return build_tables, score
 
 
 def make_fused_step_numpy(int_chrom, int_start, int_end, **scalars):
@@ -177,10 +258,11 @@ def make_fused_step_numpy(int_chrom, int_start, int_end, **scalars):
     baseline — same product math, same code path, ``xp=numpy``)."""
     def step(starts, ends, qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i,
              mapq_i, nm_i, chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_j):
-        return fused_scoring_step(
+        support, res, est = fused_scoring_step(
             np, starts, ends, qi_end, qj_start, chrom_i, r1_i, r2_i,
             strand_i, mapq_i, nm_i, chrom_j, r1_j, r2_j, strand_j, mapq_j,
             nm_j, np.asarray(int_chrom), np.asarray(int_start),
             np.asarray(int_end), **scalars)
+        return support, combine_coverage(res, est)
 
     return step

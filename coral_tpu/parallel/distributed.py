@@ -81,12 +81,14 @@ def allreduce_sum(local: np.ndarray, mesh=None, axis: str = "dp") -> np.ndarray:
     per_dev = np.zeros((n_local,) + local.shape, local.dtype)
     per_dev[0] = local
     sharding = NamedSharding(mesh, P(axis))
-    garr = jax.make_array_from_process_local_data(sharding, per_dev)
-
-    fn = jax.jit(shard_map(
-        lambda x: jax.lax.psum(x.sum(axis=0), axis),
-        mesh=mesh, in_specs=P(axis), out_specs=P()))
-    return np.asarray(fn(garr))
+    # x64 so int64 inputs are not silently downcast to int32 (hosts run
+    # this reduction on CPU, where 64-bit integer adds are free)
+    with jax.enable_x64(True):
+        garr = jax.make_array_from_process_local_data(sharding, per_dev)
+        fn = jax.jit(shard_map(
+            lambda x: jax.lax.psum(x.sum(axis=0), axis),
+            mesh=mesh, in_specs=P(axis), out_specs=P()))
+        return np.asarray(fn(garr))
 
 
 def shard_bin_histogram(shard_path: str, chrom: str, origin: int,

@@ -16,12 +16,24 @@ def _load_entry():
 
 
 def test_entry_compiles_and_runs():
+    from coral_tpu.ops.scoring import combine_coverage
+
     mod = _load_entry()
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
-    support, cov = [np.asarray(o) for o in out]
+    support, res, est = [np.asarray(o) for o in out]
+    cov = combine_coverage(res, est)
     assert support.shape == cov.shape
     assert (cov >= 0).all()
+    # direct exact check: coverage of each interval via int64 numpy
+    starts, ends = args[0], args[1]
+    ic, is_, ie = mod._synthetic_batch()[3:6]
+    s64 = starts.astype(np.int64)
+    e64 = ends.astype(np.int64)
+    expect = np.array([
+        np.clip(np.minimum(e64, hi) - np.maximum(s64, lo), 0, None).sum()
+        for lo, hi in zip(is_, ie)])
+    np.testing.assert_array_equal(cov, expect)
 
 
 def test_dryrun_multichip_8():

@@ -129,3 +129,19 @@ def test_fused_step_wide_coverage_no_overflow():
     assert int(cov_np[0]) > np.iinfo(np.int32).max  # scale overflows int32
     np.testing.assert_array_equal(np.asarray(cov_j, np.int64),
                                   np.asarray(cov_np, np.int64))
+
+
+def test_batch_scorer_matches_fused_step():
+    """The product-shaped scorer (tables built once, queried per
+    dispatch) must equal the all-in-one fused step."""
+    from coral_tpu.ops.scoring import combine_coverage, make_batch_scorer_jax
+
+    starts, ends, cols, ic, is_, ie = _random_batch()
+    args = (starts, ends) + tuple(cols[k] for k in COL_ORDER)
+    sup_ref, cov_ref = make_fused_step_numpy(ic, is_, ie)(*args)
+    build, score = make_batch_scorer_jax(ic, is_, ie)
+    tables = build(starts, ends)
+    sup, res, est = score(tables, *(cols[k] for k in COL_ORDER))
+    np.testing.assert_array_equal(np.asarray(sup), sup_ref)
+    np.testing.assert_array_equal(combine_coverage(res, est),
+                                  np.asarray(cov_ref, np.int64))
