@@ -40,7 +40,6 @@ matplotlib.rcParams["pdf.fonttype"] = 42
 
 ANNOTATIONS_DIRS = [
     os.path.join(os.path.dirname(__file__), "..", "annotations_data"),
-    os.getcwd(),
 ]
 
 
@@ -143,7 +142,9 @@ class Gene:
 
 
 def _find_annotation(name: str) -> Optional[str]:
-    for d in ANNOTATIONS_DIRS:
+    # the working directory is searched at CALL time (not frozen at
+    # import), so user-provided refGene files next to the invocation work
+    for d in ANNOTATIONS_DIRS + [os.getcwd()]:
         p = os.path.join(d, name)
         if os.path.exists(p):
             return p

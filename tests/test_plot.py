@@ -118,3 +118,33 @@ def test_graph_layout_matches_cursor_walk():
     np.testing.assert_allclose(xs[:2], lay.starts["chr7"], atol=1e-9)
     assert list(idx) == [0, 1, 1]
     assert xs[2] == lay.starts["chr7"][1] + 2000 * 100.0 / total_len
+
+
+def test_plot_graph_with_gene_track(outputs, tmp_path, monkeypatch):
+    """A user-provided refGene file on the annotation search path renders
+    the gene track (exon boxes + names); the simulated amplicon is at
+    chr7:55.0-55.4M, so place a fake EGFR-like gene there."""
+    bam, prefix, out = outputs
+    # annotation search includes os.getcwd()
+    monkeypatch.chdir(tmp_path)
+    exon_s = ",".join(str(55_000_000 + k * 40_000) for k in range(5)) + ","
+    exon_e = ",".join(str(55_000_000 + k * 40_000 + 10_000)
+                      for k in range(5)) + ","
+    row = ["585", "NM_0001", "chr7", "+", "55000000", "55200000",
+           "55000000", "55200000", "5", exon_s, exon_e, "0", "FAKEGFR",
+           "cmpl", "cmpl", "0,"]
+    (tmp_path / "refGene_GRCh38.txt").write_text("\t".join(row) + "\n")
+    from coral_tpu.plot.plot_amplicons import AmpliconVisualizer
+
+    vis = AmpliconVisualizer()
+    vis.parse_genes("GRCh38")
+    assert [g.gname for g in vis.genes["chr7"]] == ["FAKEGFR"]
+    assert len(vis.genes["chr7"][0].eposns) == 5
+    rc = main([
+        "plot", "--ref", "GRCh38", "--bam", bam,
+        "--graph", prefix + "_amplicon1_graph.txt",
+        "--output_prefix", os.path.join(str(tmp_path), "genes"),
+        "--plot_graph",
+    ])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "genes_graph.png"))
