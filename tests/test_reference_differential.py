@@ -397,6 +397,12 @@ class _RefGraphShim:
              -1, e.lr_count, e.reads, e.cn]
             for e in g.discordant_edges
         ]
+        self.endnodes = g.endnodes
+        self.source_edges = [
+            ["source", -1, "-", e.chrom, e.pos, e.o, -1, "None", e.lr_cn,
+             e.cn]
+            for e in g.source_edges
+        ]
 
 
 def _random_chain_graph(rng, n_segs=6, chrom="chr1"):
