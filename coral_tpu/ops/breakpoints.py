@@ -402,12 +402,27 @@ def call_consensus_bp(
     bp = list(cluster[0][:-2])
     bp[1] = 0 if bp[2] == "+" else 1000000000
     bp[4] = 0 if bp[5] == "+" else 1000000000
+    # moment accumulation is SEQUENTIAL python-float arithmetic to match
+    # the reference's rounding bit-for-bit (ref :310-323): positions are
+    # ~1e8 so E[x^2] - E[x]^2 cancels catastrophically and the emitted
+    # digits depend on the summation order (numpy pairwise sums differ)
+    # accumulate in python ints (exact, like the reference's [0,0,0,0]
+    # accumulators); the single rounding happens at the division
+    a1 = a2 = q1sum = q2sum = 0
+    for b in cluster:
+        p1, p2 = int(b[1]), int(b[4])   # python ints: no np.int64 wrap
+        a1 += p1
+        q1sum += p1 * p1
+        a2 += p2
+        q2sum += p2 * p2
+    ncl = len(cluster) * 1.0
+    m1, m2 = a1 / ncl, a2 / ncl
+    e1, e2 = q1sum / ncl, q2sum / ncl
+    floor = distance_cutoff / 2.99
+    s1 = max(floor, math.sqrt(e1 - m1 * m1)) if e1 >= m1 * m1 else floor
+    s2 = max(floor, math.sqrt(e2 - m2 * m2)) if e2 >= m2 * m2 else floor
     p1s = np.asarray([b[1] for b in cluster], dtype=np.float64)
     p2s = np.asarray([b[4] for b in cluster], dtype=np.float64)
-    m1, m2 = float(p1s.mean()), float(p2s.mean())
-    floor = distance_cutoff / 2.99
-    s1 = max(floor, float(np.sqrt(np.maximum((p1s * p1s).mean() - m1 * m1, 0.0))))
-    s2 = max(floor, float(np.sqrt(np.maximum((p2s * p2s).mean() - m2 * m2, 0.0))))
     keep = (p1s <= m1 + 3 * s1) & (p1s >= m1 - 3 * s1) & \
            (p2s <= m2 + 3 * s2) & (p2s >= m2 - 3 * s2)
     kept1 = [int(cluster[i][1]) for i in range(len(cluster)) if keep[i]]
@@ -448,19 +463,24 @@ def call_consensus_bp(
     leftover = [cluster[i] for i in np.flatnonzero(~matched)]
     if not reads:
         return bp, reads, [0, 0, 0, 0, 0, 0], []
-    q1 = np.asarray([m[-2] for m in cluster], np.float64)
-    q2 = np.asarray([m[-1] for m in cluster], np.float64)
-    flip = np.asarray([m[-3] for m in cluster]) != 0
-    mq1 = np.where(flip, q2, q1)
-    mq2 = np.where(flip, q1, q2)
-    n = float(len(reads))
-    s0 = float(mp1[matched].sum()) / n
-    s1 = float(mp2[matched].sum()) / n
-    s2 = float((mp1[matched].astype(np.float64) ** 2).sum()) / n
-    s3 = float((mp2[matched].astype(np.float64) ** 2).sum()) / n
-    stats = [s0, s1,
-             math.sqrt(max(s2 - s0 * s0, 0.0)),
-             math.sqrt(max(s3 - s1 * s1, 0.0)),
-             float(mq1[matched].sum()) / n,
-             float(mq2[matched].sum()) / n]
-    return bp, reads, stats, leftover
+    # exact int accumulation again (ref :310,365-387) — see comment above
+    st = [0, 0, 0, 0, 0, 0]
+    for i in np.flatnonzero(matched):
+        m = cluster[i]
+        p1, p2 = int(m[1]), int(m[4])
+        st[0] += p1
+        st[2] += p1 * p1
+        st[1] += p2
+        st[3] += p2 * p2
+        if m[-3] == 0:
+            st[4] += m[-2]
+            st[5] += m[-1]
+        else:
+            st[4] += m[-1]
+            st[5] += m[-2]
+    n = len(reads) * 1.0
+    for i in range(6):
+        st[i] /= n
+    st[2] = math.sqrt(st[2] - st[0] * st[0]) if st[2] >= st[0] * st[0] else 0
+    st[3] = math.sqrt(st[3] - st[1] * st[1]) if st[3] >= st[1] * st[1] else 0
+    return bp, reads, st, leftover

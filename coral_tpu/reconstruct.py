@@ -27,7 +27,7 @@ from .config import Config, DEFAULT_CONFIG
 from .constants import CHR_IDX
 from .graph.breakpoint_graph import BreakpointGraph
 from .graph.cn_solver import compute_cn
-from .io.bam import BamFile
+from .io.bam import FLAG_EXCLUDE_ALL, BamFile
 from .io.cnv import read_cn_segments
 from .ops.breakpoints import (
     call_consensus_bp,
@@ -121,7 +121,12 @@ class Reconstruction:
             i += 1
         nnc = 0
         for r in chosen:
-            nnc += self.bam.coverage_sum(r[0], r[1], r[2] + 1)
+            # the reference's count_coverage here inherits pysam defaults:
+            # base quality >= 15 and the 'all' read filter
+            # (infer_breakpoint_graph.py:131)
+            nnc += self.bam.coverage_sum(
+                r[0], r[1], r[2] + 1,
+                quality_threshold=15, flag_exclude=FLAG_EXCLUDE_ALL)
         self.normal_cov = nnc * 1.0 / total_len
         logger.info("LR normal cov = %f", self.normal_cov)
         self.min_cluster_cutoff = max(
@@ -793,8 +798,14 @@ class Reconstruction:
                 continue
             nl = min(n, (bnd - seg_start + 1) // b)
             nr = min(n, (next_end - bnd) // b)
-            prof_l = self.bam.coverage_profile(chrom, bnd - nl * b + 1, bnd + 1)
-            prof_r = self.bam.coverage_profile(chrom, bnd + 1, bnd + nr * b + 1)
+            # reference count_coverage with pysam defaults (base quality
+            # >= 15, 'all' filter) — infer_breakpoint_graph.py:834-835
+            prof_l = self.bam.coverage_profile(
+                chrom, bnd - nl * b + 1, bnd + 1,
+                quality_threshold=15, flag_exclude=FLAG_EXCLUDE_ALL)
+            prof_r = self.bam.coverage_profile(
+                chrom, bnd + 1, bnd + nr * b + 1,
+                quality_threshold=15, flag_exclude=FLAG_EXCLUDE_ALL)
             cov = np.concatenate([
                 prof_l.reshape(nl, b).sum(axis=1) / b if nl else np.zeros(0),
                 prof_r.reshape(nr, b).sum(axis=1) / b if nr else np.zeros(0),

@@ -34,6 +34,7 @@ def simulate_ecdna(
     junction_flank: int = 10_000,
     jitter: int = 2,
     seed: int = 0,
+    emit_seq: bool = False,
     domain_end: int = 60_400_000,
     n_integration_reads: int = 0,
     integration_pos: int = 58_000_000,
@@ -47,17 +48,21 @@ def simulate_ecdna(
     rng = random.Random(seed)
     os.makedirs(out_dir, exist_ok=True)
     recs: List[BamRecord] = []
+    # emit_seq: realistic SEQ-bearing primaries (real nanopore primaries
+    # always carry SEQ; '*' models are compact but make pysam-semantics
+    # consumers divide by query_length == 0)
+    sq = "" if emit_seq else "*"
 
     # background: tiled long reads, sequence omitted (SEQ '*')
     step = bg_read_len // bg_cov
     for i, start in enumerate(range(0, domain_end - bg_read_len, step)):
         recs.append(BamRecord(f"bg{i:07d}", 0, CHR, start, 60,
-                              f"{bg_read_len}M", seq="*", tags={"NM": 100}))
+                              f"{bg_read_len}M", seq=sq, tags={"NM": 100}))
     # amplified interior coverage
     astep = max(amp_read_len // amp_extra_cov, 1)
     for i, start in enumerate(range(amp_start, amp_end - amp_read_len, astep)):
         recs.append(BamRecord(f"amp{i:07d}", 0, CHR, start, 60,
-                              f"{amp_read_len}M", seq="*", tags={"NM": 20}))
+                              f"{amp_read_len}M", seq=sq, tags={"NM": 20}))
     # junction reads: [end-flank, end) -> [start, start+flank)
     for i in range(n_junction_reads):
         j1 = rng.randint(-jitter, jitter)
@@ -126,6 +131,7 @@ def simulate_translocated_ecdna(
     amp_read_len: int = 10_000,
     junction_flank: int = 10_000,
     seed: int = 0,
+    emit_seq: bool = False,
 ) -> Tuple[str, str, str]:
     """Two-chromosome circular amplicon: chr7:A+ -> chr8:B+ -> back to A.
 
@@ -135,20 +141,24 @@ def simulate_translocated_ecdna(
     """
     os.makedirs(out_dir, exist_ok=True)
     recs: List[BamRecord] = []
+    # emit_seq: realistic SEQ-bearing primaries (real nanopore primaries
+    # always carry SEQ; '*' models are compact but make pysam-semantics
+    # consumers divide by query_length == 0)
+    sq = "" if emit_seq else "*"
     domains = [(CHR, 0, 60_000_000), (CHR2, 120_000_000, 132_000_000)]
     step = bg_read_len // bg_cov
     i = 0
     for (chrom, dstart, dend) in domains:
         for start in range(dstart, dend - bg_read_len, step):
             recs.append(BamRecord(f"bg{i:07d}", 0, chrom, start, 60,
-                                  f"{bg_read_len}M", seq="*", tags={"NM": 100}))
+                                  f"{bg_read_len}M", seq=sq, tags={"NM": 100}))
             i += 1
     astep = max(amp_read_len // amp_extra_cov, 1)
     i = 0
     for (chrom, (s, e)) in [(CHR, amp_a), (CHR2, amp_b)]:
         for start in range(s, e - amp_read_len, astep):
             recs.append(BamRecord(f"amp{i:07d}", 0, chrom, start, 60,
-                                  f"{amp_read_len}M", seq="*", tags={"NM": 20}))
+                                  f"{amp_read_len}M", seq=sq, tags={"NM": 20}))
             i += 1
 
     def junctions(tag, c1, p1, c2, p2):
@@ -208,6 +218,7 @@ def simulate_bfb(
     junction_flank: int = 10_000,
     jitter: int = 2,
     seed: int = 0,
+    emit_seq: bool = False,
     domain_end: int = 60_400_000,
 ) -> Tuple[str, str, str]:
     """Write (bam, cns, seed_bed) for a BFB-like foldback amplicon.
@@ -222,15 +233,19 @@ def simulate_bfb(
     rng = random.Random(seed)
     os.makedirs(out_dir, exist_ok=True)
     recs: List[BamRecord] = []
+    # emit_seq: realistic SEQ-bearing primaries (real nanopore primaries
+    # always carry SEQ; '*' models are compact but make pysam-semantics
+    # consumers divide by query_length == 0)
+    sq = "" if emit_seq else "*"
 
     step = bg_read_len // bg_cov
     for i, start in enumerate(range(0, domain_end - bg_read_len, step)):
         recs.append(BamRecord(f"bg{i:07d}", 0, CHR, start, 60,
-                              f"{bg_read_len}M", seq="*", tags={"NM": 100}))
+                              f"{bg_read_len}M", seq=sq, tags={"NM": 100}))
     astep = max(amp_read_len // amp_extra_cov, 1)
     for i, start in enumerate(range(amp_start, amp_end - amp_read_len, astep)):
         recs.append(BamRecord(f"amp{i:07d}", 0, CHR, start, 60,
-                              f"{amp_read_len}M", seq="*", tags={"NM": 20}))
+                              f"{amp_read_len}M", seq=sq, tags={"NM": 20}))
 
     f = junction_flank
     rl = 2 * f
@@ -288,6 +303,7 @@ def simulate_mixed_sample(
     junction_flank: int = 10_000,
     jitter: int = 2,
     seed: int = 0,
+    emit_seq: bool = False,
 ) -> Tuple[str, str, str]:
     """One sample carrying all three amplicon classes in separate regions:
 
@@ -302,6 +318,10 @@ def simulate_mixed_sample(
     rng = random.Random(seed)
     os.makedirs(out_dir, exist_ok=True)
     recs: List[BamRecord] = []
+    # emit_seq: realistic SEQ-bearing primaries (real nanopore primaries
+    # always carry SEQ; '*' models are compact but make pysam-semantics
+    # consumers divide by query_length == 0)
+    sq = "" if emit_seq else "*"
     f = junction_flank
     rl = 2 * f
 
@@ -312,7 +332,7 @@ def simulate_mixed_sample(
                                   (CHR2, 120_000_000, 132_000_000)]:
         for start in range(dstart, dend - bg_read_len, step):
             recs.append(BamRecord(f"bg{i:07d}", 0, chrom, start, 60,
-                                  f"{bg_read_len}M", seq="*", tags={"NM": 100}))
+                                  f"{bg_read_len}M", seq=sq, tags={"NM": 100}))
             i += 1
 
     regions = [(CHR, 55_000_000, 55_400_000),   # ecDNA
@@ -324,7 +344,7 @@ def simulate_mixed_sample(
     for (chrom, s, e) in regions:
         for start in range(s, e - amp_read_len, astep):
             recs.append(BamRecord(f"amp{i:07d}", 0, chrom, start, 60,
-                                  f"{amp_read_len}M", seq="*", tags={"NM": 20}))
+                                  f"{amp_read_len}M", seq=sq, tags={"NM": 20}))
             i += 1
 
     def junction(tag, k, c1, p1, c2, p2):
