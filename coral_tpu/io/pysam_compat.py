@@ -83,8 +83,16 @@ class AlignedSegmentView:
     def reference_end(self) -> int:
         return int(self._bam.end[self._i])
 
-    def infer_read_length(self) -> int:
-        return int(self._bam.qlen[self._i])
+    def infer_read_length(self):
+        """pysam infers from the CIGAR (query-consuming ops), returning
+        None when the record has no CIGAR — so for MAPPED records it is
+        always truthy even when SEQ is omitted.  The reference uses it
+        only as a truthiness gate (infer_breakpoint_graph.py:1031); return
+        the SEQ length when stored, else 1 for mapped records (every
+        mapped record carries a CIGAR), else None."""
+        if int(self._bam.flag[self._i]) & 0x4:
+            return None
+        return int(self._bam.qlen[self._i]) or 1
 
     def has_tag(self, tag: str) -> bool:
         if tag[:2] == "SA":

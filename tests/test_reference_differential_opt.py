@@ -43,10 +43,15 @@ def refopt():
     """Import reference breakpoint_graph + cycle_decomposition with the
     native solver packages stubbed out (they are only used inside solver
     entry points this module never calls)."""
-    for name in ("cvxopt", "cvxopt.modeling", "gurobipy"):
-        if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
-    sys.modules["cvxopt"].modeling = sys.modules["cvxopt.modeling"]
+    # cvxopt gets the WORKING facade (matrix arithmetic + solvers.cp) so
+    # other differential modules can run the reference's compute_cn_lr no
+    # matter which fixture imports breakpoint_graph first
+    import coral_tpu.graph.cvxopt_compat as cvx
+
+    sys.modules["cvxopt"] = cvx
+    sys.modules["cvxopt.modeling"] = cvx.modeling
+    if "gurobipy" not in sys.modules:
+        sys.modules["gurobipy"] = types.ModuleType("gurobipy")
     if not hasattr(sys.modules["gurobipy"], "GRB"):
         sys.modules["gurobipy"].GRB = type("GRB", (), {})
     sys.path.insert(0, str(REF_SRC))

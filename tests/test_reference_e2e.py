@@ -49,10 +49,12 @@ def ref_ibg():
     fake_itree = types.ModuleType("intervaltree")
     fake_itree.IntervalTree = compat.IntervalTree
     fake_itree.Interval = compat.Interval
-    for name in ("cvxopt", "cvxopt.modeling"):
-        if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
-    sys.modules["cvxopt"].modeling = sys.modules["cvxopt.modeling"]
+    # a WORKING cvxopt facade (matrix arithmetic + solvers.cp), so the
+    # reference's full graph mode (compute_cn_lr) runs too
+    import coral_tpu.graph.cvxopt_compat as cvx
+
+    sys.modules["cvxopt"] = cvx
+    sys.modules["cvxopt.modeling"] = cvx.modeling
     had_pysam = sys.modules.get("pysam")
     had_itree = sys.modules.get("intervaltree")
     sys.modules["pysam"] = fake_pysam
@@ -150,6 +152,52 @@ def test_e2e_breakpoints_mixed(ref_ibg, tmp_path):
                                             **_GEOM)
     n = _run_both(ref_ibg, tmp_path, bam, cns, seeds, "mixed")
     assert n >= 3
+
+
+def _parse_graph_rows(text):
+    """{(kind, position-descriptor): [numeric fields]} per data row."""
+    rows = {}
+    for line in text.splitlines():
+        t = line.split("\t")
+        if t[0] in ("sequence", "concordant", "discordant", "source"):
+            key = (t[0],) + tuple(t[1:3] if t[0] == "sequence" else t[1:2])
+            rows[key] = [float(v) for v in t[3 if t[0] == "sequence" else 2:]]
+    return rows
+
+
+def test_e2e_graph_mode_full(ref_ibg, tmp_path):
+    """FULL graph mode: the reference's compute_cn_lr runs on our
+    cvxopt-cp facade (coral_tpu/graph/cvxopt_compat.py) and its
+    *_graph.txt must match ours — structure and counts exactly, CN and
+    coverage numerics within solver tolerance (two independent interior
+    solvers converging to the same unique stationary point)."""
+    from coral_tpu.reconstruct import reconstruct_graphs
+    from coral_tpu.sim import simulate_ecdna
+
+    bam, cns, seeds = simulate_ecdna(str(tmp_path / "sim"), seed=7, **_GEOM)
+    _reset_reference_state(ref_ibg)
+    ref_prefix = str(tmp_path / "ref_graph")
+    args = SimpleNamespace(
+        lr_bam=bam, cnv_seed=seeds, cn_seg=cns,
+        output_prefix=ref_prefix, min_bp_support=1.0,
+        output_bp=False, log_fn=str(tmp_path / "ref_graph.log"),
+    )
+    ref_ibg.reconstruct_graph(args)
+    our_prefix = str(tmp_path / "ours_graph")
+    rec = reconstruct_graphs(bam, seeds, cns, our_prefix)
+
+    ref_files = sorted(glob.glob(ref_prefix + "_amplicon*_graph.txt"))
+    our_files = sorted(glob.glob(our_prefix + "_amplicon*_graph.txt"))
+    assert ref_files and len(ref_files) == len(our_files)
+    for rf, of in zip(ref_files, our_files):
+        ref_rows = _parse_graph_rows(Path(rf).read_text())
+        our_rows = _parse_graph_rows(Path(of).read_text())
+        assert set(ref_rows) == set(our_rows), (rf, of)
+        for key, ref_vals in ref_rows.items():
+            our_vals = our_rows[key]
+            assert len(ref_vals) == len(our_vals)
+            for a, b in zip(ref_vals, our_vals):
+                assert b == pytest.approx(a, rel=1e-4, abs=1e-4), (key, ref_vals, our_vals)
 
 
 def test_e2e_breakpoints_translocated(ref_ibg, tmp_path):
