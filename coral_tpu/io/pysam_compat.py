@@ -68,6 +68,11 @@ class AlignedSegmentView:
         return int(self._bam.mapq[self._i])
 
     @property
+    def mapq(self) -> int:
+        """pysam legacy alias (used at infer_breakpoint_graph.py:1308)."""
+        return int(self._bam.mapq[self._i])
+
+    @property
     def query_length(self) -> int:
         return int(self._bam.qlen[self._i])
 

@@ -132,12 +132,19 @@ def simulate_translocated_ecdna(
     junction_flank: int = 10_000,
     seed: int = 0,
     emit_seq: bool = False,
+    n_through_reads: int = 0,
 ) -> Tuple[str, str, str]:
     """Two-chromosome circular amplicon: chr7:A+ -> chr8:B+ -> back to A.
 
     Only the chr7 segment is seeded; the chr8 segment must be DISCOVERED
     through the breakpoint-connected interval search (the reference's BFS
     over chimeric alignments, ``find_interval_i``).
+
+    ``n_through_reads`` adds three-part chimeras that traverse the WHOLE
+    chr8 segment in one read ([A_end-flank) -> B -> [A_start+flank)),
+    covering both junctions — the geometry that produces >= 3-sequence-edge
+    subpath constraints (``compute_path_constraints``); pass a small
+    ``amp_b`` so the middle part fits in a read.
     """
     os.makedirs(out_dir, exist_ok=True)
     recs: List[BamRecord] = []
@@ -177,6 +184,27 @@ def simulate_translocated_ecdna(
 
     junctions("jab", CHR, amp_a[1], CHR2, amp_b[0])   # A end -> B start
     junctions("jba", CHR2, amp_b[1], CHR, amp_a[0])   # B end -> A start
+
+    # three-part through reads: [A_end-f, A_end) + whole B + [A_start, A_start+f)
+    f = junction_flank
+    blen = amp_b[1] - amp_b[0]
+    for k in range(n_through_reads):
+        rl = 2 * f + blen
+        a1 = amp_a[1] - f                 # part 1 ref start (chr7)
+        b0 = amp_b[0]                     # part 2 ref start (chr8)
+        a0 = amp_a[0]                     # part 3 ref start (chr7)
+        sa1 = f"{CHR},{a1 + 1},+,{f}M{blen + f}S,60,50;"
+        sa2 = f"{CHR2},{b0 + 1},+,{f}S{blen}M{f}S,60,50;"
+        sa3 = f"{CHR},{a0 + 1},+,{f + blen}S{f}M,60,50;"
+        recs.append(BamRecord(f"thr{k:04d}", 0, CHR, a1, 60,
+                              f"{f}M{blen + f}S",
+                              seq="A" * rl, tags={"NM": 50, "SA": sa2 + sa3}))
+        recs.append(BamRecord(f"thr{k:04d}", 0x800, CHR2, b0, 60,
+                              f"{f}S{blen}M{f}S",
+                              seq="*", tags={"NM": 50, "SA": sa1 + sa3}))
+        recs.append(BamRecord(f"thr{k:04d}", 0x800, CHR, a0, 60,
+                              f"{f + blen}S{f}M",
+                              seq="*", tags={"NM": 50, "SA": sa1 + sa2}))
 
     bam_path = os.path.join(out_dir, "sim_tx.bam")
     write_bam(bam_path, [(CHR, CHR_LEN), (CHR2, CHR2_LEN)], recs)

@@ -208,3 +208,126 @@ def test_e2e_breakpoints_translocated(ref_ibg, tmp_path):
     bam, cns, seeds = simulate_translocated_ecdna(str(tmp_path / "sim"),
                                                   seed=5, **geom)
     _run_both(ref_ibg, tmp_path, bam, cns, seeds, "transloc")
+
+
+# --------------------------------------------------------------------------
+# HSR mode
+# --------------------------------------------------------------------------
+
+def test_e2e_hsr_sites(ref_ibg, tmp_path, monkeypatch, capsys):
+    """HSR integration-site detection: the reference's locate_hsrs runs on
+    the pysam facade and must report the same breakpoint sites (stdout
+    ``Breakpoint ... Support = ...`` lines are its machine-readable
+    output) as ours, given the same BAM + cycles bed + CN file."""
+    sys.path.insert(0, str(REF_SRC))
+    try:
+        import hsr as ref_hsr
+    finally:
+        sys.path.remove(str(REF_SRC))
+    from coral_tpu.hsr import locate_hsrs as our_hsr
+    from coral_tpu.sim import simulate_ecdna
+
+    bam, cns, _seeds = simulate_ecdna(
+        str(tmp_path / "sim"), seed=13, **_GEOM,
+        n_integration_reads=8, integration_pos=58_000_000)
+    cycles_bed = tmp_path / "ecdna_cycles.bed"
+    cycles_bed.write_text("chr7\t55000000\t55399999\t+\t1\tTrue\t20.0\n")
+    # the reference saves its scatter to a RELATIVE "integration_sites_<prefix>"
+    # path (hsr.py:219-220, crashes on absolute prefixes — our build fixed
+    # that); run from tmp_path with relative prefixes for both
+    monkeypatch.chdir(tmp_path)
+
+    def run(fn, prefix):
+        args = SimpleNamespace(
+            lr_bam=bam, cycles=str(cycles_bed), cn_seg=cns,
+            output_prefix=prefix, normal_cov="4",
+            bp_match_cutoff=100, bp_match_cutoff_clustering=2000)
+        fn(args)
+        out = capsys.readouterr().out
+        sites = sorted(l for l in out.splitlines() if l.startswith("Breakpoint"))
+        found = [l for l in out.splitlines() if l.startswith("Found ")]
+        return sites, found
+
+    ref_sites, ref_found = run(ref_hsr.locate_hsrs, "refh")
+    our_sites, our_found = run(our_hsr, "oursh")
+    assert ref_sites, "integration sim must produce reported sites"
+    assert our_sites == ref_sites
+    assert our_found == ref_found
+    assert (tmp_path / "integration_sites_refh.png").exists()
+    assert (tmp_path / "integration_sites_oursh.png").exists()
+
+
+# --------------------------------------------------------------------------
+# Path constraints (the last pre-solver stage)
+# --------------------------------------------------------------------------
+
+def _canon_pc_edge(el, dis):
+    """('d', idx) -> ('d', 6-tuple): discordant indices are insertion-
+    ordered (hash-dependent in the reference), so canonicalize by edge
+    identity; 's'/'c' indices are sort_edges-deterministic on both sides."""
+    if isinstance(el, tuple) and len(el) == 2 and el[0] == "d":
+        return ("d",) + tuple(dis[el[1]])
+    return tuple(el)
+
+
+def _canon_path(path, dis):
+    fwd = tuple(repr(_canon_pc_edge(el, dis)) for el in path)
+    return min(fwd, fwd[::-1])
+
+
+def test_e2e_path_constraints(ref_ibg, tmp_path):
+    """Both implementations derive identical subpath constraints from the
+    same BAM: three-part through reads traverse A_end -> whole B ->
+    A_start, the geometry that yields >= 3-sequence-edge walks."""
+    from collections import Counter
+
+    from coral_tpu.reconstruct import reconstruct_graphs
+    from coral_tpu.sim import simulate_translocated_ecdna
+
+    bam, cns, seeds = simulate_translocated_ecdna(
+        str(tmp_path / "sim"), seed=9,
+        amp_b=(127_000_000, 127_030_000),
+        bg_cov=2, amp_extra_cov=30, n_junction_reads=30,
+        bg_read_len=8_000, amp_read_len=8_000,
+        emit_seq=True, n_through_reads=8)
+    _reset_reference_state(ref_ibg)
+    args = SimpleNamespace(
+        lr_bam=bam, cnv_seed=seeds, cn_seg=cns,
+        output_prefix=str(tmp_path / "ref_pc"), min_bp_support=1.0,
+        output_bp=False, log_fn=str(tmp_path / "ref_pc.log"),
+    )
+    b2bn = ref_ibg.reconstruct_graph(args)
+    b2bn.compute_path_constraints()
+    rec = reconstruct_graphs(bam, seeds, cns, str(tmp_path / "ours_pc"))
+    rec.compute_path_constraints()
+
+    assert len(b2bn.lr_graph) == len(rec.graphs)
+    total_pcs = 0
+    for amp in range(len(rec.graphs)):
+        ref_dis = [tuple(de[:6]) for de in b2bn.lr_graph[amp].discordant_edges]
+        our_dis = [(d.chrom1, d.pos1, d.o1, d.chrom2, d.pos2, d.o2)
+                   for d in rec.graphs[amp].discordant_edges]
+        ref_pcs = b2bn.path_constraints[amp]
+        our_pcs = rec.path_constraints[amp]
+        got_ref = Counter(
+            (_canon_path(p, ref_dis), s)
+            for p, s in zip(ref_pcs[0], ref_pcs[1]))
+        got = Counter(
+            (_canon_path(p, our_dis), s)
+            for p, s in zip(our_pcs[0], our_pcs[1]))
+        assert got == got_ref, amp
+        # longest (maximal) constraints: edge-count dicts + supports
+        def canon_dict(d, dis):
+            return frozenset((repr(_canon_pc_edge(e, dis)), c)
+                             for e, c in d.items())
+        ref_l = Counter(
+            (canon_dict(d, ref_dis), s)
+            for d, s in zip(b2bn.longest_path_constraints[amp][0],
+                            b2bn.longest_path_constraints[amp][2]))
+        our_l = Counter(
+            (canon_dict(d, our_dis), s)
+            for d, s in zip(rec.longest_path_constraints[amp][0],
+                            rec.longest_path_constraints[amp][2]))
+        assert our_l == ref_l, amp
+        total_pcs += len(ref_pcs[0])
+    assert total_pcs > 0, "through reads must produce path constraints"

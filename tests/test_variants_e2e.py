@@ -147,3 +147,25 @@ def test_mesh_sharded_pipeline_identical(tmp_path):
     b = run(make_mesh(8), "mesh8")
     c = run(make_mesh(2), "mesh2")
     assert open(a).read() == open(b).read() == open(c).read()
+
+
+def test_through_reads_produce_path_constraints(tmp_path):
+    """Three-part through reads (A_end -> whole B -> A_start) must surface
+    as >= 3-sequence-edge subpath constraints in cycles.txt, marked
+    Satisfied by the decomposition (the cyclic walk traverses them)."""
+    from coral_tpu.sim import simulate_translocated_ecdna
+
+    bam, cns, seeds = simulate_translocated_ecdna(
+        str(tmp_path / "sim"), seed=9,
+        amp_b=(127_000_000, 127_030_000),
+        bg_cov=2, amp_extra_cov=30, n_junction_reads=30,
+        bg_read_len=8_000, amp_read_len=8_000, n_through_reads=8)
+    prefix = str(tmp_path / "out")
+    rec = reconstruct_graphs(bam, seeds, cns, prefix)
+    reconstruct_cycles(rec, prefix)
+    text = open(prefix + "_amplicon1_cycles.txt").read()
+    pc_lines = [l for l in text.splitlines() if l.startswith("Path constraint")]
+    assert pc_lines, text
+    assert any("Satisfied" in l for l in pc_lines), pc_lines
+    # the through-read constraint spans >= 3 segments
+    assert any(l.split("\t")[2].count(",") >= 2 for l in pc_lines), pc_lines
