@@ -211,6 +211,96 @@ def test_e2e_breakpoints_translocated(ref_ibg, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# Cycles writer + Eulerian digestion of identical solutions
+# --------------------------------------------------------------------------
+
+def test_e2e_cycles_writer_same_solution(ref_ibg, tmp_path):
+    """Feed OUR decomposition solution to the REFERENCE's output_cycles
+    (its Eulerian traversal + AA writer) and compare cycles.txt with
+    ours: everything byte-identical except the Segments strings, which
+    must be AA-equivalent realizations of the same edge multiset (the
+    traversal representative is RNG-dependent in the reference).
+
+    This separates writer/traversal parity (proven here) from solver
+    parity (covered by the GBM39 reference-model harness)."""
+    import random as pyrandom
+    import types as _t
+
+    if "gurobipy" not in sys.modules:
+        sys.modules["gurobipy"] = _t.ModuleType("gurobipy")
+    if not hasattr(sys.modules["gurobipy"], "GRB"):
+        sys.modules["gurobipy"].GRB = type("GRB", (), {})
+    sys.path.insert(0, str(REF_SRC))
+    try:
+        import cycle_decomposition as ref_cd
+    finally:
+        sys.path.remove(str(REF_SRC))
+
+    from test_reference_differential import _RefGraphShim
+
+    from coral_tpu.cycles.refmodel import segments_to_solution
+    from coral_tpu.reconstruct import reconstruct_cycles, reconstruct_graphs
+    from coral_tpu.sim import simulate_translocated_ecdna
+
+    bam, cns, seeds = simulate_translocated_ecdna(
+        str(tmp_path / "sim"), seed=9,
+        amp_b=(127_000_000, 127_030_000),
+        bg_cov=2, amp_extra_cov=30, n_junction_reads=30,
+        bg_read_len=8_000, amp_read_len=8_000,
+        emit_seq=True, n_through_reads=8)
+    our_prefix = str(tmp_path / "ours_cyc")
+    rec = reconstruct_graphs(bam, seeds, cns, our_prefix)
+    reconstruct_cycles(rec, our_prefix)
+
+    bb = SimpleNamespace(
+        lr_graph=[_RefGraphShim(g) for g in rec.graphs],
+        amplicon_intervals=rec.amplicon_intervals,
+        ccid2id=rec.ccid2id,
+        path_constraints=rec.path_constraints,
+        longest_path_constraints=rec.longest_path_constraints,
+        cycles=rec.cycles,
+        cycle_weights=rec.cycle_weights,
+        path_constraints_satisfied=rec.path_constraints_satisfied,
+    )
+    ref_prefix = str(tmp_path / "ref_cyc")
+    pyrandom.seed(0)
+    ref_cd.output_cycles(bb, ref_prefix)
+
+    def parse(text):
+        head, cyc = [], []
+        for line in text.splitlines():
+            if line.startswith("Cycle="):
+                cyc.append(dict(f.split("=", 1) for f in line.split(";")))
+            elif not line.startswith("#"):
+                head.append(line)
+        return head, cyc
+
+    n_cycle_lines = 0
+    for amp in range(len(rec.graphs)):
+        ref_text = Path(f"{ref_prefix}_amplicon{amp + 1}_cycles.txt").read_text()
+        our_text = Path(f"{our_prefix}_amplicon{amp + 1}_cycles.txt").read_text()
+        ref_head, ref_cyc = parse(ref_text)
+        our_head, our_cyc = parse(our_text)
+        assert our_head == ref_head, amp
+        assert len(our_cyc) == len(ref_cyc)
+        for rc, oc in zip(ref_cyc, our_cyc):
+            assert oc["Cycle"] == rc["Cycle"]
+            assert oc["Copy_count"] == rc["Copy_count"]
+            assert oc["Path_constraints_satisfied"] == \
+                rc["Path_constraints_satisfied"]
+            g = rec.graphs[amp]
+            ref_sol, ref_is_cyc, ref_viol = segments_to_solution(
+                g, rc["Segments"].split(","))
+            our_sol, our_is_cyc, our_viol = segments_to_solution(
+                g, oc["Segments"].split(","))
+            assert ref_viol == [] and our_viol == []
+            assert ref_is_cyc == our_is_cyc
+            assert ref_sol == our_sol, (amp, rc, oc)
+            n_cycle_lines += 1
+    assert n_cycle_lines >= 2
+
+
+# --------------------------------------------------------------------------
 # HSR mode
 # --------------------------------------------------------------------------
 
