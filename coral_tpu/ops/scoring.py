@@ -212,10 +212,19 @@ def make_fused_step_jax(int_chrom, int_start, int_end, **scalars):
     return call
 
 
-def make_batch_scorer_jax(int_chrom, int_start, int_end, **scalars):
+def make_batch_scorer_jax(int_chrom, int_start, int_end, engine: str = "xla",
+                          interpret: bool = False, **scalars):
     """Product-shaped device scorer: coverage tables build ONCE per read
     batch (the pipeline reuses them across every interval/bin query) and
     the per-dispatch step is pure predicate + histogram + table lookups.
+
+    ``engine='pallas'`` evaluates the pair predicate with the one-pass
+    Mosaic kernel (the engine ``score_pairs_l`` routes TPU dispatches to
+    when the NM gate is off): the XLA broadcast search materializes
+    (n, n_int) masks — ~1 GB of HBM traffic per 2M-pair dispatch at 16
+    intervals — while the Pallas kernel streams each column once with the
+    interval table VMEM-resident.  Requires max_nm=inf (the Pallas kernel
+    has no NM gate) and n divisible by 1024.
 
     Returns (build_tables, score):
       build_tables(starts, ends) -> device table tuple (jitted)
@@ -233,14 +242,50 @@ def make_batch_scorer_jax(int_chrom, int_start, int_end, **scalars):
     def build_tables(starts, ends):
         return coverage_prefix_tables(jnp, starts, ends)
 
+    params = {**dict(min_bp_match_cutoff=100, min_mapq=20,
+                     gap_=100.0, max_nm=np.inf), **scalars}
+
+    if engine == "pallas":
+        if not np.isinf(params["max_nm"]):
+            raise ValueError("engine='pallas' has no NM gate")
+        from .pallas_kernels import LANES, make_pair_pallas_fn
+
+        n_int = int(ic.shape[0])
+        ic2 = jnp.asarray(np.asarray(int_chrom, np.int32).reshape(1, n_int))
+        is2 = jnp.asarray(np.asarray(int_start, np.int32).reshape(1, n_int))
+        ie2 = jnp.asarray(np.asarray(int_end, np.int32).reshape(1, n_int))
+
+        @jax.jit
+        def score(tables, qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i,
+                  mapq_i, nm_i, chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_j):
+            n = qi_end.shape[0]
+            rows = n // LANES
+            pair_fn = make_pair_pallas_fn(
+                rows, n_int, params["min_bp_match_cutoff"],
+                params["min_mapq"], params["gap_"], interpret)
+            blocks = [c.reshape(rows, LANES) for c in
+                      (qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i,
+                       mapq_i, chrom_j, r1_j, r2_j, strand_j, mapq_j)]
+            hit2, io2 = pair_fn(ic2, is2, ie2, *blocks)
+            hits = hit2.reshape(-1) != 0
+            io_i = io2.reshape(-1)
+            lane = jnp.arange(n_int, dtype=jnp.int32)
+            support = jnp.sum(
+                ((io_i[:, None] == lane[None, :]) & hits[:, None])
+                .astype(jnp.int32), axis=0)
+            res_e, est_e = coverage_prefix_eval(jnp, tables, ie)
+            res_s, est_s = coverage_prefix_eval(jnp, tables, is_)
+            return support, res_e - res_s, est_e - est_s
+
+        return build_tables, score
+
     @jax.jit
     def score(tables, qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i,
               mapq_i, nm_i, chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_j):
         hits, io_i = pair_predicate(
             jnp, qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i, mapq_i,
             nm_i, chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_j,
-            ic, is_, ie, **{**dict(min_bp_match_cutoff=100, min_mapq=20,
-                                   gap_=100.0, max_nm=np.inf), **scalars})
+            ic, is_, ie, **params)
         # one-hot reduce, NOT scatter-add (TPU scatter serializes)
         lane = jnp.arange(ic.shape[0], dtype=jnp.int32)
         support = jnp.sum(

@@ -145,3 +145,25 @@ def test_batch_scorer_matches_fused_step():
     np.testing.assert_array_equal(np.asarray(sup), sup_ref)
     np.testing.assert_array_equal(combine_coverage(res, est),
                                   np.asarray(cov_ref, np.int64))
+
+
+def test_batch_scorer_pallas_engine_matches_xla():
+    """make_batch_scorer_jax(engine='pallas') (the TPU dispatch engine)
+    must produce identical support/coverage to the XLA engine."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import COL_ORDER, synth_scoring_batch
+    from coral_tpu.ops.scoring import make_batch_scorer_jax
+
+    n = 4096
+    starts, ends, cols, ic, is_, ie = synth_scoring_batch(n, seed=5)
+    bx, sx = make_batch_scorer_jax(ic, is_, ie)
+    bp, sp = make_batch_scorer_jax(ic, is_, ie, engine="pallas",
+                                   interpret=True)
+    tx = bx(jnp.asarray(starts), jnp.asarray(ends))
+    args = [jnp.asarray(cols[k]) for k in COL_ORDER]
+    out_x = sx(tx, *args)
+    out_p = sp(tx, *args)
+    for a, b in zip(out_x, out_p):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
