@@ -19,3 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Install the WORKING gurobipy facade before any test imports the reference's
+# cycle_decomposition (several fixtures do `if "gurobipy" not in sys.modules`
+# stubbing — this must win regardless of test order so the reference MIQP
+# differentials get a real solver, not an empty stub).
+import coral_tpu.graph.gurobi_compat as _gurobi_compat  # noqa: E402
+
+sys.modules.setdefault("gurobipy", _gurobi_compat)
