@@ -300,6 +300,105 @@ def test_e2e_cycles_writer_same_solution(ref_ibg, tmp_path):
     assert n_cycle_lines >= 2
 
 
+def _sim_ecdna_full(path):
+    from coral_tpu.sim import simulate_ecdna
+
+    return simulate_ecdna(str(path / "sim"), seed=7, **_GEOM)
+
+
+def _sim_transloc_full(path):
+    from coral_tpu.sim import simulate_translocated_ecdna
+
+    return simulate_translocated_ecdna(
+        str(path / "sim"), seed=9, amp_b=(127_000_000, 127_030_000),
+        n_through_reads=8, **_GEOM)
+
+
+@pytest.mark.parametrize("sim_factory", [_sim_ecdna_full, _sim_transloc_full],
+                         ids=["ecdna", "transloc"])
+def test_e2e_full_pipeline_cycles(ref_ibg, tmp_path, sim_factory):
+    """Capstone differential: the reference's ENTIRE reconstruct mode —
+    BAM scan + graph inference (pysam facade), CN balance (cvxopt-cp
+    facade), subpath constraints, MIQP cycle decomposition solved to
+    global optimality (gurobipy facade), Eulerian traversal and the AA
+    writer — against our pipeline on the same simulated sample.
+
+    Compared by the decomposition's model INVARIANTS (the copy-count
+    split between decompositions is degenerate in the reference model —
+    proven on GBM39, docs/GBM39_PARITY.md): identical header metadata,
+    identical canonical segment multisets per decomposition, weight
+    within solver tolerance where the optimum is unique, and identical
+    total length-weighted coverage.
+    """
+    from coral_tpu.cycles.refmodel import canonical_tokens, parse_cycles_text
+    from coral_tpu.reconstruct import reconstruct_cycles as our_cycles
+    from coral_tpu.reconstruct import reconstruct_graphs
+
+    sys.path.insert(0, str(REF_SRC))
+    try:
+        import cycle_decomposition as ref_cd
+    finally:
+        sys.path.remove(str(REF_SRC))
+    import coral_tpu.graph.gurobi_compat as gp_facade
+
+    assert ref_cd.gp is gp_facade  # the real MIQP oracle, not a stub
+
+    bam, cns, seeds = sim_factory(tmp_path)
+    _reset_reference_state(ref_ibg)
+    ref_prefix = str(tmp_path / "ref_full")
+    args = SimpleNamespace(
+        lr_bam=bam, cnv_seed=seeds, cn_seg=cns,
+        output_prefix=ref_prefix, min_bp_support=1.0,
+        output_bp=False, log_fn=str(tmp_path / "ref_full.log"),
+        cycle_decomp_alpha=None, postprocess_greedy_sol=False,
+        cycle_decomp_threads=None, cycle_decomp_time_limit=300,
+        output_all_path_constraints=False,
+    )
+    bb = ref_ibg.reconstruct_graph(args)
+    import random as pyrandom
+
+    pyrandom.seed(0)
+    ref_cd.reconstruct_cycles(args, bb)
+
+    our_prefix = str(tmp_path / "ours_full")
+    rec = reconstruct_graphs(bam, seeds, cns, our_prefix)
+    our_cycles(rec, our_prefix)
+
+    ref_files = sorted(glob.glob(ref_prefix + "_amplicon*_cycles.txt"))
+    our_files = sorted(glob.glob(our_prefix + "_amplicon*_cycles.txt"))
+    assert ref_files and len(ref_files) == len(our_files)
+    for rf, of in zip(ref_files, our_files):
+        ref = parse_cycles_text(Path(rf).read_text())
+        ours = parse_cycles_text(Path(of).read_text())
+        # header metadata: identical segment coordinates
+        assert ours["segments"] == ref["segments"], (rf, of)
+        # subpath constraints: identical token/support multisets
+        # (file order is PYTHONHASHSEED-dependent in the reference)
+        norm = lambda cs: sorted(
+            (canonical_tokens(c["tokens"], is_cycle=False), c["support"])
+            for c in cs)
+        assert norm(ours["constraints"]) == norm(ref["constraints"])
+        assert len(ours["entries"]) == len(ref["entries"])
+
+        def seg_len(sid):
+            c, s, e = ref["segments"][sid]
+            return e - s + 1
+
+        def cov(entry):
+            toks = [t for t in entry["tokens"] if t not in ("0+", "0-")]
+            return entry["copy_count"] * sum(
+                seg_len(int(t[:-1])) for t in toks)
+
+        # canonical structure must match entry-for-entry…
+        ref_forms = sorted(canonical_tokens(e["tokens"]) for e in ref["entries"])
+        our_forms = sorted(canonical_tokens(e["tokens"]) for e in ours["entries"])
+        assert our_forms == ref_forms, (rf, of)
+        # …and total length-weighted coverage is the shared global optimum
+        total_ref = sum(cov(e) for e in ref["entries"])
+        total_our = sum(cov(e) for e in ours["entries"])
+        assert total_our == pytest.approx(total_ref, rel=1e-4)
+
+
 # --------------------------------------------------------------------------
 # HSR mode
 # --------------------------------------------------------------------------
