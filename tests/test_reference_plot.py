@@ -1,0 +1,255 @@
+"""Tier-1 differential for the plot module.
+
+The reference's `plot_amplicons.graph_vis` (the last module without an
+executable-oracle differential) runs here on the pysam/intervaltree
+facades, with a synthetic refGene annotation injected, and must draw the
+SAME GEOMETRY as our redesigned vectorized layout
+(`coral_tpu/plot/plot_amplicons.py`): identical axis limits, coverage-bar
+rectangles, discordant-edge arcs, sequence-edge/gene segment sets.
+
+The comparison is on data-space artist geometry, not pixels: the two
+implementations build their figures differently (per-patch loops in the
+reference, `plot_amplicons.py:260-520`; PatchCollection/LineCollection
+batches here), so geometry equality is exactly the "pixel-equivalent
+visual contract" the redesign promised.
+
+Skipped wholesale when /root/reference is not present.
+"""
+from __future__ import annotations
+
+import builtins
+import os
+import sys
+import types
+from pathlib import Path
+
+import pytest
+
+REF_SRC = Path("/root/reference/src")
+
+pytestmark = pytest.mark.skipif(
+    not REF_SRC.exists(), reason="reference checkout not available"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_plot():
+    """Reference plot_amplicons with coral_tpu facades injected."""
+    import coral_tpu.io.pysam_compat as compat
+
+    fake_pysam = types.ModuleType("pysam")
+    fake_pysam.AlignmentFile = compat.AlignmentFile
+    fake_itree = types.ModuleType("intervaltree")
+    fake_itree.IntervalTree = compat.IntervalTree
+    fake_itree.Interval = compat.Interval
+    had_pysam = sys.modules.get("pysam")
+    had_itree = sys.modules.get("intervaltree")
+    sys.modules["pysam"] = fake_pysam
+    sys.modules["intervaltree"] = fake_itree
+    sys.path.insert(0, str(REF_SRC))
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import plot_amplicons as mod
+
+        yield mod
+    finally:
+        sys.path.remove(str(REF_SRC))
+        if had_pysam is None:
+            sys.modules.pop("pysam", None)
+        else:
+            sys.modules["pysam"] = had_pysam
+        if had_itree is None:
+            sys.modules.pop("intervaltree", None)
+        else:
+            sys.modules["intervaltree"] = had_itree
+
+
+@pytest.fixture(scope="module")
+def sample(tmp_path_factory):
+    """Simulated ecDNA + our graph/cycles files + a synthetic refGene."""
+    from coral_tpu.reconstruct import reconstruct_cycles, reconstruct_graphs
+    from coral_tpu.sim import simulate_ecdna
+
+    out = tmp_path_factory.mktemp("refplot")
+    bam, cns, seeds = simulate_ecdna(str(out), jitter=0)
+    prefix = os.path.join(str(out), "p")
+    rec = reconstruct_graphs(bam, seeds, cns, prefix)
+    reconstruct_cycles(rec, prefix)
+    # synthetic refGene row overlapping the amplicon (UCSC refGene schema;
+    # the reference reads fields 2,3,4,5,9,10,12 — plot_amplicons.py:28-39,
+    # 86-106)
+    gene_row = "\t".join([
+        "0", "NM_000001", "chr7", "+", "55000000", "55300000",
+        "55000000", "55300000", "2", "55000000,55200000,",
+        "55100000,55300000,", "0", "EGFRSIM", "cmpl", "cmpl", "0,0,",
+    ])
+    refgene = out / "refGene_hg38.txt"
+    refgene.write_text(gene_row + "\n")
+    return {"bam": bam, "prefix": prefix, "dir": out, "refgene": refgene}
+
+
+def _redirect_refgene(monkeypatch, ref_plot, refgene_path):
+    """The reference opens annotations/refGene_<ref>.txt relative to its
+    own (read-only, file absent) source tree — redirect that one path."""
+    real_open = builtins.open
+
+    def _open(path, *a, **kw):
+        if str(path).endswith("refGene_hg38.txt"):
+            return real_open(refgene_path, *a, **kw)
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr(ref_plot, "open", _open, raising=False)
+
+
+def _fig_geometry(fig):
+    """Data-space geometry of a figure: per-axis limits, rectangle
+    multiset (patches + PatchCollections), arc multiset, segment multiset
+    (hlines/LineCollections)."""
+    from matplotlib.collections import LineCollection, PatchCollection
+    from matplotlib.patches import Arc, Rectangle
+
+    r4 = lambda v: round(float(v), 4)
+    lims, rects, arcs, segs = [], [], [], []
+    for ax in fig.axes:
+        lims.append(tuple(r4(v) for v in (*ax.get_xlim(), *ax.get_ylim())))
+        for p in ax.patches:
+            if isinstance(p, Arc):
+                arcs.append((r4(p.center[0]), r4(p.center[1]),
+                             r4(p.width), r4(p.height)))
+            elif isinstance(p, Rectangle):
+                rects.append((r4(p.get_x()), r4(p.get_y()),
+                              r4(p.get_width()), r4(p.get_height())))
+        for coll in ax.collections:
+            if isinstance(coll, PatchCollection):
+                for path in coll.get_paths():
+                    ext = path.get_extents()
+                    rects.append((r4(ext.x0), r4(ext.y0),
+                                  r4(ext.x1 - ext.x0), r4(ext.y1 - ext.y0)))
+            elif isinstance(coll, LineCollection):
+                for seg in coll.get_segments():
+                    (x0, y0), (x1, y1) = seg[0], seg[-1]
+                    segs.append((r4(x0), r4(y0), r4(x1), r4(y1)))
+    return {"lims": lims, "rects": sorted(rects), "arcs": sorted(arcs),
+            "segs": sorted(segs)}
+
+
+def _capture_graph(vis, title, out_fn, **kw):
+    """Run plot_graph and grab the figure right before it is saved."""
+    import matplotlib.pyplot as plt
+
+    captured = {}
+    real_savefig = plt.savefig
+
+    def _savefig(fn, *a, **skw):
+        captured["geom"] = _fig_geometry(plt.gcf())
+        return real_savefig(fn, *a, **skw)
+
+    plt.savefig, _old = _savefig, plt.savefig
+    try:
+        vis.plot_graph(title, out_fn, **kw)
+    finally:
+        plt.savefig = _old
+    return captured["geom"]
+
+
+def _fresh_ref_vis(ref_plot):
+    g = ref_plot.graph_vis()
+    # the reference's mutable containers live on the CLASS (plot_amplicons
+    # .py:49-59) — reset per instance so repeated runs don't accumulate
+    g.sequence_edges_by_chr = dict()
+    g.intervals_from_graph = dict()
+    g.intervals_from_cycle = dict()
+    g.discordant_edges = []
+    g.cycles = dict()
+    g.cycle_flags = dict()
+    from collections import defaultdict
+
+    g.genes = defaultdict(sys.modules["intervaltree"].IntervalTree)
+    g.num_amplified_intervals = 0
+    g.plot_bounds = None
+    g.maxCN = 0.0
+    return g
+
+
+def test_plot_graph_geometry_differential(ref_plot, sample, monkeypatch,
+                                          tmp_path):
+    _redirect_refgene(monkeypatch, ref_plot, sample["refgene"])
+    monkeypatch.chdir(sample["dir"])
+
+    gref = _fresh_ref_vis(ref_plot)
+    gref.open_bam(sample["bam"])
+    gref.parse_graph_file(sample["prefix"] + "_amplicon1_graph.txt")
+    gref.parse_genes("hg38", set(), False)
+    gref.graph_amplified_intervals()
+    ref_geom = _capture_graph(gref, "t", str(tmp_path / "ref_graph"))
+
+    from coral_tpu.plot.plot_amplicons import AmpliconVisualizer
+
+    ours = AmpliconVisualizer()
+    ours.open_bam(sample["bam"])
+    ours.parse_graph_file(sample["prefix"] + "_amplicon1_graph.txt")
+    ours.parse_genes("hg38", set(), False)
+    ours.graph_amplified_intervals()
+    our_geom = _capture_graph(ours, "t", str(tmp_path / "our_graph"))
+
+    assert our_geom["lims"] == ref_geom["lims"]
+    assert our_geom["arcs"] == ref_geom["arcs"]
+    assert our_geom["rects"] == ref_geom["rects"]
+    assert our_geom["segs"] == ref_geom["segs"]
+    for stem in ("ref_graph", "our_graph"):
+        assert (tmp_path / f"{stem}.png").exists()
+        assert (tmp_path / f"{stem}.pdf").exists()
+
+
+def _capture_cycles(vis, method_name, title, out_fn, **kw):
+    import matplotlib.pyplot as plt
+
+    captured = {}
+    real_savefig = plt.savefig
+
+    def _savefig(fn, *a, **skw):
+        captured["geom"] = _fig_geometry(plt.gcf())
+        return real_savefig(fn, *a, **skw)
+
+    plt.savefig = _savefig
+    try:
+        getattr(vis, method_name)(title, out_fn, **kw)
+    finally:
+        plt.savefig = real_savefig
+    return captured["geom"]
+
+
+def test_plot_cycles_geometry_differential(ref_plot, sample, monkeypatch,
+                                           tmp_path):
+    """Cycles view (reference `plotcycle`, plot_amplicons.py:584-904):
+    same interval layout, per-cycle segment bars and connector segments."""
+    _redirect_refgene(monkeypatch, ref_plot, sample["refgene"])
+    monkeypatch.chdir(sample["dir"])
+    cycles_fn = sample["prefix"] + "_amplicon1_cycles.txt"
+
+    gref = _fresh_ref_vis(ref_plot)
+    gref.parse_genes("hg38", set(), False)
+    gref.parse_cycle_file(cycles_fn, str(tmp_path / "refc"), None)
+    gref.cycle_amplified_intervals(cycle_ids=None, cycle_only=False,
+                                   graph_given=False)
+    ref_geom = _capture_cycles(gref, "plotcycle", "t",
+                               str(tmp_path / "ref_cycles"))
+
+    from coral_tpu.plot.plot_amplicons import AmpliconVisualizer
+
+    ours = AmpliconVisualizer()
+    ours.parse_genes("hg38", set(), False)
+    ours.parse_cycle_file(cycles_fn, str(tmp_path / "ourc"), None)
+    ours.cycle_amplified_intervals(cycle_ids=None, cycle_only=False,
+                                   graph_given=False)
+    our_geom = _capture_cycles(ours, "plot_cycles", "t",
+                               str(tmp_path / "our_cycles"))
+
+    assert our_geom["lims"] == ref_geom["lims"]
+    assert our_geom["rects"] == ref_geom["rects"]
+    assert our_geom["segs"] == ref_geom["segs"]
+    assert our_geom["arcs"] == ref_geom["arcs"]
+    for stem in ("ref_cycles", "our_cycles"):
+        assert (tmp_path / f"{stem}.png").exists()
