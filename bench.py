@@ -14,11 +14,21 @@ single-thread numpy through the same product functions; the reference's
 own architecture is pure single-thread Python, so this is a conservative
 lower bound on the true speedup.
 
+Timing methodology (axon): on this remote-TPU backend
+``jax.block_until_ready`` returns when the dispatch RPC is acknowledged,
+NOT when device execution finishes (measured: a 1 GiB reduction "completes"
+in 31 us = 34 TB/s, 40x the chip's HBM), and a host fetch pays a ~25 ms
+tunnel round-trip.  Every timing here therefore enqueues a chain of N
+dispatches, forces ONE host fetch, and takes the slope between two chain
+lengths — per-dispatch device time with both the RPC ack and the fetch
+latency cancelled.  Calibration: a 1 GiB HBM reduction times at ~736 GB/s
+(90% of v5e speed-of-light) under this scheme.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N, ...}
 Extra keys: bytes-roofline utilization for the scoring dispatch, the
-amortized table-build time, and an end-to-end reconstruct wall-clock on
-a simulated multi-amplicon sample.
+XLA-engine secondary number, the amortized table-build time, and an
+end-to-end reconstruct wall-clock on a simulated multi-amplicon sample.
 """
 from __future__ import annotations
 
@@ -62,19 +72,43 @@ COL_ORDER = ("qi_end", "qj_start", "chrom_i", "r1_i", "r2_i", "strand_i",
              "mapq_j", "nm_j")
 
 
-def roofline_utilization(n_reads: int, t_dev: float) -> float:
+def roofline_utilization(n_reads: int, t_dev: float,
+                         bytes_per_read: int = 48) -> float:
     """Fraction of v5e HBM speed-of-light the scoring dispatch achieves.
 
-    The scoring step is bandwidth-bound: per pair it streams 12 int32 +
-    2 f32 input columns once (56 B); coverage-table lookups and outputs
-    (per-interval support + residue/estimate pairs) are negligible.
+    The scoring step is bandwidth-bound.  The fused Pallas route streams
+    the 12 int32 predicate columns exactly once (48 B/pair; the support
+    histogram accumulates in VMEM, nothing pair-sized is written back);
+    the XLA route additionally reads the two nm float32 columns (56 B).
     v5e HBM BW ~ 819 GB/s.  (Table builds are timed separately — they
     amortize across the pipeline's many queries per read batch.)
     """
-    bytes_per_read = 56
     hbm_bw = 819e9
     t_light = n_reads * bytes_per_read / hbm_bw
     return t_light / t_dev
+
+
+def slope_time_ms(fn, *args, n1=8, n2=96, rounds=7):
+    """Per-dispatch device time via the chain-slope method (see module
+    docstring): median over ``rounds`` of a length-N dispatch chain ended
+    by one host fetch, slope between N=n1 and N=n2."""
+    import jax
+
+    out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])  # warm + compile
+
+    def run(N):
+        ts = []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(N):
+                o = fn(*args)
+            np.asarray(jax.tree_util.tree_leaves(o)[0])
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    return (run(n2) - run(n1)) / (n2 - n1) * 1e3
 
 
 def e2e_reconstruct_seconds() -> float:
@@ -103,32 +137,21 @@ def main() -> None:
     starts, ends, cols, ic, is_, ie = synth_scoring_batch(n_reads)
     from coral_tpu.ops.scoring import make_batch_scorer_jax
 
-    build, score = make_batch_scorer_jax(ic, is_, ie)
+    # headline: the fused Pallas route (the engine score_pairs_l uses for
+    # TPU dispatches); XLA engine reported as a secondary
+    build, score = make_batch_scorer_jax(ic, is_, ie, engine="pallas")
+    _, score_xla = make_batch_scorer_jax(ic, is_, ie, engine="xla")
     d_starts = jax.device_put(starts)
     d_ends = jax.device_put(ends)
     d_cols = [jax.device_put(cols[k]) for k in COL_ORDER]
     tables = build(d_starts, d_ends)  # compile + build
     jax.block_until_ready(tables)
-    out = score(tables, *d_cols)  # compile
-    jax.block_until_ready(out)
 
-    reps = 4
     # table build cost (amortized across the pipeline's many queries)
-    bt = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        ts = [build(d_starts, d_ends) for _ in range(reps)]
-        jax.block_until_ready(ts)
-        bt.append((time.perf_counter() - t0) / reps)
-    t_build = float(np.median(bt))
-    # scoring dispatch (the headline)
-    times = []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        outs = [score(tables, *d_cols) for _ in range(reps)]
-        jax.block_until_ready(outs)
-        times.append((time.perf_counter() - t0) / reps)
-    t_dev = float(np.median(times))
+    t_build = slope_time_ms(build, d_starts, d_ends, n1=4, n2=32) / 1e3
+    # scoring dispatch (the headline) — slope-timed, see module docstring
+    t_dev = slope_time_ms(lambda *c: score(tables, *c), *d_cols) / 1e3
+    t_xla = slope_time_ms(lambda *c: score_xla(tables, *c), *d_cols) / 1e3
 
     # numpy single-thread baseline: the same product scoring math
     # (pair_predicate + support histogram + table lookups) with
@@ -154,7 +177,10 @@ def main() -> None:
         "value": round(reads_per_s),
         "unit": "reads/s",
         "vs_baseline": round(t_np / t_dev, 2),
-        "hbm_roofline_frac": round(roofline_utilization(n_reads, t_dev), 3),
+        "hbm_roofline_frac": round(
+            roofline_utilization(n_reads, t_dev, 48), 3),
+        "engine": "pallas-fused",
+        "xla_engine_reads_per_s": round(n_reads / t_xla),
         "coverage_table_build_ms": round(t_build * 1e3, 3),
     }
     try:

@@ -85,8 +85,18 @@ def make_pair_pallas_fn(rows: int, n_int: int,
         _pair_kernel, n_int=n_int,
         min_bp_match_cutoff=min_bp_match_cutoff, min_mapq=min_mapq,
         gap_=float(gap_))
-    grid = (rows // SUBLANES,)
-    block = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+    # Big blocks per grid step: (8,128) blocks make 2M-pair dispatches
+    # 2048 latency-bound DMAs; 128 sublanes (64 KiB/column, 12 columns
+    # double-buffered ≈ 1.5 MiB of ~16 MiB VMEM) measured fastest on the
+    # v5e sweep (tools/bench_kernels.py: 8→512 sublanes; 128 ≈ 80% of the
+    # 48 B/pair HBM roofline, 256+ degrade as buffering headroom shrinks).
+    # bs divides rows (rows is a multiple of SUBLANES, so pick the
+    # largest power-of-two block that divides it).
+    bs = SUBLANES
+    while bs < 128 and rows % (bs * 2) == 0:
+        bs *= 2
+    grid = (rows // bs,)
+    block = pl.BlockSpec((bs, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     int_spec = pl.BlockSpec((1, n_int), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
@@ -170,13 +180,16 @@ def make_bin_pallas_fn(rows: int, n_bins: int, interpret: bool = False):
     """Compiled device-resident bin-histogram accumulator over pre-padded
     (rows, 128) read-span blocks and (1, n_bins) edge rows."""
     kernel = functools.partial(_bin_kernel, n_bins=n_bins)
-    block = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+    bs = SUBLANES
+    while bs < 128 and rows % (bs * 2) == 0:
+        bs *= 2
+    block = pl.BlockSpec((bs, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     espec = pl.BlockSpec((1, n_bins), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
-        grid=(rows // SUBLANES,),
+        grid=(rows // bs,),
         in_specs=[block, block, espec, espec],
         out_specs=pl.BlockSpec((1, n_bins), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
@@ -252,3 +265,78 @@ def match_matrix_pallas(p1, p2, cutoff: int,
     out = fn(jnp.asarray(r1), jnp.asarray(r2), jnp.asarray(c1),
              jnp.asarray(c2))
     return np.asarray(out)[:n, :n]
+
+
+def _pair_hist_kernel(ic_ref, is_ref, ie_ref,
+                      qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i,
+                      mapq_i, chrom_j, r1_j, r2_j, strand_j, mapq_j,
+                      out_ref, *, n_int: int,
+                      min_bp_match_cutoff: int, min_mapq: int, gap_: float):
+    """Pair predicate fused with the per-interval support histogram.
+
+    Same predicate as :func:`_pair_kernel`, but instead of materializing
+    the (n,) hit/io arrays in HBM (16 MiB written + re-read per 2M-pair
+    dispatch by the XLA one-hot reduce), each grid step accumulates its
+    (1, n_int) partial support counts directly into a VMEM-revisited
+    output block — the dispatch then only READS the 12 input columns."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def first_overlap(chrom, a, b):
+        io = jnp.full(chrom.shape, -1, jnp.int32)
+        for k in range(n_int - 1, -1, -1):
+            ov = (chrom == ic_ref[0, k]) & (a <= ie_ref[0, k]) \
+                & (is_ref[0, k] <= b)
+            io = jnp.where(ov, k, io)
+        return io
+
+    io_i = first_overlap(chrom_i[:], r1_i[:], r2_i[:])
+    io_j = first_overlap(chrom_j[:], r1_j[:], r2_j[:])
+    qgap = qj_start[:] - qi_end[:]
+    base = (qgap + min_bp_match_cutoff >= 0) & (io_i >= 0) & (io_i == io_j)
+    mq_ok = (mapq_i[:] >= min_mapq) & (mapq_j[:] >= min_mapq)
+    strand_diff = strand_i[:] != strand_j[:]
+    grr = jnp.where(strand_j[:] > 0, r1_j[:] - r2_i[:], r2_i[:] - r1_j[:])
+    diff = jnp.abs(qgap - grr).astype(jnp.float32)
+    gap_disc = diff > jnp.maximum(gap_, jnp.abs(qgap).astype(jnp.float32) * 0.2)
+    hit = base & mq_ok & (strand_diff | gap_disc)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_int), 1)
+    acc = jnp.zeros((1, n_int), jnp.int32)
+    for k in range(n_int):
+        cnt = jnp.sum((hit & (io_i == k)).astype(jnp.int32))
+        acc = acc + jnp.where(lane == k, cnt, 0)
+    out_ref[:] += acc
+
+
+@functools.lru_cache(maxsize=64)
+def make_pair_hist_pallas_fn(rows: int, n_int: int,
+                             min_bp_match_cutoff: int = 100,
+                             min_mapq: int = 20, gap_: float = 100.0,
+                             interpret: bool = False):
+    """Compiled fused predicate+histogram: fn(ic, is_, ie, *12 cols) over
+    pre-padded (rows, 128) blocks -> (1, n_int) support counts."""
+    kernel = functools.partial(
+        _pair_hist_kernel, n_int=n_int,
+        min_bp_match_cutoff=min_bp_match_cutoff, min_mapq=min_mapq,
+        gap_=float(gap_))
+    bs = SUBLANES
+    while bs < 128 and rows % (bs * 2) == 0:
+        bs *= 2
+    block = pl.BlockSpec((bs, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    int_spec = pl.BlockSpec((1, n_int), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(rows // bs,),
+        in_specs=[int_spec] * 3 + [block] * 12,
+        out_specs=pl.BlockSpec((1, n_int), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_int), jnp.int32),
+        interpret=interpret,
+    )
+    return jax.jit(call)

@@ -248,7 +248,7 @@ def make_batch_scorer_jax(int_chrom, int_start, int_end, engine: str = "xla",
     if engine == "pallas":
         if not np.isinf(params["max_nm"]):
             raise ValueError("engine='pallas' has no NM gate")
-        from .pallas_kernels import LANES, make_pair_pallas_fn
+        from .pallas_kernels import LANES, make_pair_hist_pallas_fn
 
         n_int = int(ic.shape[0])
         ic2 = jnp.asarray(np.asarray(int_chrom, np.int32).reshape(1, n_int))
@@ -260,19 +260,16 @@ def make_batch_scorer_jax(int_chrom, int_start, int_end, engine: str = "xla",
                   mapq_i, nm_i, chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_j):
             n = qi_end.shape[0]
             rows = n // LANES
-            pair_fn = make_pair_pallas_fn(
+            # fused predicate+histogram: the support counts accumulate in
+            # VMEM inside the kernel, so the dispatch only READS the 12
+            # input columns (no (n,) hit/io round-trip through HBM)
+            pair_fn = make_pair_hist_pallas_fn(
                 rows, n_int, params["min_bp_match_cutoff"],
                 params["min_mapq"], params["gap_"], interpret)
             blocks = [c.reshape(rows, LANES) for c in
                       (qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i,
                        mapq_i, chrom_j, r1_j, r2_j, strand_j, mapq_j)]
-            hit2, io2 = pair_fn(ic2, is2, ie2, *blocks)
-            hits = hit2.reshape(-1) != 0
-            io_i = io2.reshape(-1)
-            lane = jnp.arange(n_int, dtype=jnp.int32)
-            support = jnp.sum(
-                ((io_i[:, None] == lane[None, :]) & hits[:, None])
-                .astype(jnp.int32), axis=0)
+            support = pair_fn(ic2, is2, ie2, *blocks).reshape(-1)
             res_e, est_e = coverage_prefix_eval(jnp, tables, ie)
             res_s, est_s = coverage_prefix_eval(jnp, tables, is_)
             return support, res_e - res_s, est_e - est_s

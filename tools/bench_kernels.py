@@ -23,17 +23,30 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def timeit(fn, reps=4, outer=5):
+def timeit(fn, n1=8, n2=96, outer=7):
+    """Chain-slope per-dispatch time (see bench.py): on axon,
+    ``block_until_ready`` acks the RPC without waiting for device
+    execution, so each timing enqueues a chain of N dispatches, forces
+    one host fetch, and takes the slope between two chain lengths."""
     import jax
 
-    fn()  # compile / warm
-    times = []
-    for _ in range(outer):
-        t0 = time.perf_counter()
-        outs = [fn() for _ in range(reps)]
-        jax.block_until_ready(outs)
-        times.append((time.perf_counter() - t0) / reps)
-    return float(np.median(times))
+    out = fn()  # compile / warm
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+    def run(N):
+        ts = []
+        for _ in range(outer):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(N):
+                o = fn()
+            np.asarray(jax.tree_util.tree_leaves(o)[0])
+            ts.append(time.perf_counter() - t0)
+        # min is the standard microbenchmark noise filter; the shared
+        # tunnel chip shows ~3x run-to-run variance
+        return float(np.min(ts))
+
+    return max(run(n2) - run(n1), 1e-9) / (n2 - n1)
 
 
 def bench_pair_predicates(n_pairs, n_intervals=16):
@@ -84,19 +97,31 @@ def bench_pair_predicates(n_pairs, n_intervals=16):
     def pallas():
         return pal_fn(ic2, is2, ie2, *blocks)
 
+    from coral_tpu.ops.pallas_kernels import make_pair_hist_pallas_fn
+
+    hist_fn = make_pair_hist_pallas_fn(rows, n_intervals)
+
+    def pallas_hist():
+        return hist_fn(ic2, is2, ie2, *blocks)
+
     t_xla = timeit(xla)
     t_pal = timeit(pallas)
+    t_hist = timeit(pallas_hist)
     # agreement check
     hx, iox = [np.asarray(o) for o in xla()]
     hp2, iop2 = pallas()
     hp = np.asarray(hp2).reshape(-1)[:n_pairs].astype(bool)
     iop = np.asarray(iop2).reshape(-1)[:n_pairs]
     agree = bool((hx == hp).all() and (iox == iop).all())
-    for name, t in (("xla", t_xla), ("pallas", t_pal)):
+    sup_ref = np.bincount(iox[hx], minlength=n_intervals)
+    agree_hist = bool(
+        (np.asarray(pallas_hist()).reshape(-1) == sup_ref).all())
+    for name, t, ok in (("xla", t_xla, agree), ("pallas", t_pal, agree),
+                        ("pallas-fused-hist", t_hist, agree_hist)):
         print(json.dumps({"kernel": "pair_predicates", "engine": name,
                           "n": n_pairs, "ms": round(t * 1e3, 3),
                           "items_per_s": round(n_pairs / t),
-                          "agree": agree}))
+                          "agree": ok}))
 
 
 def bench_coverage_bins(n_reads, n_bins):
@@ -111,10 +136,27 @@ def bench_coverage_bins(n_reads, n_bins):
     ends = (starts + rng.integers(1_000, 60_000, n_reads)).astype(np.int32)
     bin_size = 200_000_000 // n_bins
 
-    idx = CoverageIndex(starts, ends)  # device tables built once
+    import jax.numpy as jnp
 
+    from coral_tpu.ops.scoring import (coverage_prefix_eval,
+                                       coverage_prefix_tables)
+
+    # device-resident XLA path: tables built once, jitted edge evaluation
+    # (CoverageIndex.bin_histogram returns numpy — a host fetch per call —
+    # so time the underlying device dispatch, as the pipeline batches it)
+    d_starts, d_ends = jax.device_put(starts), jax.device_put(ends)
+    tables = jax.jit(lambda a, b: coverage_prefix_tables(jnp, a, b))(
+        d_starts, d_ends)
+    jax.block_until_ready(tables)
+    edges = (bin_size * np.arange(n_bins + 1, dtype=np.int64))
+    d_edges = jax.device_put(edges.astype(np.int32))
+
+    @jax.jit
     def xla():
-        return idx.bin_histogram(0, bin_size, n_bins)
+        res, est = coverage_prefix_eval(jnp, tables, d_edges)
+        return res[1:] - res[:-1], est[1:] - est[:-1]
+
+    idx = CoverageIndex(starts, ends)  # host-facing product wrapper
 
     rows = -(-max(-(-n_reads // LANES), SUBLANES) // SUBLANES) * SUBLANES
     s2 = jax.device_put(_pad2d(starts, rows))
@@ -129,8 +171,13 @@ def bench_coverage_bins(n_reads, n_bins):
 
     t_xla = timeit(xla)
     t_pal = timeit(pallas)
-    agree = bool((np.asarray(xla(), np.int64)
+    from coral_tpu.ops.scoring import combine_coverage
+
+    res, est = xla()
+    agree = bool((combine_coverage(res, est)
                   == np.asarray(pallas(), np.int64).reshape(-1)).all())
+    assert (combine_coverage(res, est)
+            == idx.bin_histogram(0, bin_size, n_bins)).all()
     for name, t in (("xla", t_xla), ("pallas", t_pal)):
         print(json.dumps({"kernel": "coverage_bins", "engine": name,
                           "n": n_reads, "bins": n_bins,
