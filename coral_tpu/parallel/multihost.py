@@ -182,17 +182,21 @@ def scan_shard(shard_path: str) -> dict:
     """
     bam = BamFile(shard_path)
     try:
-        names = bam.names()
         primary = np.asarray(bam.flag) < 256
         has_sa = np.asarray(bam.sa_len) > 0
+        # names are decoded ONLY for SA-bearing records: downstream needs
+        # read lengths for chimeric reads alone (exactly what the native
+        # single-process fast path collects, ops/chimera.py::collect_
+        # chimeras), and decoding all 8-70M names in Python dominated the
+        # shard scan (53 s -> ~8 s on the 8.66M-record WGS bench).
         read_length: Dict[str, int] = {}
-        for i in np.flatnonzero(primary):
-            rn = names[i]
+        for i in np.flatnonzero(primary & has_sa):
+            rn = bam.name(int(i))
             if rn not in read_length:
                 read_length[rn] = int(bam.qlen[i])
         sa_buckets: Dict[str, List[str]] = {}
         for i in np.flatnonzero(has_sa):
-            rn = names[i]
+            rn = bam.name(int(i))
             tag = bam.sa_tag(int(i))
             entries = tag[:-1].split(";") if tag.endswith(";") else tag.split(";")
             bucket = sa_buckets.setdefault(rn, [])
