@@ -194,6 +194,82 @@ def test_minimize_cycles_differential(refcd, tmp_path):
     assert n_feasible >= 3  # planted construction keeps most trials feasible
 
 
+def _two_cycle_graph(rng, n_segs=5):
+    """Chain with a background path and TWO planted overlapping interior
+    cycles — denser CN caps, two discordant edges, shared segments."""
+    from coral_tpu.graph.breakpoint_graph import BreakpointGraph
+
+    g = BreakpointGraph()
+    chrom = "chr1"
+    start = rng.randint(10_000, 50_000)
+    bounds = [start]
+    for _ in range(n_segs):
+        bounds.append(bounds[-1] + rng.randint(5_000, 60_000))
+    wb = round(rng.uniform(1.5, 3.0), 3)
+    w1 = round(rng.uniform(8.0, 40.0), 3)
+    w2 = round(rng.uniform(5.0, 25.0), 3)
+    # cycle1 spans segs 1..2, cycle2 spans segs 2..3 (overlap on seg 2)
+    span1, span2 = (1, 2), (2, 3)
+    for i in range(n_segs):
+        s, e = bounds[i], bounds[i + 1] - 1
+        g.add_node((chrom, s, "-"))
+        g.add_node((chrom, e, "+"))
+    for i in range(n_segs):
+        s, e = bounds[i], bounds[i + 1] - 1
+        cn = wb + (w1 if span1[0] <= i <= span1[1] else 0.0) \
+            + (w2 if span2[0] <= i <= span2[1] else 0.0)
+        g.add_sequence_edge(chrom, s, e, cn=cn, lr_count=40,
+                            lr_nc=int(cn * 10 * (e - s + 1)))
+    for i in range(1, n_segs):
+        cn = wb + (w1 if span1[0] < i <= span1[1] else 0.0) \
+            + (w2 if span2[0] < i <= span2[1] else 0.0)
+        g.add_concordant_edge(chrom, bounds[i] - 1, "+", chrom, bounds[i],
+                              "-", cn=cn, lr_count=25)
+    for (i0, j0), w in ((span1, w1), (span2, w2)):
+        g.add_discordant_edge(chrom, bounds[j0 + 1] - 1, "+",
+                              chrom, bounds[i0], "-", cn=w,
+                              lr_count=max(2, int(w)))
+    g.add_endnode((chrom, bounds[0], "-"))
+    g.add_endnode((chrom, bounds[-1] - 1, "+"))
+    g.max_cn = max(e.cn for e in g.sequence_edges) + 1.0
+    return g
+
+
+def test_minimize_cycles_two_cycle_differential(refcd, tmp_path):
+    """Denser instances (two overlapping planted cycles, shared CN caps):
+    our pool MILP still reaches the reference solver's global optimum."""
+    from coral_tpu.config import CycleConfig
+    from coral_tpu.cycles.decomposition import joint_minimize
+    from coral_tpu.cycles.refmodel import verify_reference_model
+
+    rng = random.Random(61)
+    cfg = CycleConfig()
+    for trial in range(3):
+        g = _two_cycle_graph(rng)
+        shim = _SolverShim(g)
+        node_order = {n: i for i, n in enumerate(g.nodes)}
+        tw = _total_weights(g)
+        pc_list = [_pc_through(g, [2, 3])]
+        k = 3
+        (status, total_ref, nsat_ref, cyc_ref, w_ref, _s) = (
+            refcd.minimize_cycles(
+                1, shim, k, tw, node_order, pc_list,
+                p_total_weight=0.9, p_bp_cn=0.9, num_threads=-1,
+                time_limit=600, model_prefix=str(tmp_path / f"d{trial}"))
+        )
+        assert status == refcd.GRB.OPTIMAL, trial
+        viol = verify_reference_model(
+            g, cyc_ref, w_ref, pc_list=pc_list, require_all_pc=True)
+        assert viol == [], (trial, viol)
+        (status_o, total_o, nsat_o, cyc_o, _w, _sl) = joint_minimize(
+            g, _our_setup(g), k, tw, pc_list, cfg)
+        assert status_o == 2
+        obj_ref = _ref_objective(tw, total_ref, cyc_ref)
+        obj_our = _ref_objective(tw, total_o, cyc_o)
+        assert abs(obj_ref - obj_our) < 1e-5, (trial, obj_ref, obj_our)
+        assert nsat_ref == nsat_o == 1
+
+
 def test_minimize_cycles_infeasible_agreement(refcd, tmp_path):
     """A graph whose discordant-edge CN cannot be 90%-covered by k=1
     decomposition of weight ≥ 0: force infeasibility via an impossible
