@@ -314,8 +314,24 @@ def _sim_transloc_full(path):
         n_through_reads=8, **_GEOM)
 
 
-@pytest.mark.parametrize("sim_factory", [_sim_ecdna_full, _sim_transloc_full],
-                         ids=["ecdna", "transloc"])
+def _sim_bfb_full(path):
+    from coral_tpu.sim import simulate_bfb
+
+    geom = {k: v for k, v in _GEOM.items() if k != "n_junction_reads"}
+    return simulate_bfb(str(path / "sim"), seed=11,
+                        n_fold_reads=_GEOM["n_junction_reads"], **geom)
+
+
+def _sim_mixed_full(path):
+    from coral_tpu.sim import simulate_mixed_sample
+
+    return simulate_mixed_sample(str(path / "sim"), seed=13, **_GEOM)
+
+
+@pytest.mark.parametrize(
+    "sim_factory",
+    [_sim_ecdna_full, _sim_transloc_full, _sim_bfb_full, _sim_mixed_full],
+    ids=["ecdna", "transloc", "bfb", "mixed"])
 def test_e2e_full_pipeline_cycles(ref_ibg, tmp_path, sim_factory):
     """Capstone differential: the reference's ENTIRE reconstruct mode —
     BAM scan + graph inference (pysam facade), CN balance (cvxopt-cp
@@ -389,11 +405,22 @@ def test_e2e_full_pipeline_cycles(ref_ibg, tmp_path, sim_factory):
             return entry["copy_count"] * sum(
                 seg_len(int(t[:-1])) for t in toks)
 
-        # canonical structure must match entry-for-entry…
-        ref_forms = sorted(canonical_tokens(e["tokens"]) for e in ref["entries"])
-        our_forms = sorted(canonical_tokens(e["tokens"]) for e in ours["entries"])
-        assert our_forms == ref_forms, (rf, of)
-        # …and total length-weighted coverage is the shared global optimum
+        # the model's optimum is DEGENERATE in both the copy-count split
+        # AND the decomposition structure (proven on GBM39 and again on
+        # the mixed sample: the facade's solver returns a different —
+        # equal-objective — edge multiset than ours).  The invariants all
+        # optima share: every entry realizes a feasible walk on the same
+        # graph, the decomposition COUNT is equal (an extra z costs +1 in
+        # the objective vs a coverage gain < 1), and total length-weighted
+        # coverage is equal (same objective value at same count).
+        amp = int(Path(rf).name.split("amplicon")[1].split("_")[0])
+        g = rec.graphs[amp - 1]
+        from coral_tpu.cycles.refmodel import segments_to_solution
+
+        for entry in ref["entries"] + ours["entries"]:
+            sol, _is_cyc, viol = segments_to_solution(g, entry["tokens"])
+            assert viol == [] and sol, (rf, entry)
+        assert len(ours["entries"]) == len(ref["entries"])
         total_ref = sum(cov(e) for e in ref["entries"])
         total_our = sum(cov(e) for e in ours["entries"])
         assert total_our == pytest.approx(total_ref, rel=1e-4)
