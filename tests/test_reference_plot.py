@@ -253,3 +253,60 @@ def test_plot_cycles_geometry_differential(ref_plot, sample, monkeypatch,
     assert our_geom["arcs"] == ref_geom["arcs"]
     for stem in ("ref_cycles", "our_cycles"):
         assert (tmp_path / f"{stem}.png").exists()
+
+
+def test_plot_graph_bushman_filter_differential(ref_plot, sample, monkeypatch,
+                                                tmp_path):
+    """--bushman_genes: restrict the gene track to the Bushman onco list.
+    Two synthetic refGene rows, a synthetic Bushman list naming one of
+    them; both implementations must draw identical (filtered) geometry.
+    The reference reads ITS shipped copy of the tsv — redirected here to
+    the same synthetic list ours reads from the working directory."""
+    refgene2 = tmp_path / "refGene_hg38.txt"
+    rows = []
+    for name, s0, e0 in (("ONCO1", 55_000_000, 55_150_000),
+                         ("OTHER2", 55_200_000, 55_350_000)):
+        rows.append("\t".join([
+            "0", "NM_0", "chr7", "+", str(s0), str(e0), str(s0), str(e0),
+            "1", f"{s0},", f"{e0},", "0", name, "cmpl", "cmpl", "0,",
+        ]))
+    refgene2.write_text("\n".join(rows) + "\n")
+    bushman = tmp_path / "Bushman_group_allOnco_May2018.tsv"
+    bushman.write_text("header\nx\ty\t\"ONCO1\"\n")
+
+    import builtins
+
+    real_open = builtins.open
+
+    def _open(path, *a, **kw):
+        sp = str(path)
+        if sp.endswith("refGene_hg38.txt"):
+            return real_open(refgene2, *a, **kw)
+        if sp.endswith("Bushman_group_allOnco_May2018.tsv") \
+                and not sp.startswith(str(tmp_path)):
+            return real_open(bushman, *a, **kw)
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr(ref_plot, "open", _open, raising=False)
+    monkeypatch.chdir(tmp_path)  # ours finds both files in cwd
+
+    gref = _fresh_ref_vis(ref_plot)
+    gref.open_bam(sample["bam"])
+    gref.parse_graph_file(sample["prefix"] + "_amplicon1_graph.txt")
+    gref.parse_genes("hg38", set(), True)
+    gref.graph_amplified_intervals()
+    ref_geom = _capture_graph(gref, "t", str(tmp_path / "refb"))
+
+    from coral_tpu.plot.plot_amplicons import AmpliconVisualizer
+
+    ours = AmpliconVisualizer()
+    ours.open_bam(sample["bam"])
+    ours.parse_graph_file(sample["prefix"] + "_amplicon1_graph.txt")
+    ours.parse_genes("hg38", set(), True)
+    ours.graph_amplified_intervals()
+    our_geom = _capture_graph(ours, "t", str(tmp_path / "ourb"))
+
+    assert our_geom == ref_geom
+    # and the filter actually filtered: only ONCO1's track is drawn
+    names = {g.gname for t in ours.genes.values() for g in t}
+    assert "ONCO1" in names and "OTHER2" not in names
