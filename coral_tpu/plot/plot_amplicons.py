@@ -181,8 +181,11 @@ class AmpliconVisualizer:
         if restrict_to_bushman:
             p = _find_annotation("Bushman_group_allOnco_May2018.tsv")
             if p is None:
-                logger.warning("Bushman gene list not found; skipping filter")
-                restrict_to_bushman = False
+                # built-in set (same facts the reference ships as a tsv,
+                # extracted with its exact parse — annotations_bushman.py)
+                from ..annotations_bushman import BUSHMAN_ONCO_GENES
+
+                bushman = set(BUSHMAN_ONCO_GENES)
             else:
                 with open(p) as fp:
                     next(fp)

@@ -310,3 +310,19 @@ def test_plot_graph_bushman_filter_differential(ref_plot, sample, monkeypatch,
     # and the filter actually filtered: only ONCO1's track is drawn
     names = {g.gname for t in ours.genes.values() for g in t}
     assert "ONCO1" in names and "OTHER2" not in names
+
+
+def test_builtin_bushman_set_matches_reference_tsv():
+    """The built-in gene set equals what the reference's own parse
+    extracts from its shipped tsv (plot_amplicons.py:77-84)."""
+    from coral_tpu.annotations_bushman import BUSHMAN_ONCO_GENES
+
+    tsv = REF_SRC / "annotations" / "Bushman_group_allOnco_May2018.tsv"
+    genes = set()
+    with open(tsv) as fp:
+        next(fp)
+        for line in fp:
+            fields = line.rstrip().rsplit()
+            if fields:
+                genes.add(fields[-1].strip('"'))
+    assert set(BUSHMAN_ONCO_GENES) == genes
