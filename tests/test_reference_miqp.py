@@ -270,6 +270,82 @@ def test_minimize_cycles_two_cycle_differential(refcd, tmp_path):
         assert nsat_ref == nsat_o == 1
 
 
+def _mult2_graph(rng):
+    """Planted cycle that traverses one segment TWICE (sequence-edge
+    multiplicity x=2): chain 0..3 with background path; the cycle is
+    A=seg1, B=seg2 walked as A,B,(d1: B_end->B_start),B,(d2: B_end->
+    A_start) — a duplication loop.  CNs exact by construction."""
+    from coral_tpu.graph.breakpoint_graph import BreakpointGraph
+
+    g = BreakpointGraph()
+    chrom = "chr1"
+    start = rng.randint(10_000, 50_000)
+    bounds = [start]
+    for _ in range(4):
+        bounds.append(bounds[-1] + rng.randint(8_000, 40_000))
+    wb = round(rng.uniform(1.5, 3.0), 3)
+    wc = round(rng.uniform(6.0, 30.0), 3)
+    seq_extra = {1: wc, 2: 2 * wc}
+    for i in range(4):
+        s, e = bounds[i], bounds[i + 1] - 1
+        g.add_node((chrom, s, "-"))
+        g.add_node((chrom, e, "+"))
+    for i in range(4):
+        s, e = bounds[i], bounds[i + 1] - 1
+        cn = wb + seq_extra.get(i, 0.0)
+        g.add_sequence_edge(chrom, s, e, cn=cn, lr_count=40,
+                            lr_nc=int(cn * 10 * (e - s + 1)))
+    conc_extra = {2: wc}  # conc between seg1 and seg2 used once by cycle
+    for i in range(1, 4):
+        cn = wb + conc_extra.get(i, 0.0)
+        g.add_concordant_edge(chrom, bounds[i] - 1, "+", chrom, bounds[i],
+                              "-", cn=cn, lr_count=25)
+    # d1: seg2 self back edge; d2: seg2 end -> seg1 start
+    g.add_discordant_edge(chrom, bounds[3] - 1, "+", chrom, bounds[2], "-",
+                          cn=wc, lr_count=max(2, int(wc)))
+    g.add_discordant_edge(chrom, bounds[3] - 1, "+", chrom, bounds[1], "-",
+                          cn=wc, lr_count=max(2, int(wc)))
+    g.add_endnode((chrom, bounds[0], "-"))
+    g.add_endnode((chrom, bounds[-1] - 1, "+"))
+    g.max_cn = max(e.cn for e in g.sequence_edges) + 1.0
+    return g
+
+
+def test_minimize_cycles_multiplicity2_differential(refcd, tmp_path):
+    """Sequence-edge multiplicity 2 inside one cycle (duplication loop):
+    both solvers must find the same optimum, and the optimal cycle really
+    uses x_seg2 = 2."""
+    from coral_tpu.config import CycleConfig
+    from coral_tpu.cycles.decomposition import joint_minimize
+    from coral_tpu.cycles.refmodel import verify_reference_model
+
+    rng = random.Random(83)
+    cfg = CycleConfig()
+    for trial in range(3):
+        g = _mult2_graph(rng)
+        shim = _SolverShim(g)
+        node_order = {n: i for i, n in enumerate(g.nodes)}
+        tw = _total_weights(g)
+        (status, total_ref, _n, cyc_ref, w_ref, _s) = refcd.minimize_cycles(
+            1, shim, 2, tw, node_order, [], p_total_weight=0.9,
+            p_bp_cn=0.9, num_threads=-1, time_limit=600,
+            model_prefix=str(tmp_path / f"m2_{trial}"))
+        assert status == refcd.GRB.OPTIMAL, trial
+        viol = verify_reference_model(g, cyc_ref, w_ref, pc_list=[])
+        assert viol == [], (trial, viol)
+        (status_o, total_o, _no, cyc_o, _w, _sl) = joint_minimize(
+            g, _our_setup(g), 2, tw, [], cfg)
+        assert status_o == 2
+        obj_ref = _ref_objective(tw, total_ref, cyc_ref)
+        obj_our = _ref_objective(tw, total_o, cyc_o)
+        assert abs(obj_ref - obj_our) < 1e-5, (trial, obj_ref, obj_our)
+        # the duplication loop forces x_seg2 = 2 in some decomposition
+        assert any(c.get(("e", 2), 0) == 2
+                   for slot in (0, 1) for c in cyc_o[slot]), cyc_o
+        assert any(c.get(("e", 2), 0) == 2
+                   for slot in (0, 1) for c in cyc_ref[slot]), cyc_ref
+
+
 def test_minimize_cycles_infeasible_agreement(refcd, tmp_path):
     """A graph whose discordant-edge CN cannot be 90%-covered by k=1
     decomposition of weight ≥ 0: force infeasibility via an impossible
