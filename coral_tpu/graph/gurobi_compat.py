@@ -400,8 +400,9 @@ class Model:
         bits_cache = {}
 
         def bits(vid):
-            """Binary expansion of a bounded integer var (lb 0 in all
-            reference models; general lb handled by shifting)."""
+            """Binary expansion of a bounded integer var.  Requires
+            lb == 0 (true of every integer var in the reference models:
+            x ub 10, d ub nnodes+2, both lb 0) — raises otherwise."""
             got = bits_cache.get(vid)
             if got is not None:
                 return got

@@ -33,14 +33,14 @@ def _pad2d(x: np.ndarray, rows: int) -> np.ndarray:
     return out.reshape(rows, LANES)
 
 
-def _pair_kernel(ic_ref, is_ref, ie_ref,
-                 qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i, mapq_i,
-                 chrom_j, r1_j, r2_j, strand_j, mapq_j,
-                 hit_out, io_out, *, n_int: int,
-                 min_bp_match_cutoff: int, min_mapq: int, gap_: float):
-    """One (8, 128) block of pair predicates; intervals in SMEM-resident
-    scalars would be too wide, so the padded interval table sits in VMEM
-    and is scanned with a static loop (n_int is small)."""
+def _predicate_block(ic_ref, is_ref, ie_ref,
+                     qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i,
+                     mapq_i, chrom_j, r1_j, r2_j, strand_j, mapq_j,
+                     n_int, min_bp_match_cutoff, min_mapq, gap_):
+    """The junction predicate on one VMEM block — the SINGLE in-kernel
+    source shared by `_pair_kernel` and `_pair_hist_kernel` (mirrors
+    `ops.scoring.pair_predicate`; traced/inlined, zero runtime cost).
+    Returns (hit, io_i)."""
     def first_overlap(chrom, a, b):
         io = jnp.full(chrom.shape, -1, jnp.int32)
         # reverse scan so the FIRST overlapping interval wins
@@ -60,6 +60,20 @@ def _pair_kernel(ic_ref, is_ref, ie_ref,
     diff = jnp.abs(qgap - grr).astype(jnp.float32)
     gap_disc = diff > jnp.maximum(gap_, jnp.abs(qgap).astype(jnp.float32) * 0.2)
     hit = base & mq_ok & (strand_diff | gap_disc)
+    return hit, io_i
+
+
+def _pair_kernel(ic_ref, is_ref, ie_ref,
+                 qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i, mapq_i,
+                 chrom_j, r1_j, r2_j, strand_j, mapq_j,
+                 hit_out, io_out, *, n_int: int,
+                 min_bp_match_cutoff: int, min_mapq: int, gap_: float):
+    """One block of pair predicates; intervals in SMEM-resident scalars
+    would be too wide, so the padded interval table sits in VMEM."""
+    hit, io_i = _predicate_block(
+        ic_ref, is_ref, ie_ref, qi_end, qj_start, chrom_i, r1_i, r2_i,
+        strand_i, mapq_i, chrom_j, r1_j, r2_j, strand_j, mapq_j,
+        n_int, min_bp_match_cutoff, min_mapq, gap_)
     hit_out[:] = hit.astype(jnp.int32)
     io_out[:] = io_i
 
@@ -92,6 +106,10 @@ def make_pair_pallas_fn(rows: int, n_int: int,
     # 48 B/pair HBM roofline, 256+ degrade as buffering headroom shrinks).
     # bs divides rows (rows is a multiple of SUBLANES, so pick the
     # largest power-of-two block that divides it).
+    if rows % SUBLANES:
+        raise ValueError(
+            f"make_pair_pallas_fn: rows={rows} must be a multiple of "
+            f"{SUBLANES} or trailing rows fall outside the grid")
     bs = SUBLANES
     while bs < 128 and rows % (bs * 2) == 0:
         bs *= 2
@@ -285,24 +303,10 @@ def _pair_hist_kernel(ic_ref, is_ref, ie_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    def first_overlap(chrom, a, b):
-        io = jnp.full(chrom.shape, -1, jnp.int32)
-        for k in range(n_int - 1, -1, -1):
-            ov = (chrom == ic_ref[0, k]) & (a <= ie_ref[0, k]) \
-                & (is_ref[0, k] <= b)
-            io = jnp.where(ov, k, io)
-        return io
-
-    io_i = first_overlap(chrom_i[:], r1_i[:], r2_i[:])
-    io_j = first_overlap(chrom_j[:], r1_j[:], r2_j[:])
-    qgap = qj_start[:] - qi_end[:]
-    base = (qgap + min_bp_match_cutoff >= 0) & (io_i >= 0) & (io_i == io_j)
-    mq_ok = (mapq_i[:] >= min_mapq) & (mapq_j[:] >= min_mapq)
-    strand_diff = strand_i[:] != strand_j[:]
-    grr = jnp.where(strand_j[:] > 0, r1_j[:] - r2_i[:], r2_i[:] - r1_j[:])
-    diff = jnp.abs(qgap - grr).astype(jnp.float32)
-    gap_disc = diff > jnp.maximum(gap_, jnp.abs(qgap).astype(jnp.float32) * 0.2)
-    hit = base & mq_ok & (strand_diff | gap_disc)
+    hit, io_i = _predicate_block(
+        ic_ref, is_ref, ie_ref, qi_end, qj_start, chrom_i, r1_i, r2_i,
+        strand_i, mapq_i, chrom_j, r1_j, r2_j, strand_j, mapq_j,
+        n_int, min_bp_match_cutoff, min_mapq, gap_)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_int), 1)
     acc = jnp.zeros((1, n_int), jnp.int32)
@@ -323,6 +327,10 @@ def make_pair_hist_pallas_fn(rows: int, n_int: int,
         _pair_hist_kernel, n_int=n_int,
         min_bp_match_cutoff=min_bp_match_cutoff, min_mapq=min_mapq,
         gap_=float(gap_))
+    if rows % SUBLANES:
+        raise ValueError(
+            f"make_pair_hist_pallas_fn: rows={rows} must be a multiple of "
+            f"{SUBLANES} or trailing rows fall outside the grid")
     bs = SUBLANES
     while bs < 128 and rows % (bs * 2) == 0:
         bs *= 2

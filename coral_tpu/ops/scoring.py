@@ -108,8 +108,20 @@ def coverage_prefix_tables(xp, starts, ends):
     zero_f = xp.zeros(1, f32)
     s_cum = xp.concatenate([zero_i, xp.cumsum(s_sorted, dtype=i32)])
     e_cum = xp.concatenate([zero_i, xp.cumsum(e_sorted, dtype=i32)])
-    s_est = xp.concatenate([zero_f, xp.cumsum(s_sorted.astype(f32))])
-    e_est = xp.concatenate([zero_f, xp.cumsum(e_sorted.astype(f32))])
+    if xp is np:
+        # numpy's cumsum is SEQUENTIAL: a float32 running sum reaching
+        # ~5e14 accumulates a rounding walk far past the 2^31 window
+        # combine_coverage needs (the log2(n)*eps bound in the docstring
+        # holds only for XLA's parallel prefix).  Accumulate in float64
+        # (error ~ n*eps64*total ≈ 1e5 at 2M reads) and round ONCE to
+        # f32 (final-value ulp ~3e7 < 2^31).
+        s_est = np.concatenate(
+            [zero_f, np.cumsum(s_sorted, dtype=np.float64).astype(f32)])
+        e_est = np.concatenate(
+            [zero_f, np.cumsum(e_sorted, dtype=np.float64).astype(f32)])
+    else:
+        s_est = xp.concatenate([zero_f, xp.cumsum(s_sorted.astype(f32))])
+        e_est = xp.concatenate([zero_f, xp.cumsum(e_sorted.astype(f32))])
     return s_sorted, e_sorted, s_cum, e_cum, s_est, e_est
 
 

@@ -130,6 +130,11 @@ class _ShardWriter:
             self._buf.clear()
 
     def close(self) -> None:
+        # idempotent: split_bam's finally-close must not mask an original
+        # error (e.g. disk-full while opening the NEXT shard) by writing
+        # the EOF marker to an already-closed file
+        if self._fp.closed:
+            return
         self.flush()
         self._fp.write(BGZF_EOF)
         self._fp.close()

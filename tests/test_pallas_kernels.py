@@ -105,3 +105,18 @@ def test_match_matrix_and_device_clustering():
                                   interpret=True)
         assert [[id(m) for m in c] for c in host] \
             == [[id(m) for m in c] for c in dev]
+
+
+def test_pair_factories_reject_partial_rows():
+    """Round-2 review fix: rows not divisible by SUBLANES left trailing
+    rows outside the grid (silently dropped pairs); both factories now
+    raise instead."""
+    import pytest
+
+    from coral_tpu.ops.pallas_kernels import (make_pair_hist_pallas_fn,
+                                              make_pair_pallas_fn)
+
+    with pytest.raises(ValueError, match="multiple"):
+        make_pair_pallas_fn(12, 4)
+    with pytest.raises(ValueError, match="multiple"):
+        make_pair_hist_pallas_fn(12, 4)

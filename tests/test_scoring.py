@@ -167,3 +167,33 @@ def test_batch_scorer_pallas_engine_matches_xla():
     out_p = sp(tx, *args)
     for a, b in zip(out_x, out_p):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_numpy_coverage_estimate_exact_at_scale():
+    """Round-2 review fix: numpy's SEQUENTIAL float32 cumsum walked past
+    the 2^31 reconstruction window at multi-million-read batches; the
+    numpy engine now accumulates the estimate in float64.  Verify exact
+    int64 reconstruction at 2M reads at genome-scale positions."""
+    import numpy as np
+
+    from coral_tpu.ops.scoring import (combine_coverage,
+                                       coverage_prefix_eval,
+                                       coverage_prefix_tables)
+
+    rng = np.random.default_rng(5)
+    n = 2_000_000
+    starts = rng.integers(0, 240_000_000, n).astype(np.int32)
+    ends = (starts + rng.integers(1_000, 60_000, n)).astype(np.int32)
+    tables = coverage_prefix_tables(np, starts, ends)
+    xs = rng.integers(0, 240_000_000, 64).astype(np.int32)
+    res, est = coverage_prefix_eval(np, tables, xs)
+    got = combine_coverage(res, est)
+    s64 = np.sort(starts).astype(np.int64)
+    e64 = np.sort(ends).astype(np.int64)
+    sc = np.concatenate([[0], np.cumsum(s64)])
+    ec = np.concatenate([[0], np.cumsum(e64)])
+    ns = np.searchsorted(s64, xs, side="right")
+    ne = np.searchsorted(e64, xs, side="right")
+    x64 = xs.astype(np.int64)
+    want = (x64 * ns - sc[ns]) - (x64 * ne - ec[ne])
+    assert (got == want).all()
