@@ -256,20 +256,18 @@ def enumerate_candidates(
     # to the last completed depth.  The seen-set dedups across phases; each
     # phase re-explores shallow prefixes, a bounded constant-factor cost.
     depth_cap = [0]
-    completed_depth = 0
     depth = min(4, max_bp_steps)
     while True:
         depth_cap[0] = depth
-        start_budget = budget[0]
         run_cycle_phase()
         run_path_phase()
-        if not truncated[0]:
-            completed_depth = depth
-        if depth >= max_bp_steps or truncated[0] or budget[0] <= 0:
+        if depth >= max_bp_steps or truncated[0]:
             break
-        if budget[0] == start_budget:
-            # no states left to explore at greater depth
-            completed_depth = max_bp_steps
+        if budget[0] <= 0:
+            # the budget ran out exactly at a pass boundary: deeper walks
+            # were never explored, so the pool IS truncated even though
+            # no dfs call tripped the in-search guard
+            truncated[0] = True
             break
         depth = min(depth * 2, max_bp_steps)
 

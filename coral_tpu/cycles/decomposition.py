@@ -146,13 +146,9 @@ def greedy_extract(
             remaining_cn[k] -= x * w
             if remaining_cn[k] < resolution:
                 remaining_cn[k] = 0.0
-        pcs = []
+        pcs = list(sat)
         for pi in sat:
-            if unsatisfied[pi] >= 0:
-                pcs.append(pi)
-                unsatisfied[pi] = -1
-            else:
-                pcs.append(pi)
+            unsatisfied[pi] = -1
         slot = 0 if cand.is_cycle else 1
         cycles[slot].append(cand.edge_dict())
         weights[slot].append(w)
@@ -305,9 +301,16 @@ def _solve_selection_milp(
             bounds=Bounds(lower, upper),
             options=options,
         )
-    if res.status != 0 or res.x is None:
+    # scipy/HiGHS status 1 = iteration/time limit WITH a feasible
+    # incumbent in res.x when one was found — the analog of Gurobi's
+    # SUBOPTIMAL/TIME_LIMIT results, which the reference accepts
+    # (cycle_decomposition.py:1559-1575 treats only INFEASIBLE as
+    # failure).  Discarding the incumbent here made a timed-out solve
+    # degrade to greedy even when an exact-feasible answer existed.
+    if res.x is None or res.status not in (0, 1):
         return None
-    return res.x[:m], res.x[m: 2 * m], (res.x[2 * m:] if soft else None)
+    return (res.x[:m], res.x[m: 2 * m],
+            (res.x[2 * m:] if soft else None), res.status)
 
 
 def _collect_solution(g, candidates, pc_list, sol_z, sol_w):
@@ -347,7 +350,8 @@ def joint_minimize(
         return STATUS_INFEASIBLE, 0.0, 0, [[], []], [[], []], [[], []]
     total, n_sat, cycles, weights, sat_lists = _collect_solution(
         g, candidates, pc_list, sol[0], sol[1])
-    return STATUS_OPTIMAL, total, n_sat, cycles, weights, sat_lists
+    status = STATUS_OPTIMAL if sol[3] == 0 else STATUS_SUBOPTIMAL
+    return status, total, n_sat, cycles, weights, sat_lists
 
 
 def postprocess_minimize(
@@ -369,7 +373,8 @@ def postprocess_minimize(
         return STATUS_INFEASIBLE, 0.0, 0, [[], []], [[], []], [[], []]
     total, n_sat, cycles, weights, sat_lists = _collect_solution(
         g, candidates, pc_list, sol[0], sol[1])
-    return STATUS_OPTIMAL, total, n_sat, cycles, weights, sat_lists
+    status = STATUS_OPTIMAL if sol[3] == 0 else STATUS_SUBOPTIMAL
+    return status, total, n_sat, cycles, weights, sat_lists
 
 
 def _write_model_artifact(model_prefix, amplicon_idx, payload) -> None:

@@ -455,6 +455,18 @@ class AmpliconVisualizer:
                 cov_patches.extend(
                     Rectangle((x, 0), window * 100.0 / total_len_amp, c)
                     for x, c in zip(xw, covs))
+                # the reference draws ONE extra (overlapping) tail window
+                # whenever the interval length+1 is not a window multiple
+                # (plot_amplicons.py:406-414) — same rect, same max_cov fold
+                wt = iv[1] - ((iv[1] - iv[0] + 1) % window)
+                if wt < iv[1]:
+                    c = float(profile[wt - iv[0]: wt - iv[0] + window].sum()
+                              ) / window
+                    max_cov = max(max_cov, c)
+                    xt = starts[chrom][inti] + \
+                        (wt - iv[0]) * 100.0 / total_len_amp
+                    cov_patches.append(
+                        Rectangle((xt, 0), window * 100.0 / total_len_amp, c))
         ax.add_collection(PatchCollection(
             cov_patches, facecolor="silver", edgecolor="silver", zorder=1))
         ax.set_ylabel("Coverage", fontsize=fontsize)

@@ -326,3 +326,38 @@ def test_builtin_bushman_set_matches_reference_tsv():
             if fields:
                 genes.add(fields[-1].strip('"'))
     assert set(BUSHMAN_ONCO_GENES) == genes
+
+
+def test_plot_graph_tail_window_differential(ref_plot, monkeypatch,
+                                             tmp_path):
+    """Interval length+1 NOT a multiple of the coverage window: the
+    reference draws one extra overlapping tail rectangle
+    (plot_amplicons.py:406-414) and folds it into max_cov.  The module
+    fixture's interval is an exact multiple, which hid this path — build
+    a sample whose amplicon interval length is offset by 123 bp."""
+    from coral_tpu.reconstruct import reconstruct_graphs
+    from coral_tpu.sim import simulate_ecdna
+
+    bam, cns, seeds = simulate_ecdna(str(tmp_path / "sim"), jitter=0,
+                                     amp_end=55_400_123)
+    prefix = str(tmp_path / "p")
+    reconstruct_graphs(bam, seeds, cns, prefix)
+    monkeypatch.chdir(tmp_path)  # no refGene here: empty gene track both
+
+    gref = _fresh_ref_vis(ref_plot)
+    gref.open_bam(bam)
+    gref.parse_graph_file(prefix + "_amplicon1_graph.txt")
+    gref.graph_amplified_intervals()
+    iv = gref.intervals_from_graph["chr7"][0]
+    assert (iv[1] - iv[0] + 1) % 1_000 != 0  # the tail path must trigger
+    ref_geom = _capture_graph(gref, "t", str(tmp_path / "ref_tail"))
+
+    from coral_tpu.plot.plot_amplicons import AmpliconVisualizer
+
+    ours = AmpliconVisualizer()
+    ours.open_bam(bam)
+    ours.parse_graph_file(prefix + "_amplicon1_graph.txt")
+    ours.graph_amplified_intervals()
+    our_geom = _capture_graph(ours, "t", str(tmp_path / "our_tail"))
+
+    assert our_geom == ref_geom
