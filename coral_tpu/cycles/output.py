@@ -112,6 +112,13 @@ def output_cycles(rec, prefix: str, output_all_paths: bool = False,
                     tokens = eulerian_path(g, edges, pcs_paths, pcs_support,
                                            max_trials,
                                            seed=eulerian_seed + rank)
+                    if not tokens:
+                        # every randomized trial dead-ended: refuse to emit
+                        # a malformed "Segments=0+,,0-" row (the reference
+                        # IndexErrors here rather than corrupt the file)
+                        raise RuntimeError(
+                            "no Eulerian path realizes decomposition %d of "
+                            "amplicon %d" % (rank + 1, amplicon_idx + 1))
                     fp.write("Cycle=%d;" % (rank + 1))
                     fp.write("Copy_count=%s;" % str(weights[slot][idx]))
                     fp.write("Segments=0+,")

@@ -72,7 +72,6 @@ def allreduce_sum(local: np.ndarray, mesh=None, axis: str = "dp") -> np.ndarray:
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     mesh = mesh or global_dp_mesh(axis)
-    n_dev = mesh.devices.size
     n_local = len([d for d in mesh.devices.flat
                    if d.process_index == jax.process_index()])
     local = np.asarray(local)

@@ -108,7 +108,9 @@ class Reconstruction:
         order = np.argsort(log2)
         im = int(len(order) / 2.4)
         ip = im + 1
-        chosen = [all_rows[order[ip]], all_rows[order[im]]]
+        # (the reference assumes >=2 segments and would IndexError on a
+        # one-segment file right here, infer_breakpoint_graph.py:110-116)
+        chosen = [all_rows[order[i]] for i in (ip, im) if i < len(order)]
         total_len = sum(r[2] - r[1] + 1 for r in chosen)
         i = 1
         # (the reference assumes enough segments always exist and would
@@ -121,12 +123,13 @@ class Reconstruction:
             i += 1
         nnc = 0
         for r in chosen:
-            # the reference's count_coverage here inherits pysam defaults:
-            # base quality >= 15 and the 'all' read filter
-            # (infer_breakpoint_graph.py:131)
+            # the reference passes quality_threshold=0 and
+            # read_callback='nofilter' at THIS call site
+            # (infer_breakpoint_graph.py:131-132) — unlike its assign_cov
+            # sites (:834,:1034), which inherit the pysam defaults
             nnc += self.bam.coverage_sum(
                 r[0], r[1], r[2] + 1,
-                quality_threshold=15, flag_exclude=FLAG_EXCLUDE_ALL)
+                quality_threshold=0, flag_exclude=0)
         self.normal_cov = nnc * 1.0 / total_len
         logger.info("LR normal cov = %f", self.normal_cov)
         self.min_cluster_cutoff = max(

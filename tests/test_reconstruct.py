@@ -105,3 +105,41 @@ def test_full_pipeline_with_cycles(sim):
     assert abs(w1 - 19.9) < 0.5
     assert abs(w2 - 2.0) < 0.3
     assert "Segments=0+,1+,2+,3+,0-" in cyc_lines[1]
+
+
+def test_read_cns_normal_cov_filter_semantics(tmp_path):
+    """The diploid-coverage estimate must use quality_threshold=0 and NO
+    flag filter — the reference passes read_callback='nofilter' at this
+    one call site (infer_breakpoint_graph.py:131-132), unlike its
+    assign_cov sites which take the pysam defaults.  Sims can't tell the
+    two apart (high quals, no dup records), so pin the call args with a
+    spy; also covers the one-segment tiny-input guard."""
+    from coral_tpu.reconstruct import Reconstruction
+    from coral_tpu.sim import simulate_ecdna
+
+    bam, cns, seeds = simulate_ecdna(str(tmp_path), jitter=0)
+    from coral_tpu.io.bam import BamFile
+
+    calls = []
+    real = BamFile.coverage_sum
+
+    class Spy(BamFile):
+        def coverage_sum(self, *a, **kw):
+            calls.append(kw)
+            return real(self, *a, **kw)
+
+    rec = Reconstruction(Spy(bam), seeds)
+    rec.read_cns(cns)
+    assert calls, "read_cns did not query coverage"
+    for kw in calls:
+        assert kw.get("quality_threshold") == 0
+        assert kw.get("flag_exclude") == 0
+    assert rec.normal_cov > 0
+
+    # one-segment CN file: the reference IndexErrors (ip==1 out of
+    # bounds); we clamp to the table
+    one = tmp_path / "one.bed"
+    one.write_text("chr7\t54000000\t56000000\t30.0\n")
+    rec2 = Reconstruction(Spy(bam), seeds)
+    rec2.read_cns(str(one))
+    assert rec2.normal_cov > 0
