@@ -253,11 +253,16 @@ class BreakpointGraph:
             else:
                 keeper = self.sequence_edges[seq_del[li] + 1]
                 keeper.start = self.sequence_edges[seq_del[si]].start
-                keeper.lr_count = -1
+                # ref resets the SHORT-read fields ([3]=-1, [4]='f'),
+                # keeps lr_count (breakpoint_graph.py:318-321); size is a
+                # property here so the [-2] recompute is implicit
+                keeper.sr_count = -1
+                keeper.sr_flag = "f"
                 si = li = i
         keeper = self.sequence_edges[seq_del[li] + 1]
         keeper.start = self.sequence_edges[seq_del[si]].start
-        keeper.lr_count = -1
+        keeper.sr_count = -1
+        keeper.sr_flag = "f"
         for seqi in seq_del[::-1]:
             del self.sequence_edges[seqi]
         for ci in sorted(c_del, reverse=True):

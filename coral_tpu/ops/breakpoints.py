@@ -104,6 +104,35 @@ def _pair_passes_nm(nm, i, j, max_nm) -> bool:
     return max_nm is None or (nm[i] < max_nm and nm[j] < max_nm)
 
 
+def rescue_pass(rn, q, r, mq, nm, assigned, pair_in, out, *,
+                min_mapq, gap_mapq, max_nm,
+                gap_=None, min_bp_match_cutoff=None):
+    """Low-mapq middle-alignment rescue — the reference's "i-1, i+1" pass,
+    shared by all four extraction paths (two-interval form
+    ``alignment2bp``:100-125, no same-strand clause; interval-list form
+    ``alignment2bp_l``:190-249, ``gap_`` set, same-strand gap-discrepancy
+    clause applies).  ``pair_in(a, b)`` tests interval membership of rows
+    a and b.  All gates are pure conjunctions, so the small evaluation-
+    order differences between the reference variants are output-neutral.
+    """
+    for i in range(1, len(r) - 1):
+        if assigned[i - 1] or assigned[i]:
+            continue
+        if not (mq[i] < gap_mapq and mq[i - 1] >= min_mapq
+                and mq[i + 1] >= min_mapq):
+            continue
+        if not pair_in(i - 1, i + 1):
+            continue
+        if not _pair_passes_nm(nm, i - 1, i + 1, max_nm):
+            continue
+        if gap_ is not None and not _same_interval_pair_ok(
+                q, r, i - 1, i + 1, gap_, min_bp_match_cutoff):
+            continue
+        qgap = int(q[i + 1][0]) - int(q[i - 1][1])
+        out.append(interval_to_bp(r[i - 1], r[i + 1], (rn, i - 1, i + 1),
+                                  qgap) + [mq[i - 1], mq[i + 1]])
+
+
 def chimera_to_bps(
     rn: str,
     chim,
@@ -133,19 +162,12 @@ def chimera_to_bps(
             out.append(interval_to_bp(r[i], r[i + 1], (rn, i, i + 1), qgap)
                        + [mq[i], mq[i + 1]])
             assigned[i] = 1
-    for i in range(1, len(r) - 1):
-        if assigned[i - 1] or assigned[i]:
-            continue
-        if not (mq[i] < gap_mapq and mq[i - 1] >= min_mapq and mq[i + 1] >= min_mapq):
-            continue
-        pair_in = (
-            (interval_overlap(r[i - 1], intrvl1) and interval_overlap(r[i + 1], intrvl2))
-            or (interval_overlap(r[i + 1], intrvl1) and interval_overlap(r[i - 1], intrvl2))
-        )
-        if pair_in and _pair_passes_nm(nm, i - 1, i + 1, max_nm):
-            qgap = int(q[i + 1][0]) - int(q[i - 1][1])
-            out.append(interval_to_bp(r[i - 1], r[i + 1], (rn, i - 1, i + 1), qgap)
-                       + [mq[i - 1], mq[i + 1]])
+    rescue_pass(
+        rn, q, r, mq, nm, assigned,
+        lambda a, b: (
+            (interval_overlap(r[a], intrvl1) and interval_overlap(r[b], intrvl2))
+            or (interval_overlap(r[b], intrvl1) and interval_overlap(r[a], intrvl2))),
+        out, min_mapq=min_mapq, gap_mapq=gap_mapq, max_nm=max_nm)
     return out
 
 
@@ -201,22 +223,15 @@ def chimera_to_bps_l(
                 out.append(interval_to_bp(r[i], r[j], (rn, i, j), qgap)
                            + [mq[i], mq[j]])
                 assigned[i] = 1
-    for i in range(1, len(r) - 1):
-        if assigned[i - 1] or assigned[i]:
-            continue
-        if not (mq[i] < gap_mapq and mq[i - 1] >= min_mapq and mq[i + 1] >= min_mapq):
-            continue
-        io1 = interval_overlap_l(r[i - 1], intervals)
-        io2 = interval_overlap_l(r[i + 1], intervals)
-        if io1 < 0 or io2 < 0 or io1 != io2:
-            continue
-        if max_nm is not None and not _pair_passes_nm(nm, i - 1, i + 1, max_nm):
-            continue
-        qgap = int(q[i + 1][0]) - int(q[i - 1][1])
-        if r[i + 1][3] != r[i - 1][3] or _same_interval_pair_ok(
-                q, r, i - 1, i + 1, gap_, min_bp_match_cutoff):
-            out.append(interval_to_bp(r[i - 1], r[i + 1], (rn, i - 1, i + 1), qgap)
-                       + [mq[i - 1], mq[i + 1]])
+    def _same_list(a, b):
+        io1 = interval_overlap_l(r[a], intervals)
+        io2 = interval_overlap_l(r[b], intervals)
+        return io1 >= 0 and io2 >= 0 and io1 == io2
+
+    rescue_pass(
+        rn, q, r, mq, nm, assigned, _same_list, out,
+        min_mapq=min_mapq, gap_mapq=gap_mapq, max_nm=max_nm,
+        gap_=gap_, min_bp_match_cutoff=min_bp_match_cutoff)
     return out
 
 

@@ -103,7 +103,12 @@ def alignment_from_sa(sa_entries: List[str], read_length: int) -> Optional[Chime
     r = [r[i] for i in order]
     mapq = [mapq[i] for i in order]
     nm = [nm[i] for i in order]
-    nm = [nm[i] / (q[i][1] - q[i][0]) for i in range(len(nm))]
+    # a degenerate 1-base local alignment has qe == qs (the reference's
+    # off-by-one span) and ZeroDivisionErrors in the reference
+    # (cigar_parsing.py:268); crash-fix policy: emit inf per-base NM like
+    # the native backend (bamcore.cpp float division) so host == native
+    nm = [nm[i] / span if (span := q[i][1] - q[i][0]) else float("inf")
+          for i in range(len(nm))]
     return Chimera(q, r, mapq, nm)
 
 

@@ -14,7 +14,7 @@ agreement against the per-read host implementation on randomized data.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -96,9 +96,12 @@ def adjacent_pair_indices(read_off: np.ndarray) -> Tuple[np.ndarray, np.ndarray]
     """(i, j=i+1) alignment-row pairs within each read."""
     n = read_off[-1]
     i = np.arange(n - 1) if n > 1 else np.zeros(0, np.int64)
-    # drop pairs crossing read boundaries
+    # drop pairs crossing read boundaries; a trailing EMPTY chimera
+    # (malformed SA set kept as a zero-alignment entry) puts a boundary
+    # offset == n, which must not index the mask
     is_boundary = np.zeros(max(int(n), 1), bool)
-    is_boundary[read_off[1:-1]] = True
+    inner = np.asarray(read_off[1:-1])
+    is_boundary[inner[inner < int(n)]] = True
     keep = ~is_boundary[i + 1] if n > 1 else np.zeros(0, bool)
     return i[keep], i[keep] + 1
 
@@ -145,9 +148,15 @@ def find_breakpoints_device(
     few affected reads.
     """
     from .breakpoints import interval_to_bp, interval_overlap_l, \
-        _same_interval_pair_ok, _pair_passes_nm
+        rescue_pass
 
     table = build_chimera_table(chimeras)
+    if max_nm is None:
+        # NM gate off: feed ZERO nm columns with the inf cutoff (the
+        # scoring contract) — real nm values can be inf for degenerate
+        # 1-base alignments, and inf < inf would reject rows the host
+        # gate (max_nm is None -> pass) keeps
+        table = replace(table, nm=np.zeros_like(table.nm))
     if mesh is not None:
         from ..parallel.sharded import score_pairs_sharded
         pi, pj, hits = score_pairs_sharded(
@@ -167,34 +176,41 @@ def find_breakpoints_device(
         n = hi - lo
         if n < 2:
             continue
+        assigned = hit_by_row[lo: hi - 1]
+        # skip checks on the FLAT columns: materializing a Python Chimera
+        # (and caching it in the lazy store) for every multi-alignment
+        # read defeats the flat-table design; only reads that emit rows
+        # or have a rescue candidate need the object
+        mqf = table.mapq[lo:hi]
+        rescue_possible = False
+        if n >= 3:
+            for i in range(1, n - 1):
+                if assigned[i - 1] or assigned[i]:
+                    continue
+                if (mqf[i] < gap_mapq and mqf[i - 1] >= min_mapq
+                        and mqf[i + 1] >= min_mapq):
+                    rescue_possible = True
+                    break
+        if not assigned.any() and not rescue_possible:
+            continue
         chim = chimeras[rn]
         q, r, mq, nm = chim.q, chim.r, chim.mapq, chim.nm
-        assigned = hit_by_row[lo: hi - 1]
         for i in np.flatnonzero(assigned):
             i = int(i)
             qgap = int(q[i + 1][0]) - int(q[i][1])
             out.append(interval_to_bp(r[i], r[i + 1], (rn, i, i + 1), qgap)
                        + [mq[i], mq[i + 1]])
         # rescue pass (host; requires a low-mapq middle alignment)
-        if n >= 3 and any(m < gap_mapq for m in mq[1:-1]):
-            for i in range(1, n - 1):
-                if assigned[i - 1] or assigned[i]:
-                    continue
-                if not (mq[i] < gap_mapq and mq[i - 1] >= min_mapq
-                        and mq[i + 1] >= min_mapq):
-                    continue
-                io1 = interval_overlap_l(r[i - 1], intervals)
-                io2 = interval_overlap_l(r[i + 1], intervals)
-                if io1 < 0 or io2 < 0 or io1 != io2:
-                    continue
-                if max_nm is not None and not _pair_passes_nm(nm, i - 1, i + 1, max_nm):
-                    continue
-                qgap = int(q[i + 1][0]) - int(q[i - 1][1])
-                if r[i + 1][3] != r[i - 1][3] or _same_interval_pair_ok(
-                        q, r, i - 1, i + 1, gap_, min_bp_match_cutoff):
-                    out.append(interval_to_bp(r[i - 1], r[i + 1],
-                                              (rn, i - 1, i + 1), qgap)
-                               + [mq[i - 1], mq[i + 1]])
+        if rescue_possible:
+            def _same_list(a, b, r=r):
+                io1 = interval_overlap_l(r[a], intervals)
+                io2 = interval_overlap_l(r[b], intervals)
+                return io1 >= 0 and io2 >= 0 and io1 == io2
+
+            rescue_pass(
+                rn, q, r, mq, nm, assigned, _same_list, out,
+                min_mapq=min_mapq, gap_mapq=gap_mapq, max_nm=max_nm,
+                gap_=gap_, min_bp_match_cutoff=min_bp_match_cutoff)
     return out
 
 
@@ -257,7 +273,7 @@ def subset_to_bps_batch(
     """Batched two-interval breakpoint extraction for a subset of reads of
     a native ChimeraStore; row-identical (including order and the low-mapq
     rescue pass) to calling ``chimera_to_bps`` per read."""
-    from .breakpoints import interval_overlap, interval_to_bp, _pair_passes_nm
+    from .breakpoints import interval_overlap, interval_to_bp, rescue_pass
 
     table_rows = []
     spans = []
@@ -290,22 +306,14 @@ def subset_to_bps_batch(
             out.append(interval_to_bp(r[i], r[i + 1], (rn, i, i + 1), qgap)
                        + [mq[i], mq[i + 1]])
         if n >= 3 and any(m < gap_mapq for m in mq[1:-1]):
-            for i in range(1, n - 1):
-                if assigned[i - 1] or assigned[i]:
-                    continue
-                if not (mq[i] < gap_mapq and mq[i - 1] >= min_mapq
-                        and mq[i + 1] >= min_mapq):
-                    continue
-                pair_in = (
-                    (interval_overlap(r[i - 1], intrvl1)
-                     and interval_overlap(r[i + 1], intrvl2))
-                    or (interval_overlap(r[i + 1], intrvl1)
-                        and interval_overlap(r[i - 1], intrvl2)))
-                if pair_in and _pair_passes_nm(nm, i - 1, i + 1, max_nm):
-                    qgap = int(q[i + 1][0]) - int(q[i - 1][1])
-                    out.append(interval_to_bp(r[i - 1], r[i + 1],
-                                              (rn, i - 1, i + 1), qgap)
-                               + [mq[i - 1], mq[i + 1]])
+            rescue_pass(
+                rn, q, r, mq, nm, assigned,
+                lambda a, b, r=r: (
+                    (interval_overlap(r[a], intrvl1)
+                     and interval_overlap(r[b], intrvl2))
+                    or (interval_overlap(r[b], intrvl1)
+                        and interval_overlap(r[a], intrvl2))),
+                out, min_mapq=min_mapq, gap_mapq=gap_mapq, max_nm=max_nm)
     return out
 
 
