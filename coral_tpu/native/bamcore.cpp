@@ -193,6 +193,64 @@ bool read_block_header(FILE* fp, int64_t coffset, BlockInfo* bi, std::string* er
   return true;
 }
 
+// Sequentially read one whole BGZF member at the current file position
+// (assumed == coffset): header, BC subfield, compressed payload, trailer —
+// ONE buffered fread stream, no fseeks.  The window loop calls this
+// back-to-back; the seek-per-field variant (read_block_header) discarded
+// the stdio readahead buffer ~4x per 64 KiB member, turning whole-genome
+// scans into millions of small non-sequential reads.  Returns false with
+// err=="" at clean EOF.
+bool read_block_seq(FILE* fp, int64_t coffset, BlockInfo* bi,
+                    std::vector<uint8_t>* mem, std::string* err) {
+  uint8_t hdr[18];
+  size_t got = fread(hdr, 1, sizeof(hdr), fp);
+  if (got == 0) return false;
+  if (got < sizeof(hdr) || hdr[0] != 0x1f || hdr[1] != 0x8b || hdr[2] != 8 ||
+      !(hdr[3] & 4)) {
+    *err = "bad BGZF block header";
+    return false;
+  }
+  uint16_t xlen;
+  memcpy(&xlen, hdr + 10, 2);
+  mem->resize(12 + xlen);  // provisional: through the extra area
+  memcpy(mem->data(), hdr, sizeof(hdr));
+  if (xlen > 6) {
+    if (fread(mem->data() + 18, 1, xlen - 6, fp) !=
+        static_cast<size_t>(xlen - 6)) {
+      *err = "truncated BGZF extra";
+      return false;
+    }
+  }
+  int bsize = -1;
+  const uint8_t* extra = mem->data() + 12;
+  for (int p = 0; p + 4 <= xlen;) {
+    uint16_t slen;
+    memcpy(&slen, extra + p + 2, 2);
+    if (extra[p] == 'B' && extra[p + 1] == 'C') {
+      uint16_t v;
+      memcpy(&v, extra + p + 4, 2);
+      bsize = v + 1;
+    }
+    p += 4 + slen;
+  }
+  if (bsize < 0 || bsize < 12 + xlen + 8) {
+    *err = "BGZF block missing BC subfield";
+    return false;
+  }
+  mem->resize(bsize);
+  size_t rest = bsize - 12 - xlen;
+  if (fread(mem->data() + 12 + xlen, 1, rest, fp) != rest) {
+    *err = "truncated BGZF block";
+    return false;
+  }
+  uint32_t isize;
+  memcpy(&isize, mem->data() + bsize - 4, 4);
+  bi->coffset = coffset;
+  bi->csize = bsize;
+  bi->usize = static_cast<int32_t>(isize);
+  return true;
+}
+
 // Inflate one block (given its BlockInfo) from an in-memory compressed
 // buffer holding the whole member.
 bool inflate_block(const uint8_t* member, const BlockInfo& bi, uint8_t* dst, std::string* err) {
@@ -396,18 +454,11 @@ bool scan_file(BamCore* bc, int nthreads) {
     infos.clear();
     members.clear();
     for (int i = 0; i < W; i++) {
-      fseek(fp, coffset, SEEK_SET);
       BlockInfo bi;
-      if (!read_block_header(fp, coffset, &bi, &bc->error)) {
+      std::vector<uint8_t> mem;
+      if (!read_block_seq(fp, coffset, &bi, &mem, &bc->error)) {
         if (!bc->error.empty()) return false;
         break;  // EOF
-      }
-      // read whole member
-      std::vector<uint8_t> mem(bi.csize);
-      fseek(fp, bi.coffset, SEEK_SET);
-      if (fread(mem.data(), 1, bi.csize, fp) != static_cast<size_t>(bi.csize)) {
-        bc->error = "short read of BGZF member";
-        return false;
       }
       coffset = bi.coffset + bi.csize;
       infos.push_back(bi);
