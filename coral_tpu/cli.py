@@ -103,9 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Prefix filename for output bed file.")
     p.add_argument("--gain", type=float, default=6.0,
                    help="CN gain threshold for interval to be considered a seed.")
-    p.add_argument("--min_seed_size", type=int, default=100000,
+    # the reference's REAL defaults are its CNSIZE_MIN/CNGAP_MAX constants
+    # (99999/300001, cnv_seed.py:7-9 wired at CoRAL.py:75-79); its help
+    # text "100000"/"300000" is off by one from the code
+    p.add_argument("--min_seed_size", type=int, default=99999,
                    help="Minimum size (in bp) for a seed interval.")
-    p.add_argument("--max_seg_gap", type=int, default=300000,
+    p.add_argument("--max_seg_gap", type=int, default=300001,
                    help="Maximum gap size (in bp) to merge two proximal intervals.")
 
     p = sub.add_parser("reconstruct", help="Reconstruct focal amplifications")

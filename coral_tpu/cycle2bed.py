@@ -65,13 +65,16 @@ def _merge_segments(seg_tokens: List[str], all_segs: Dict[str, list]):
         out.append([seg[0], seg[1], seg[2], strand])
     # wrap-around merges (ref :43-48)
     if len(out) > 1:
+        # TWO sequential ifs, like the reference (:43-48): when the '+'
+        # merge fires, the '-' test re-reads the NEW last element
         last, first = out[-1], out[0]
         if (last[3] == "+" and first[3] == "+" and last[0] == first[0]
                 and last[2] + 1 == first[1]):
             first[1] = last[1]
             del out[-1]
-        elif (last[3] == "-" and first[3] == "+" and last[0] == first[0]
-                and last[1] - 1 == first[2]):
+        last = out[-1]
+        if (last is not first and last[3] == "-" and first[3] == "+"
+                and last[0] == first[0] and last[1] - 1 == first[2]):
             first[2] = last[2]
             del out[-1]
     return is_cyclic, out

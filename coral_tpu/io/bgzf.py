@@ -19,7 +19,10 @@ MAX_BLOCK_PAYLOAD = 65280  # htslib's default uncompressed block size
 
 def compress_block(data: bytes, level: int = 6) -> bytes:
     """Compress one <=64KiB payload into a BGZF block."""
-    assert len(data) <= 65536
+    # MAX_BLOCK_PAYLOAD, not 65536: an incompressible payload above
+    # ~65450 bytes inflates past the 16-bit BSIZE field and crashes the
+    # header pack — the headroom is exactly why htslib caps at 65280
+    assert len(data) <= MAX_BLOCK_PAYLOAD
     co = zlib.compressobj(level, zlib.DEFLATED, -15)
     comp = co.compress(data) + co.flush()
     bsize = len(comp) + 25  # total block size minus 1

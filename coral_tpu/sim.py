@@ -298,7 +298,6 @@ def simulate_bfb(
         recs.append(BamRecord(f"fl{i:04d}", 0x800, CHR, p, 60, f"{f}S{f}M",
                               seq="*", tags={"NM": 50, "SA": sa_minus}))
 
-    recs.sort(key=lambda r: r.pos)
     bam_path = os.path.join(out_dir, "sim_bfb.bam")
     write_bam(bam_path, [(CHR, CHR_LEN)], recs)
 
@@ -409,7 +408,6 @@ def simulate_mixed_sample(
         recs.append(BamRecord(f"fl{k:04d}", 0x800, CHR, p, 60, f"{f}S{f}M",
                               seq="*", tags={"NM": 50, "SA": sa_m}))
 
-    recs.sort(key=lambda r: (r.ref, r.pos))
     bam_path = os.path.join(out_dir, "sim_mixed.bam")
     write_bam(bam_path, [(CHR, CHR_LEN), (CHR2, CHR2_LEN)], recs)
 

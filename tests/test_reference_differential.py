@@ -651,3 +651,24 @@ def test_cycle2bed_differential(ref, tmp_path):
         ref.c2b.convert_cycles_to_bed(str(cyc), str(ref_out), False, num)
         convert_cycles_to_bed(str(cyc), str(our_out), False, num)
         assert our_out.read_text() == ref_out.read_text(), case
+
+
+def test_cycle2bed_double_wrap_merge_differential(ref, tmp_path):
+    """Both wrap-around merges firing on one cycle (the reference applies
+    them as TWO sequential ifs, cycle2bed.py:43-48: after the '+' merge
+    deletes the last segment, the '-' test re-reads the NEW last).  The
+    randomized differential never generated this geometry; round-2 review
+    found our elif skipped the second merge."""
+    from coral_tpu.cycle2bed import convert_cycles_to_bed
+
+    cyc = tmp_path / "dw.txt"
+    cyc.write_text(
+        "Segment\t1\tchr1\t100\t200\n"
+        "Segment\t2\tchr1\t201\t400\n"
+        "Segment\t3\tchr1\t50\t99\n"
+        "Cycle=1;Copy_count=3.25;Segments=1+,2-,3+\n")
+    ref_out = tmp_path / "dw_ref.bed"
+    our_out = tmp_path / "dw_ours.bed"
+    ref.c2b.convert_cycles_to_bed(str(cyc), str(ref_out), False, None)
+    convert_cycles_to_bed(str(cyc), str(our_out), False, None)
+    assert our_out.read_text() == ref_out.read_text()
