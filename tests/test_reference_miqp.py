@@ -346,6 +346,77 @@ def test_minimize_cycles_multiplicity2_differential(refcd, tmp_path):
                    for slot in (0, 1) for c in cyc_ref[slot]), cyc_ref
 
 
+def _source_edge_graph(rng):
+    """Chain with a background endnode->endnode path plus a planted path
+    that ENTERS through a source edge at seg1's start and exits via the
+    right endnode — exercises the model's source-edge x slots, CN caps
+    (ref :139-143) and s/t path balance (:111-119), which no other
+    differential graph contains (lsrc == 0 everywhere else)."""
+    from coral_tpu.graph.breakpoint_graph import BreakpointGraph
+
+    g = BreakpointGraph()
+    chrom = "chr1"
+    start = rng.randint(10_000, 50_000)
+    bounds = [start]
+    for _ in range(3):
+        bounds.append(bounds[-1] + rng.randint(8_000, 40_000))
+    wb = round(rng.uniform(1.5, 3.0), 3)
+    wp = round(rng.uniform(4.0, 20.0), 3)
+    for i in range(3):
+        s, e = bounds[i], bounds[i + 1] - 1
+        g.add_node((chrom, s, "-"))
+        g.add_node((chrom, e, "+"))
+    for i in range(3):
+        s, e = bounds[i], bounds[i + 1] - 1
+        cn = wb + (wp if i >= 1 else 0.0)
+        g.add_sequence_edge(chrom, s, e, cn=cn, lr_count=40,
+                            lr_nc=int(cn * 10 * (e - s + 1)))
+    for i in range(1, 3):
+        cn = wb + (wp if i >= 2 else 0.0)
+        g.add_concordant_edge(chrom, bounds[i] - 1, "+", chrom, bounds[i],
+                              "-", cn=cn, lr_count=25)
+    g.add_source_edge(chrom, bounds[1], "-", cn=wp, lr_cn=wp)
+    g.add_endnode((chrom, bounds[0], "-"))
+    g.add_endnode((chrom, bounds[-1] - 1, "+"))
+    g.max_cn = max(e.cn for e in g.sequence_edges) + 1.0
+    return g
+
+
+def test_minimize_cycles_source_edge_differential(refcd, tmp_path):
+    """Graphs with source edges: same optimum, and the optimal solution
+    actually routes a path through the source edge."""
+    from coral_tpu.config import CycleConfig
+    from coral_tpu.cycles.decomposition import joint_minimize
+    from coral_tpu.cycles.refmodel import verify_reference_model
+
+    rng = random.Random(97)
+    cfg = CycleConfig()
+    for trial in range(3):
+        g = _source_edge_graph(rng)
+        shim = _SolverShim(g)
+        node_order = {n: i for i, n in enumerate(g.nodes)}
+        tw = _total_weights(g)
+        (status, total_ref, _n, cyc_ref, w_ref, _s) = refcd.minimize_cycles(
+            1, shim, 2, tw, node_order, [], p_total_weight=0.9,
+            p_bp_cn=0.9, num_threads=-1, time_limit=300,
+            model_prefix=str(tmp_path / f"src{trial}"))
+        assert status == refcd.GRB.OPTIMAL, trial
+        viol = verify_reference_model(g, cyc_ref, w_ref, pc_list=[])
+        assert viol == [], (trial, viol)
+        (status_o, total_o, _no, cyc_o, _w, _sl) = joint_minimize(
+            g, _our_setup(g), 2, tw, [], cfg)
+        assert status_o == 2
+        obj_ref = _ref_objective(tw, total_ref, cyc_ref)
+        obj_our = _ref_objective(tw, total_o, cyc_o)
+        assert abs(obj_ref - obj_our) < 1e-5, (trial, obj_ref, obj_our)
+        # a path must use the source edge in both solutions
+        uses_src = lambda cycles: any(
+            k[0] in ("s", "t") and True
+            for slot in (0, 1) for c in cycles[slot] for k in c)
+        assert uses_src(cyc_ref), cyc_ref
+        assert uses_src(cyc_o), cyc_o
+
+
 def test_minimize_cycles_infeasible_agreement(refcd, tmp_path):
     """A graph whose discordant-edge CN cannot be 90%-covered by k=1
     decomposition of weight ≥ 0: force infeasibility via an impossible
