@@ -417,6 +417,35 @@ def test_minimize_cycles_source_edge_differential(refcd, tmp_path):
         assert uses_src(cyc_o), cyc_o
 
 
+def test_greedy_source_edge_reference_bug(refcd, tmp_path):
+    """Reference bug pinned WITH the reference in the loop: its greedy
+    solution parser uses the undefined name ``xi_`` in the source-edge
+    branches (cycle_decomposition.py:1397,1403 — copied from
+    minimize_cycles where xi_ exists), so `maximize_weights_greedy`
+    CRASHES with NameError on any graph whose optimum routes a source
+    edge.  Our greedy (SURVEY §7 reference-bug policy: implement the
+    evident intent) decomposes the same graph fine."""
+    from coral_tpu.config import CycleConfig
+    from coral_tpu.cycles.decomposition import greedy_extract
+
+    rng = random.Random(97)
+    g = _source_edge_graph(rng)
+    shim = _SolverShim(g)
+    node_order = {n: i for i, n in enumerate(g.nodes)}
+    tw = _total_weights(g)
+    with pytest.raises(NameError, match="xi_"):
+        refcd.maximize_weights_greedy(
+            1, shim, tw, node_order, [], alpha=0.01, p_total_weight=0.9,
+            resolution=0.1, cn_tol=0.005, p_subpaths=0.9, num_threads=-1,
+            postprocess=0, time_limit=300,
+            model_prefix=str(tmp_path / "srcbug"))
+    total, _n, cycles, weights, _s = greedy_extract(
+        g, _our_setup(g), tw, [], CycleConfig())
+    assert total > 0.9 * tw
+    assert any(k[0] in ("s", "t")
+               for slot in (0, 1) for c in cycles[slot] for k in c)
+
+
 def test_minimize_cycles_infeasible_agreement(refcd, tmp_path):
     """A graph whose discordant-edge CN cannot be 90%-covered by k=1
     decomposition of weight ≥ 0: force infeasibility via an impossible
