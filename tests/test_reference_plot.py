@@ -361,3 +361,34 @@ def test_plot_graph_tail_window_differential(ref_plot, monkeypatch,
     our_geom = _capture_graph(ours, "t", str(tmp_path / "our_tail"))
 
     assert our_geom == ref_geom
+
+
+def test_plot_graph_region_bounds_differential(ref_plot, sample, monkeypatch,
+                                               tmp_path):
+    """--region zoom (plot_bounds): both implementations must window the
+    coverage track, clamp intervals, and set identical axis limits for
+    the same chr:start-end bounds (reference plot_amplicons.py:381-395,
+    927-931)."""
+    _redirect_refgene(monkeypatch, ref_plot, sample["refgene"])
+    monkeypatch.chdir(sample["dir"])
+    bounds = ("chr7", 55_050_000, 55_250_000)
+
+    gref = _fresh_ref_vis(ref_plot)
+    gref.open_bam(sample["bam"])
+    gref.parse_graph_file(sample["prefix"] + "_amplicon1_graph.txt")
+    gref.parse_genes("hg38", set(), False)
+    gref.plot_bounds = bounds
+    gref.graph_amplified_intervals()
+    ref_geom = _capture_graph(gref, "t", str(tmp_path / "ref_rg"))
+
+    from coral_tpu.plot.plot_amplicons import AmpliconVisualizer
+
+    ours = AmpliconVisualizer()
+    ours.open_bam(sample["bam"])
+    ours.parse_graph_file(sample["prefix"] + "_amplicon1_graph.txt")
+    ours.parse_genes("hg38", set(), False)
+    ours.plot_bounds = bounds
+    ours.graph_amplified_intervals()
+    our_geom = _capture_graph(ours, "t", str(tmp_path / "our_rg"))
+
+    assert our_geom == ref_geom
