@@ -453,22 +453,57 @@ def test_e2e_hsr_sites(ref_ibg, tmp_path, monkeypatch, capsys):
     # that); run from tmp_path with relative prefixes for both
     monkeypatch.chdir(tmp_path)
 
+    def fig_lines():
+        """Data-space geometry of the current pyplot figure: Line2D
+        xy-data (chromosome separators + 'bo' site markers), limits,
+        tick positions."""
+        import matplotlib.pyplot as plt
+
+        ax = plt.gcf().axes[0]
+        r4 = lambda v: round(float(v), 4)
+        lines = sorted(
+            tuple((r4(x), r4(y)) for x, y in zip(*ln.get_data()))
+            for ln in ax.lines)
+        return {
+            "lines": lines,
+            "xlim": tuple(map(r4, ax.get_xlim())),
+            "ylim": tuple(map(r4, ax.get_ylim())),
+            "xticks": [r4(t) for t in ax.get_xticks()],
+        }
+
     def run(fn, prefix):
+        import matplotlib.pyplot as plt
+
+        plt.close("all")
         args = SimpleNamespace(
             lr_bam=bam, cycles=str(cycles_bed), cn_seg=cns,
             output_prefix=prefix, normal_cov="4",
             bp_match_cutoff=100, bp_match_cutoff_clustering=2000)
-        fn(args)
+        geom = {}
+        real_savefig = plt.savefig
+
+        def cap(fn_, *a, **kw):
+            geom.update(fig_lines())
+            return real_savefig(fn_, *a, **kw)
+
+        plt.savefig = cap
+        try:
+            fn(args)
+        finally:
+            plt.savefig = real_savefig
         out = capsys.readouterr().out
         sites = sorted(l for l in out.splitlines() if l.startswith("Breakpoint"))
         found = [l for l in out.splitlines() if l.startswith("Found ")]
-        return sites, found
+        return sites, found, geom
 
-    ref_sites, ref_found = run(ref_hsr.locate_hsrs, "refh")
-    our_sites, our_found = run(our_hsr, "oursh")
+    ref_sites, ref_found, ref_geom = run(ref_hsr.locate_hsrs, "refh")
+    our_sites, our_found, our_geom = run(our_hsr, "oursh")
     assert ref_sites, "integration sim must produce reported sites"
     assert our_sites == ref_sites
     assert our_found == ref_found
+    # the integration-sites scatter draws the same geometry (separators,
+    # site markers, log-scale limits, chromosome ticks)
+    assert our_geom == ref_geom
     assert (tmp_path / "integration_sites_refh.png").exists()
     assert (tmp_path / "integration_sites_oursh.png").exists()
 
