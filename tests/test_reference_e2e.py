@@ -582,3 +582,84 @@ def test_e2e_path_constraints(ref_ibg, tmp_path):
         assert our_l == ref_l, amp
         total_pcs += len(ref_pcs[0])
     assert total_pcs > 0, "through reads must produce path constraints"
+
+
+def test_e2e_cycles_writer_source_edge_path(ref_ibg, tmp_path):
+    """Writer/traversal parity for SOURCE-EDGE paths: feed a decomposition
+    whose path enters through a source edge to the REFERENCE's
+    output_cycles (its eulerian_path_t source branch,
+    cycle_decomposition.py:1773-1800) and to ours; everything must match
+    except the traversal representative, which must realize the same
+    edge multiset."""
+    import random as pyrandom
+
+    sys.path.insert(0, str(REF_SRC))
+    try:
+        import cycle_decomposition as ref_cd
+    finally:
+        sys.path.remove(str(REF_SRC))
+    import random as _r
+
+    from test_reference_differential import _RefGraphShim
+    from test_reference_miqp import _source_edge_graph, _SolverShim, \
+        _total_weights, _our_setup
+    from coral_tpu.config import CycleConfig
+    from coral_tpu.cycles.decomposition import joint_minimize
+    from coral_tpu.cycles.output import output_cycles
+    from coral_tpu.cycles.refmodel import segments_to_solution
+
+    g = _source_edge_graph(_r.Random(97))
+    tw = _total_weights(g)
+    status, total, _n, cycles, weights, sat = joint_minimize(
+        g, _our_setup(g), 2, tw, [], CycleConfig())
+    assert status == 2
+    assert any(k[0] in ("s", "t")
+               for slot in (0, 1) for c in cycles[slot] for k in c)
+
+    rec = SimpleNamespace(
+        graphs=[g], amplicon_intervals=[
+            ["chr1", g.sequence_edges[0].start,
+             g.sequence_edges[-1].end, 0]],
+        ccid2id={0: 0}, path_constraints={0: [[], [], []]},
+        longest_path_constraints={0: [[], [], []]},
+        cycles={0: cycles}, cycle_weights={0: weights},
+        path_constraints_satisfied={0: sat})
+    our_prefix = str(tmp_path / "ours")
+    output_cycles(rec, our_prefix)
+
+    bb = SimpleNamespace(
+        lr_graph=[_RefGraphShim(g)],
+        amplicon_intervals=rec.amplicon_intervals, ccid2id=rec.ccid2id,
+        path_constraints=rec.path_constraints,
+        longest_path_constraints=rec.longest_path_constraints,
+        cycles=rec.cycles, cycle_weights=rec.cycle_weights,
+        path_constraints_satisfied=rec.path_constraints_satisfied)
+    ref_prefix = str(tmp_path / "ref")
+    pyrandom.seed(0)
+    ref_cd.output_cycles(bb, ref_prefix)
+
+    ref_text = Path(ref_prefix + "_amplicon1_cycles.txt").read_text()
+    our_text = Path(our_prefix + "_amplicon1_cycles.txt").read_text()
+
+    def parse(text):
+        head, cyc = [], []
+        for line in text.splitlines():
+            if line.startswith("Cycle="):
+                cyc.append(dict(f.split("=", 1) for f in line.split(";")))
+            else:
+                head.append(line)
+        return head, cyc
+
+    ref_head, ref_cyc = parse(ref_text)
+    our_head, our_cyc = parse(our_text)
+    assert our_head == ref_head
+    assert len(our_cyc) == len(ref_cyc) == 2
+    for rc, oc in zip(ref_cyc, our_cyc):
+        assert oc["Copy_count"] == rc["Copy_count"]
+        ref_sol, ref_is_cyc, rv = segments_to_solution(
+            g, rc["Segments"].split(","), allow_free_terminals=False)
+        our_sol, our_is_cyc, ov = segments_to_solution(
+            g, oc["Segments"].split(","), allow_free_terminals=False)
+        assert rv == [] and ov == []
+        assert ref_is_cyc == our_is_cyc
+        assert ref_sol == our_sol
