@@ -90,6 +90,13 @@ class CycleConfig:
     # the pool size up to which the joint MILP (not greedy) is re-solved
     pool_escalation: tuple = (("same", 10), ("same", 100), ("wide", 100))
     joint_milp_pool_limit: int = 10_000
+    # even when the narrow pool solved with full coverage, run ONE
+    # wide-caps verification pass: a pool complete under the inference
+    # caps (conc_cap = max_mult+1 + its derived walk-depth bound) can
+    # miss lower-DECOMPOSITION-COUNT solutions the reference model's
+    # ub-10 search admits (found by the gurobipy-facade differential on
+    # a dense uniform-CN graph: reference 1 decomposition, narrow pool 2)
+    pool_verify_wide: bool = True
 
 
 @dataclass(frozen=True)

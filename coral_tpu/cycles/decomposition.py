@@ -391,6 +391,22 @@ def _write_model_artifact(model_prefix, amplicon_idx, payload) -> None:
         json.dump(payload, fp, indent=1, default=str)
 
 
+def _stats_better(a: tuple, b: tuple) -> bool:
+    """Lexicographic (coverage, n_pc_satisfied, -num_decomps) with float
+    tolerance on coverage: solver weights carry ~1e-12 relative noise
+    (HiGHS feasibility tolerance), and a strict tuple compare let a
+    2-decomposition solution beat a 1-decomposition one on a 1e-12
+    coverage 'gain' (found by the dense-graph facade differential)."""
+    tol = 1e-6 + 1e-9 * max(abs(a[0]), abs(b[0]))
+    if a[0] > b[0] + tol:
+        return True
+    if b[0] > a[0] + tol:
+        return False
+    if a[1] != b[1]:
+        return a[1] > b[1]
+    return a[2] > b[2]
+
+
 def _current_stats(rec, g, amplicon_idx) -> tuple:
     """(coverage, n_pc_satisfied, -num_decomps) of the recorded solution —
     the lexicographic quality order used by the escalation fallback."""
@@ -540,9 +556,16 @@ def cycle_decomposition(rec, cfg: CycleConfig, model_prefix: str = "") -> None:
         # completed narrow-cap pool still prunes candidates the reference
         # model admits, so it cannot clear a coverage-miss degradation
         space_exhausted_wide = False
-        if candidates.truncated or not coverage_met():
+        verify_only = not candidates.truncated and coverage_met()
+        if candidates.truncated or not coverage_met() or \
+                (cfg.pool_verify_wide and verify_only):
+            # verify-only mode: the narrow pool solved and covered, but
+            # narrowed caps can hide fewer-decomposition optima — run the
+            # 'wide' rung(s) only and adopt strictly-better solutions
+            rungs = [rw for rw in cfg.pool_escalation if rw[0] == "wide"] \
+                if verify_only else cfg.pool_escalation
             best = _current_stats(rec, g, amplicon_idx)
-            for cap_mode, factor in cfg.pool_escalation:
+            for cap_mode, factor in rungs:
                 budget = state_budget * factor
                 logger.info(
                     "amplicon %d: escalating enumeration (budget %d, caps "
@@ -586,7 +609,7 @@ def cycle_decomposition(rec, cfg: CycleConfig, model_prefix: str = "") -> None:
                     # solved: even if this solution is not adopted, the
                     # recorded one is at least as good as its optimum
                     space_exhausted_wide = True
-                if stats > best:
+                if _stats_better(stats, best):
                     best = stats
                     model_info["solver"] = (f"{model_info['solver']}"
                                             f"+escalated[{attempt['solver']}]")

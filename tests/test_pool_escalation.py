@@ -124,7 +124,10 @@ def test_escalation_recovers_exact_solution(tmp_path):
         for edges, w in zip(rec.cycles[0][slot], rec.cycle_weights[0][slot]):
             covered += w * sum(g.sequence_edges[i].size * c
                                for (t, i), c in edges.items() if t == "e")
-    assert covered >= opt_cov - 1e-6
+    # relative tolerance: the driver's adoption rule treats coverages
+    # within ~1e-9 relative as ties and prefers FEWER decompositions
+    # (solver weights carry ~1e-12 relative noise)
+    assert covered >= opt_cov * (1 - 1e-8) - 1e-6
     assert covered >= cfg.p_total_weight * total
     # no degradation marker in the cycles file
     from coral_tpu.cycles.output import output_cycles

@@ -743,3 +743,39 @@ def test_gbm39_reference_solver_resolves_published_artifact(refcd, tmp_path):
     pub = sorted([82.34616279663038, 2.8436550275157644])
     got = sorted(weights[0] + weights[1])
     assert any(abs(a - b) > 1e-3 for a, b in zip(pub, got))
+
+
+def test_dense_graph_driver_matches_reference_optimum(refcd, tmp_path):
+    """Dense uniform-CN graph where narrowed enumeration caps hide the
+    fewer-decomposition optimum: the reference's implicit search finds ONE
+    full-coverage decomposition; our driver must reach the same objective
+    via the wide-caps verification pass (round-2 fixes: pool_verify_wide
+    + the float-tolerant adoption comparison)."""
+    from types import SimpleNamespace
+
+    from test_pool_escalation import dense_graph
+    from coral_tpu.config import CycleConfig
+    from coral_tpu.cycles.decomposition import cycle_decomposition, \
+        total_graph_weight
+    from coral_tpu.cycles.refmodel import decomposition_coverage
+
+    g = dense_graph()
+    tw = total_graph_weight(g)
+    shim = _SolverShim(g)
+    node_order = {n: i for i, n in enumerate(g.nodes)}
+    (st, tr, _n, cy_ref, w_ref, _s) = refcd.minimize_cycles(
+        1, shim, 4, tw, node_order, [], p_total_weight=0.9, p_bp_cn=0.9,
+        num_threads=-1, time_limit=900, model_prefix=str(tmp_path / "dd"))
+    assert st == refcd.GRB.OPTIMAL
+    n_ref = len(cy_ref[0]) + len(cy_ref[1])
+
+    rec = SimpleNamespace(graphs=[g], path_constraints={0: [[], [], []]},
+                          longest_path_constraints={}, cycles={},
+                          cycle_weights={}, path_constraints_satisfied={})
+    cycle_decomposition(rec, CycleConfig(),
+                        model_prefix=str(tmp_path / "ours"))
+    cy, w = rec.cycles[0], rec.cycle_weights[0]
+    n_our = len(cy[0]) + len(cy[1])
+    cov_our = decomposition_coverage(g, cy, w)
+    assert n_our == n_ref == 1
+    assert cov_our == pytest.approx(tr, rel=1e-6)
