@@ -663,3 +663,67 @@ def test_e2e_cycles_writer_source_edge_path(ref_ibg, tmp_path):
         assert rv == [] and ov == []
         assert ref_is_cyc == our_is_cyc
         assert ref_sol == our_sol
+
+
+def test_e2e_cycles_writer_all_paths_mode(ref_ibg, tmp_path):
+    """--output_all_path_constraints: the writer prints EVERY subpath
+    constraint (node-walk format, reference output_cycles
+    cycle_decomposition.py:1954-1974) instead of the longest set, and
+    drops the per-cycle Path_constraints_satisfied suffix (:2027,2053).
+    Same-solution differential, byte-identical except Segments."""
+    import random as pyrandom
+
+    sys.path.insert(0, str(REF_SRC))
+    try:
+        import cycle_decomposition as ref_cd
+    finally:
+        sys.path.remove(str(REF_SRC))
+    from test_reference_differential import _RefGraphShim
+    from coral_tpu.cycles.refmodel import segments_to_solution
+    from coral_tpu.reconstruct import reconstruct_cycles, reconstruct_graphs
+    from coral_tpu.sim import simulate_translocated_ecdna
+
+    bam, cns, seeds = simulate_translocated_ecdna(
+        str(tmp_path / "sim"), seed=9, amp_b=(127_000_000, 127_030_000),
+        n_through_reads=8, **_GEOM)
+    our_prefix = str(tmp_path / "ours_ap")
+    rec = reconstruct_graphs(bam, seeds, cns, our_prefix)
+    reconstruct_cycles(rec, our_prefix, output_all_path_constraints=True)
+
+    bb = SimpleNamespace(
+        lr_graph=[_RefGraphShim(g) for g in rec.graphs],
+        amplicon_intervals=rec.amplicon_intervals,
+        ccid2id=rec.ccid2id,
+        path_constraints=rec.path_constraints,
+        longest_path_constraints=rec.longest_path_constraints,
+        cycles=rec.cycles,
+        cycle_weights=rec.cycle_weights,
+        path_constraints_satisfied=rec.path_constraints_satisfied,
+    )
+    ref_prefix = str(tmp_path / "ref_ap")
+    pyrandom.seed(0)
+    ref_cd.output_cycles(bb, ref_prefix, output_all_paths=True)
+
+    n_pc_lines = 0
+    for amp in range(len(rec.graphs)):
+        ref_text = Path(f"{ref_prefix}_amplicon{amp + 1}_cycles.txt").read_text()
+        our_text = Path(f"{our_prefix}_amplicon{amp + 1}_cycles.txt").read_text()
+        ref_lines = ref_text.splitlines()
+        our_lines = our_text.splitlines()
+        assert len(ref_lines) == len(our_lines), amp
+        for rl, ol in zip(ref_lines, our_lines):
+            if rl.startswith("Cycle="):
+                rd = dict(f.split("=", 1) for f in rl.split(";"))
+                od = dict(f.split("=", 1) for f in ol.split(";"))
+                assert od["Copy_count"] == rd["Copy_count"]
+                assert "Path_constraints_satisfied" not in rd
+                assert "Path_constraints_satisfied" not in od
+                g = rec.graphs[amp]
+                rs, ric, rv = segments_to_solution(g, rd["Segments"].split(","))
+                os_, oic, ov = segments_to_solution(g, od["Segments"].split(","))
+                assert rv == [] and ov == [] and ric == oic and rs == os_
+            else:
+                assert ol == rl, (amp, rl, ol)
+                if rl.startswith("Path constraint"):
+                    n_pc_lines += 1
+    assert n_pc_lines >= 1  # the all-paths section must be exercised
