@@ -73,15 +73,20 @@ COL_ORDER = ("qi_end", "qj_start", "chrom_i", "r1_i", "r2_i", "strand_i",
 
 
 def roofline_utilization(n_reads: int, t_dev: float,
-                         bytes_per_read: int = 48) -> float:
+                         bytes_per_read: int = 24) -> float:
     """Fraction of v5e HBM speed-of-light the scoring dispatch achieves.
 
-    The scoring step is bandwidth-bound.  The fused Pallas route streams
-    the 12 int32 predicate columns exactly once (48 B/pair; the support
-    histogram accumulates in VMEM, nothing pair-sized is written back);
-    the XLA route additionally reads the two nm float32 columns (56 B).
-    v5e HBM BW ~ 819 GB/s.  (Table builds are timed separately — they
-    amortize across the pipeline's many queries per read batch.)
+    The fused Pallas route streams the 6 PACKED int32 predicate columns
+    exactly once (24 B/pair — ``ops.scoring.pack_pair_cols`` bit-packs
+    chrom/mapq/strand of both sides into one word and pre-computes qgap;
+    the support histogram accumulates in VMEM, nothing pair-sized is
+    written back); the XLA route reads the 14 unpacked columns (56 B).
+    v5e HBM BW ~ 819 GB/s.  NOTE: at 16 intervals the fused kernel is
+    VPU-bound, not HBM-bound (~250 int ops/pair; measured A/B in
+    docs/ARCHITECTURE.md), so this fraction reads ~0.2 — it is a
+    bytes-moved account, not a claim the dispatch saturates HBM.
+    (Table builds are timed separately — they amortize across the
+    pipeline's many queries per read batch.)
     """
     hbm_bw = 819e9
     t_light = n_reads * bytes_per_read / hbm_bw
@@ -144,13 +149,21 @@ def main() -> None:
     d_starts = jax.device_put(starts)
     d_ends = jax.device_put(ends)
     d_cols = [jax.device_put(cols[k]) for k in COL_ORDER]
+    # the pallas engine takes the packed 6-column device layout (the
+    # resident format the product TPU route ships; packing is host-side
+    # bit ops done once per batch, like the table build)
+    from coral_tpu.ops.scoring import pack_pair_cols
+
+    packed = pack_pair_cols(
+        np, *(cols[k] for k in COL_ORDER if not k.startswith("nm")))
+    d_packed = [jax.device_put(p) for p in packed]
     tables = build(d_starts, d_ends)  # compile + build
     jax.block_until_ready(tables)
 
     # table build cost (amortized across the pipeline's many queries)
     t_build = slope_time_ms(build, d_starts, d_ends, n1=4, n2=32) / 1e3
     # scoring dispatch (the headline) — slope-timed, see module docstring
-    t_dev = slope_time_ms(lambda *c: score(tables, *c), *d_cols) / 1e3
+    t_dev = slope_time_ms(lambda *c: score(tables, *c), *d_packed) / 1e3
     t_xla = slope_time_ms(lambda *c: score_xla(tables, *c), *d_cols) / 1e3
 
     # numpy single-thread baseline: the same product scoring math
@@ -178,8 +191,8 @@ def main() -> None:
         "unit": "reads/s",
         "vs_baseline": round(t_np / t_dev, 2),
         "hbm_roofline_frac": round(
-            roofline_utilization(n_reads, t_dev, 48), 3),
-        "engine": "pallas-fused",
+            roofline_utilization(n_reads, t_dev, 24), 3),
+        "engine": "pallas-fused-packed",
         "xla_engine_reads_per_s": round(n_reads / t_xla),
         "coverage_table_build_ms": round(t_build * 1e3, 3),
     }

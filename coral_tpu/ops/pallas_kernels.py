@@ -33,14 +33,14 @@ def _pad2d(x: np.ndarray, rows: int) -> np.ndarray:
     return out.reshape(rows, LANES)
 
 
-def _predicate_block(ic_ref, is_ref, ie_ref,
-                     qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i,
-                     mapq_i, chrom_j, r1_j, r2_j, strand_j, mapq_j,
-                     n_int, min_bp_match_cutoff, min_mapq, gap_):
-    """The junction predicate on one VMEM block — the SINGLE in-kernel
-    source shared by `_pair_kernel` and `_pair_hist_kernel` (mirrors
-    `ops.scoring.pair_predicate`; traced/inlined, zero runtime cost).
-    Returns (hit, io_i)."""
+def _predicate_vals(ic_ref, is_ref, ie_ref,
+                    qgap, chrom_i, r1_i, r2_i, strand_i, mapq_i,
+                    chrom_j, r1_j, r2_j, strand_j, mapq_j,
+                    n_int, min_bp_match_cutoff, min_mapq, gap_):
+    """The junction predicate on one block of loaded values — the SINGLE
+    in-kernel source shared by `_pair_kernel` and `_pair_hist_kernel`
+    (mirrors `ops.scoring.pair_predicate`; traced/inlined, zero runtime
+    cost).  Returns (hit, io_i)."""
     def first_overlap(chrom, a, b):
         io = jnp.full(chrom.shape, -1, jnp.int32)
         # reverse scan so the FIRST overlapping interval wins
@@ -50,30 +50,51 @@ def _predicate_block(ic_ref, is_ref, ie_ref,
             io = jnp.where(ov, k, io)
         return io
 
-    io_i = first_overlap(chrom_i[:], r1_i[:], r2_i[:])
-    io_j = first_overlap(chrom_j[:], r1_j[:], r2_j[:])
-    qgap = qj_start[:] - qi_end[:]
+    io_i = first_overlap(chrom_i, r1_i, r2_i)
+    io_j = first_overlap(chrom_j, r1_j, r2_j)
     base = (qgap + min_bp_match_cutoff >= 0) & (io_i >= 0) & (io_i == io_j)
-    mq_ok = (mapq_i[:] >= min_mapq) & (mapq_j[:] >= min_mapq)
-    strand_diff = strand_i[:] != strand_j[:]
-    grr = jnp.where(strand_j[:] > 0, r1_j[:] - r2_i[:], r2_i[:] - r1_j[:])
+    mq_ok = (mapq_i >= min_mapq) & (mapq_j >= min_mapq)
+    strand_diff = strand_i != strand_j
+    grr = jnp.where(strand_j > 0, r1_j - r2_i, r2_i - r1_j)
     diff = jnp.abs(qgap - grr).astype(jnp.float32)
     gap_disc = diff > jnp.maximum(gap_, jnp.abs(qgap).astype(jnp.float32) * 0.2)
     hit = base & mq_ok & (strand_diff | gap_disc)
     return hit, io_i
 
 
+def _unpack_packed_block(qgap, r1_i, r2_i, r1_j, r2_j, meta):
+    """Load one packed 6-column block and unpack the meta word into the
+    `_predicate_vals` argument order (bit layout owned by
+    ``ops.scoring``; a handful of VPU shift/mask ops per element vs the
+    24 B/pair of HBM reads the packing saves)."""
+    from .scoring import META_CHROM_SHIFT, META_MAPQ_SHIFT, META_SIDE_BITS
+
+    m = meta[:]
+
+    def side(v):
+        chrom = (v >> META_CHROM_SHIFT) - 1
+        mapq = (v >> META_MAPQ_SHIFT) & 0xFF
+        strand = jnp.where((v & 1) > 0, 1, -1).astype(jnp.int32)
+        return chrom, strand, mapq
+
+    ci, si, mi = side(m >> META_SIDE_BITS)
+    cj, sj, mj = side(m & ((1 << META_SIDE_BITS) - 1))
+    return (qgap[:], ci, r1_i[:], r2_i[:], si, mi,
+            cj, r1_j[:], r2_j[:], sj, mj)
+
+
 def _pair_kernel(ic_ref, is_ref, ie_ref,
-                 qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i, mapq_i,
-                 chrom_j, r1_j, r2_j, strand_j, mapq_j,
+                 qgap, r1_i, r2_i, r1_j, r2_j, meta,
                  hit_out, io_out, *, n_int: int,
                  min_bp_match_cutoff: int, min_mapq: int, gap_: float):
-    """One block of pair predicates; intervals in SMEM-resident scalars
-    would be too wide, so the padded interval table sits in VMEM."""
-    hit, io_i = _predicate_block(
-        ic_ref, is_ref, ie_ref, qi_end, qj_start, chrom_i, r1_i, r2_i,
-        strand_i, mapq_i, chrom_j, r1_j, r2_j, strand_j, mapq_j,
-        n_int, min_bp_match_cutoff, min_mapq, gap_)
+    """One block of pair predicates over the packed layout; intervals in
+    SMEM-resident scalars would be too wide, so the padded interval table
+    sits in VMEM."""
+    hit, io_i = _predicate_vals(
+        ic_ref, is_ref, ie_ref,
+        *_unpack_packed_block(qgap, r1_i, r2_i, r1_j, r2_j, meta),
+        n_int=n_int, min_bp_match_cutoff=min_bp_match_cutoff,
+        min_mapq=min_mapq, gap_=gap_)
     hit_out[:] = hit.astype(jnp.int32)
     io_out[:] = io_i
 
@@ -89,21 +110,23 @@ def make_pair_pallas_fn(rows: int, n_int: int,
                         gap_: float = 100.0, interpret: bool = False):
     """Compiled device-resident pair-predicate evaluator.
 
-    Returns a jitted fn(ic, is_, ie, *12 cols) over pre-padded (rows, 128)
-    int32 column blocks and (1, n_int) interval rows -> (hit, io) blocks.
-    Use this (not the numpy convenience wrapper) when benchmarking or
-    running a resident pipeline — the wrapper's per-call host padding and
-    transfers dominate otherwise.
+    Returns a jitted fn(ic, is_, ie, *6 packed cols) over pre-padded
+    (rows, 128) int32 column blocks (``ops.scoring.PACKED_COL_ORDER``:
+    qgap, r1_i, r2_i, r1_j, r2_j, meta — pack with
+    ``ops.scoring.pack_pair_cols``) and (1, n_int) interval rows ->
+    (hit, io) blocks.  Use this (not the numpy convenience wrapper) when
+    benchmarking or running a resident pipeline — the wrapper's per-call
+    host padding and transfers dominate otherwise.
     """
     kernel = functools.partial(
         _pair_kernel, n_int=n_int,
         min_bp_match_cutoff=min_bp_match_cutoff, min_mapq=min_mapq,
         gap_=float(gap_))
     # Big blocks per grid step: (8,128) blocks make 2M-pair dispatches
-    # 2048 latency-bound DMAs; 128 sublanes (64 KiB/column, 12 columns
-    # double-buffered ≈ 1.5 MiB of ~16 MiB VMEM) measured fastest on the
-    # v5e sweep (tools/bench_kernels.py: 8→512 sublanes; 128 ≈ 80% of the
-    # 48 B/pair HBM roofline, 256+ degrade as buffering headroom shrinks).
+    # 2048 latency-bound DMAs; 128 sublanes (64 KiB/column, 6 packed
+    # columns double-buffered ≈ 0.75 MiB of ~16 MiB VMEM) measured
+    # fastest on the v5e sweep (tools/bench_kernels.py: 8→512 sublanes;
+    # 256+ degrade as buffering headroom shrinks).
     # bs divides rows (rows is a multiple of SUBLANES, so pick the
     # largest power-of-two block that divides it).
     if rows % SUBLANES:
@@ -121,7 +144,7 @@ def make_pair_pallas_fn(rows: int, n_int: int,
     call = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[int_spec] * 3 + [block] * 12,
+        in_specs=[int_spec] * 3 + [block] * 6,
         out_specs=(block, block),
         out_shape=(
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
@@ -138,17 +161,23 @@ def pair_predicates_pallas(
     interpret: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Evaluate pair predicates with the Pallas kernel (host convenience
-    wrapper: pads, transfers, calls :func:`make_pair_pallas_fn`).
+    wrapper: packs to the 6-column device layout, pads, transfers, calls
+    :func:`make_pair_pallas_fn`).
 
     ``cols`` holds flat int32 arrays (qi_end, qj_start, chrom_i, r1_i,
-    r2_i, strand_i, mapq_i, chrom_j, r1_j, r2_j, strand_j, mapq_j).
-    Returns (hit_mask, io) trimmed to the input length.
+    r2_i, strand_i, mapq_i, chrom_j, r1_j, r2_j, strand_j, mapq_j) —
+    packing here (cheap numpy bit ops) halves the host->device transfer
+    and the kernel's HBM reads.  Returns (hit_mask, io) trimmed to the
+    input length.
     """
+    from .scoring import pack_pair_cols
+
     n = len(cols["qi_end"])
     rows = max(-(-n // LANES), SUBLANES)
     rows = -(-rows // SUBLANES) * SUBLANES
-    padded = [_pad2d(np.asarray(cols[k], np.int32), rows)
-              for k in PAIR_COL_ORDER]
+    packed = pack_pair_cols(
+        np, *(np.asarray(cols[k]) for k in PAIR_COL_ORDER))
+    padded = [_pad2d(np.asarray(c, np.int32), rows) for c in packed]
     # inert sentinel rows: chrom -2 never matches any alignment chrom
     n_int = max(len(int_chrom), 1)
     ic = np.full((1, n_int), -2, np.int32)
@@ -286,8 +315,7 @@ def match_matrix_pallas(p1, p2, cutoff: int,
 
 
 def _pair_hist_kernel(ic_ref, is_ref, ie_ref,
-                      qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i,
-                      mapq_i, chrom_j, r1_j, r2_j, strand_j, mapq_j,
+                      qgap, r1_i, r2_i, r1_j, r2_j, meta,
                       out_ref, *, n_int: int,
                       min_bp_match_cutoff: int, min_mapq: int, gap_: float):
     """Pair predicate fused with the per-interval support histogram.
@@ -296,17 +324,18 @@ def _pair_hist_kernel(ic_ref, is_ref, ie_ref,
     the (n,) hit/io arrays in HBM (16 MiB written + re-read per 2M-pair
     dispatch by the XLA one-hot reduce), each grid step accumulates its
     (1, n_int) partial support counts directly into a VMEM-revisited
-    output block — the dispatch then only READS the 12 input columns."""
+    output block — the dispatch then only READS the 6 packed columns."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    hit, io_i = _predicate_block(
-        ic_ref, is_ref, ie_ref, qi_end, qj_start, chrom_i, r1_i, r2_i,
-        strand_i, mapq_i, chrom_j, r1_j, r2_j, strand_j, mapq_j,
-        n_int, min_bp_match_cutoff, min_mapq, gap_)
+    hit, io_i = _predicate_vals(
+        ic_ref, is_ref, ie_ref,
+        *_unpack_packed_block(qgap, r1_i, r2_i, r1_j, r2_j, meta),
+        n_int=n_int, min_bp_match_cutoff=min_bp_match_cutoff,
+        min_mapq=min_mapq, gap_=gap_)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_int), 1)
     acc = jnp.zeros((1, n_int), jnp.int32)
@@ -321,8 +350,9 @@ def make_pair_hist_pallas_fn(rows: int, n_int: int,
                              min_bp_match_cutoff: int = 100,
                              min_mapq: int = 20, gap_: float = 100.0,
                              interpret: bool = False):
-    """Compiled fused predicate+histogram: fn(ic, is_, ie, *12 cols) over
-    pre-padded (rows, 128) blocks -> (1, n_int) support counts."""
+    """Compiled fused predicate+histogram: fn(ic, is_, ie, *6 packed
+    cols) over pre-padded (rows, 128) blocks (``PACKED_COL_ORDER``
+    layout) -> (1, n_int) support counts."""
     kernel = functools.partial(
         _pair_hist_kernel, n_int=n_int,
         min_bp_match_cutoff=min_bp_match_cutoff, min_mapq=min_mapq,
@@ -341,7 +371,7 @@ def make_pair_hist_pallas_fn(rows: int, n_int: int,
     call = pl.pallas_call(
         kernel,
         grid=(rows // bs,),
-        in_specs=[int_spec] * 3 + [block] * 12,
+        in_specs=[int_spec] * 3 + [block] * 6,
         out_specs=pl.BlockSpec((1, n_int), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_int), jnp.int32),

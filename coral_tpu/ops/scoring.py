@@ -80,6 +80,82 @@ def pair_predicate(
     return hit, io_i
 
 
+# --- packed pair layout (the TPU dispatch format) -------------------------
+#
+# The scoring dispatch is HBM-bandwidth-bound; the 14-column layout moves
+# 48 B/pair of which half is air: only qgap = qj_start - qi_end is ever
+# used of the two query columns, and chrom (5 bits incl. the -1 unknown
+# code), MAPQ (a BAM uint8) and strand (1 bit) of BOTH sides fit one
+# int32.  The packed layout is 6 int32 columns = 24 B/pair — 2x fewer
+# bytes per pair on the wire and through HBM.
+#
+# meta word: [ side_i : 14 bits | side_j : 14 bits ]  (4 spare high bits)
+# side field: [ chrom+1 : 5 bits | mapq : 8 bits | strand>0 : 1 bit ]
+
+META_SIDE_BITS = 14
+META_CHROM_SHIFT = 9
+META_MAPQ_SHIFT = 1
+PACKED_COL_ORDER = ("qgap", "r1_i", "r2_i", "r1_j", "r2_j", "meta")
+
+
+def pack_pair_cols(xp, qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i,
+                   mapq_i, chrom_j, r1_j, r2_j, strand_j, mapq_j):
+    """Pack the 12 predicate columns into the 6-column device layout.
+
+    ``chrom`` is a CHR_IDX code (-1 = unknown, stored +1); ``mapq`` is a
+    BAM MAPQ (uint8 by format, 0..255 — exact in 8 bits); ``strand`` is
+    +1/-1.  Returns ``(qgap, r1_i, r2_i, r1_j, r2_j, meta)`` int32 arrays
+    (:data:`PACKED_COL_ORDER`).  NM columns have no packed slot — the
+    packed route exists for the ``max_nm=inf`` case (the reference's
+    default; its ``filter_bp_by_edit_distance`` path is a commented-out
+    CLI flag, ``CoRAL.py:104-107``)."""
+    i32 = xp.int32
+
+    def side(chrom, strand, mapq):
+        return ((chrom.astype(i32) + 1) << META_CHROM_SHIFT) \
+            | (mapq.astype(i32) << META_MAPQ_SHIFT) \
+            | (strand > 0).astype(i32)
+
+    qgap = (qj_start - qi_end).astype(i32)
+    meta = (side(chrom_i, strand_i, mapq_i) << META_SIDE_BITS) \
+        | side(chrom_j, strand_j, mapq_j)
+    return (qgap, r1_i.astype(i32), r2_i.astype(i32),
+            r1_j.astype(i32), r2_j.astype(i32), meta)
+
+
+def unpack_pair_meta(xp, meta):
+    """Inverse of the meta word: -> (chrom_i, strand_i, mapq_i, chrom_j,
+    strand_j, mapq_j), strands as +1/-1 int32."""
+    def side(v):
+        chrom = (v >> META_CHROM_SHIFT) - 1
+        mapq = (v >> META_MAPQ_SHIFT) & 0xFF
+        strand = xp.where((v & 1) > 0, 1, -1).astype(xp.int32)
+        return chrom, strand, mapq
+
+    ci, si, mi = side(meta >> META_SIDE_BITS)
+    cj, sj, mj = side(meta & ((1 << META_SIDE_BITS) - 1))
+    return ci, si, mi, cj, sj, mj
+
+
+def pair_predicate_packed(xp, qgap, r1_i, r2_i, r1_j, r2_j, meta,
+                          int_chrom, int_start, int_end,
+                          min_bp_match_cutoff, min_mapq, gap_):
+    """:func:`pair_predicate` over the packed 6-column layout.
+
+    Unpacks and delegates to the ONE predicate implementation (feeding
+    ``qi_end=0, qj_start=qgap`` — the predicate only ever uses the
+    difference — and inert NM columns, matching the packed route's
+    ``max_nm=inf`` contract)."""
+    ci, si, mi, cj, sj, mj = unpack_pair_meta(xp, meta)
+    zero_i = xp.zeros_like(qgap)
+    zero_f = xp.zeros(qgap.shape, xp.float32)
+    return pair_predicate(
+        xp, zero_i, qgap, ci, r1_i, r2_i, si, mi, zero_f,
+        cj, r1_j, r2_j, sj, mj, zero_f,
+        int_chrom, int_start, int_end,
+        min_bp_match_cutoff, min_mapq, gap_, np.inf)
+
+
 def coverage_prefix_tables(xp, starts, ends):
     """Sorted-endpoint prefix tables for exact interval-coverage queries.
 
@@ -234,14 +310,20 @@ def make_batch_scorer_jax(int_chrom, int_start, int_end, engine: str = "xla",
     Mosaic kernel (the engine ``score_pairs_l`` routes TPU dispatches to
     when the NM gate is off): the XLA broadcast search materializes
     (n, n_int) masks — ~1 GB of HBM traffic per 2M-pair dispatch at 16
-    intervals — while the Pallas kernel streams each column once with the
-    interval table VMEM-resident.  Requires max_nm=inf (the Pallas kernel
-    has no NM gate) and n divisible by 1024.
+    intervals — while the Pallas kernel streams the PACKED 6-column
+    layout (:func:`pack_pair_cols`, 24 B/pair, half the 14-column
+    layout's HBM traffic) once with the interval table VMEM-resident.
+    Requires max_nm=inf (the packed layout has no NM slot) and n
+    divisible by 1024.
 
     Returns (build_tables, score):
       build_tables(starts, ends) -> device table tuple (jitted)
-      score(tables, *pair_cols)  -> (support, cov_res, cov_est) (jitted)
-    Combine cov pairs with :func:`combine_coverage`.
+      score(tables, *cols)       -> (support, cov_res, cov_est) (jitted)
+    ``score`` takes the 14 unpacked columns for the XLA engine, or the 6
+    :data:`PACKED_COL_ORDER` columns (pre-packed with
+    :func:`pack_pair_cols`, so the packing cost stays off the dispatch)
+    for the Pallas engine.  Combine cov pairs with
+    :func:`combine_coverage`.
     """
     import jax
     import jax.numpy as jnp
@@ -268,19 +350,17 @@ def make_batch_scorer_jax(int_chrom, int_start, int_end, engine: str = "xla",
         ie2 = jnp.asarray(np.asarray(int_end, np.int32).reshape(1, n_int))
 
         @jax.jit
-        def score(tables, qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i,
-                  mapq_i, nm_i, chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_j):
-            n = qi_end.shape[0]
+        def score(tables, qgap, r1_i, r2_i, r1_j, r2_j, meta):
+            n = qgap.shape[0]
             rows = n // LANES
             # fused predicate+histogram: the support counts accumulate in
-            # VMEM inside the kernel, so the dispatch only READS the 12
-            # input columns (no (n,) hit/io round-trip through HBM)
+            # VMEM inside the kernel, so the dispatch only READS the 6
+            # packed input columns (no (n,) hit/io round-trip through HBM)
             pair_fn = make_pair_hist_pallas_fn(
                 rows, n_int, params["min_bp_match_cutoff"],
                 params["min_mapq"], params["gap_"], interpret)
             blocks = [c.reshape(rows, LANES) for c in
-                      (qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i,
-                       mapq_i, chrom_j, r1_j, r2_j, strand_j, mapq_j)]
+                      (qgap, r1_i, r2_i, r1_j, r2_j, meta)]
             support = pair_fn(ic2, is2, ie2, *blocks).reshape(-1)
             res_e, est_e = coverage_prefix_eval(jnp, tables, ie)
             res_s, est_s = coverage_prefix_eval(jnp, tables, is_)

@@ -148,13 +148,14 @@ def test_batch_scorer_matches_fused_step():
 
 
 def test_batch_scorer_pallas_engine_matches_xla():
-    """make_batch_scorer_jax(engine='pallas') (the TPU dispatch engine)
-    must produce identical support/coverage to the XLA engine."""
+    """make_batch_scorer_jax(engine='pallas') (the TPU dispatch engine,
+    packed 6-column layout) must produce identical support/coverage to
+    the XLA engine on the unpacked columns."""
     import jax.numpy as jnp
     import numpy as np
 
     from bench import COL_ORDER, synth_scoring_batch
-    from coral_tpu.ops.scoring import make_batch_scorer_jax
+    from coral_tpu.ops.scoring import make_batch_scorer_jax, pack_pair_cols
 
     n = 4096
     starts, ends, cols, ic, is_, ie = synth_scoring_batch(n, seed=5)
@@ -163,10 +164,49 @@ def test_batch_scorer_pallas_engine_matches_xla():
                                    interpret=True)
     tx = bx(jnp.asarray(starts), jnp.asarray(ends))
     args = [jnp.asarray(cols[k]) for k in COL_ORDER]
+    packed = pack_pair_cols(
+        np, *(cols[k] for k in COL_ORDER if not k.startswith("nm")))
     out_x = sx(tx, *args)
-    out_p = sp(tx, *args)
+    out_p = sp(tx, *[jnp.asarray(p) for p in packed])
     for a, b in zip(out_x, out_p):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packed_layout_roundtrip_and_predicate():
+    """pack_pair_cols/unpack_pair_meta roundtrip exactly (incl. the -1
+    unknown-chrom code and the full BAM uint8 MAPQ range), and the packed
+    predicate equals the unpacked one bit-for-bit."""
+    from coral_tpu.ops.scoring import (pack_pair_cols, pair_predicate_packed,
+                                       unpack_pair_meta)
+
+    rng = np.random.default_rng(9)
+    n = 8192
+    starts, ends, cols, ic, is_, ie = _random_batch(n=n, seed=9)
+    cols["chrom_i"] = rng.integers(-1, 25, n).astype(np.int32)
+    cols["chrom_j"] = rng.integers(-1, 25, n).astype(np.int32)
+    cols["mapq_i"] = rng.integers(0, 256, n).astype(np.int32)
+    cols["mapq_j"] = rng.integers(0, 256, n).astype(np.int32)
+    cols["nm_i"] = np.zeros(n, np.float32)
+    cols["nm_j"] = np.zeros(n, np.float32)
+    no_nm = [k for k in COL_ORDER if not k.startswith("nm")]
+    packed = pack_pair_cols(np, *(cols[k] for k in no_nm))
+    ci, si, mi, cj, sj, mj = unpack_pair_meta(np, packed[5])
+    np.testing.assert_array_equal(ci, cols["chrom_i"])
+    np.testing.assert_array_equal(cj, cols["chrom_j"])
+    np.testing.assert_array_equal(mi, cols["mapq_i"])
+    np.testing.assert_array_equal(mj, cols["mapq_j"])
+    np.testing.assert_array_equal(si, cols["strand_i"])
+    np.testing.assert_array_equal(sj, cols["strand_j"])
+    np.testing.assert_array_equal(
+        packed[0], cols["qj_start"] - cols["qi_end"])
+    hit_u, io_u = pair_predicate(
+        np, *(cols[k] for k in COL_ORDER), ic, is_, ie, 100, 20, 100.0,
+        np.inf)
+    hit_p, io_p = pair_predicate_packed(
+        np, *packed, ic, is_, ie, 100, 20, 100.0)
+    np.testing.assert_array_equal(hit_p, hit_u)
+    np.testing.assert_array_equal(io_p, io_u)
+    assert hit_u.sum() > 0
 
 
 def test_numpy_coverage_estimate_exact_at_scale():

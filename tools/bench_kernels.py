@@ -86,9 +86,15 @@ def bench_pair_predicates(n_pairs, n_intervals=16):
             dev["chrom_j"], dev["r1_j"], dev["r2_j"], dev["strand_j"],
             dev["mapq_j"], dz, dic, dis, die, 100, 20, 100.0, np.inf)
 
-    # device-resident pallas path: pad + transfer once, time the kernel
+    # device-resident pallas path: pack to the 6-column layout
+    # (ops.scoring.pack_pair_cols, 24 B/pair), pad + transfer once,
+    # time the kernel
+    from coral_tpu.ops.scoring import pack_pair_cols
+
     rows = -(-max(-(-n_pairs // LANES), SUBLANES) // SUBLANES) * SUBLANES
-    blocks = [jax.device_put(_pad2d(cols[k], rows)) for k in PAIR_COL_ORDER]
+    packed = pack_pair_cols(np, *(cols[k] for k in PAIR_COL_ORDER))
+    blocks = [jax.device_put(_pad2d(np.asarray(c, np.int32), rows))
+              for c in packed]
     ic2 = jax.device_put(np.asarray(ic).reshape(1, -1))
     is2 = jax.device_put(np.asarray(is_).reshape(1, -1))
     ie2 = jax.device_put(np.asarray(ie).reshape(1, -1))
