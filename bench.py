@@ -154,8 +154,10 @@ def main() -> None:
     # bit ops done once per batch, like the table build)
     from coral_tpu.ops.scoring import pack_pair_cols
 
+    t0 = time.perf_counter()
     packed = pack_pair_cols(
         np, *(cols[k] for k in COL_ORDER if not k.startswith("nm")))
+    t_pack = time.perf_counter() - t0  # host cost the product route pays
     d_packed = [jax.device_put(p) for p in packed]
     tables = build(d_starts, d_ends)  # compile + build
     jax.block_until_ready(tables)
@@ -195,6 +197,7 @@ def main() -> None:
         "engine": "pallas-fused-packed",
         "xla_engine_reads_per_s": round(n_reads / t_xla),
         "coverage_table_build_ms": round(t_build * 1e3, 3),
+        "host_pack_ms": round(t_pack * 1e3, 3),
     }
     try:
         payload["e2e_reconstruct_s"] = round(e2e_reconstruct_seconds(), 2)

@@ -407,6 +407,16 @@ def _stats_better(a: tuple, b: tuple) -> bool:
     return a[2] > b[2]
 
 
+def _should_adopt(stats: tuple, best: tuple, cov_target: float) -> bool:
+    """Escalation adoption rule: lexicographically better AND never demote
+    a solution that meets the coverage target to one that misses it —
+    _stats_better's coverage tolerance (~1e-9 relative) can call a tiny
+    coverage DROP a tie and otherwise adopt on the fewer-decomps
+    tiebreak, silently breaking the p_total_weight contract."""
+    return _stats_better(stats, best) and \
+        (stats[0] >= cov_target or best[0] < cov_target)
+
+
 def _current_stats(rec, g, amplicon_idx) -> tuple:
     """(coverage, n_pc_satisfied, -num_decomps) of the recorded solution —
     the lexicographic quality order used by the escalation fallback."""
@@ -609,7 +619,8 @@ def cycle_decomposition(rec, cfg: CycleConfig, model_prefix: str = "") -> None:
                     # solved: even if this solution is not adopted, the
                     # recorded one is at least as good as its optimum
                     space_exhausted_wide = True
-                if _stats_better(stats, best):
+                cov_target = cfg.p_total_weight * total_weights - 1e-6
+                if _should_adopt(stats, best, cov_target):
                     best = stats
                     model_info["solver"] = (f"{model_info['solver']}"
                                             f"+escalated[{attempt['solver']}]")

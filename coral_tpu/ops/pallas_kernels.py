@@ -64,21 +64,14 @@ def _predicate_vals(ic_ref, is_ref, ie_ref,
 
 def _unpack_packed_block(qgap, r1_i, r2_i, r1_j, r2_j, meta):
     """Load one packed 6-column block and unpack the meta word into the
-    `_predicate_vals` argument order (bit layout owned by
-    ``ops.scoring``; a handful of VPU shift/mask ops per element vs the
-    24 B/pair of HBM reads the packing saves)."""
-    from .scoring import META_CHROM_SHIFT, META_MAPQ_SHIFT, META_SIDE_BITS
+    `_predicate_vals` argument order.  The bit-layout decode itself lives
+    in ``ops.scoring.unpack_pair_meta`` (xp-generic; every op lowers on
+    Mosaic) so the layout has exactly one encode and one decode site —
+    a handful of VPU shift/mask ops per element vs the 24 B/pair of HBM
+    reads the packing saves."""
+    from .scoring import unpack_pair_meta
 
-    m = meta[:]
-
-    def side(v):
-        chrom = (v >> META_CHROM_SHIFT) - 1
-        mapq = (v >> META_MAPQ_SHIFT) & 0xFF
-        strand = jnp.where((v & 1) > 0, 1, -1).astype(jnp.int32)
-        return chrom, strand, mapq
-
-    ci, si, mi = side(m >> META_SIDE_BITS)
-    cj, sj, mj = side(m & ((1 << META_SIDE_BITS) - 1))
+    ci, si, mi, cj, sj, mj = unpack_pair_meta(jnp, meta[:])
     return (qgap[:], ci, r1_i[:], r2_i[:], si, mi,
             cj, r1_j[:], r2_j[:], sj, mj)
 

@@ -112,8 +112,14 @@ def pack_pair_cols(xp, qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i,
     i32 = xp.int32
 
     def side(chrom, strand, mapq):
+        # SA-tag MAPQ is parsed unvalidated (chimera.py / bamcore.cpp);
+        # clamp to the BAM uint8 domain so a nonconforming value can't
+        # overflow into the chrom field (and the >= min_mapq gate result
+        # is preserved for any threshold in 0..255, matching the
+        # unpacked engines on format-conforming input)
+        mapq = xp.clip(mapq.astype(i32), 0, 255)
         return ((chrom.astype(i32) + 1) << META_CHROM_SHIFT) \
-            | (mapq.astype(i32) << META_MAPQ_SHIFT) \
+            | (mapq << META_MAPQ_SHIFT) \
             | (strand > 0).astype(i32)
 
     qgap = (qj_start - qi_end).astype(i32)

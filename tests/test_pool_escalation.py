@@ -200,3 +200,24 @@ def test_cycle_decomp_threads_reaches_solver():
     finally:
         lg.removeHandler(handler)
         lg.setLevel(old_level)
+
+
+def test_adoption_never_demotes_coverage_target():
+    """Review fix: _stats_better's coverage tolerance treats a tiny drop
+    as a tie, so the fewer-decomps tiebreak could adopt a solution that
+    MISSES the p_total_weight target over one that meets it.  The
+    adoption rule (_should_adopt) must refuse that demotion while still
+    allowing every legitimate adoption."""
+    from coral_tpu.cycles.decomposition import _should_adopt, _stats_better
+
+    target = 90.0
+    meets = (90.0 + 1e-8, 3, -2)        # at the boundary, meets target
+    misses_tied = (90.0 - 5e-8, 3, -1)  # "tied" coverage, fewer decomps
+    assert _stats_better(misses_tied, meets)       # the raw order says yes
+    assert not _should_adopt(misses_tied, meets, target)  # guard says no
+    # legitimate adoptions still pass:
+    assert _should_adopt((95.0, 3, -2), meets, target)    # real cov gain
+    assert _should_adopt((90.0 + 2e-8, 4, -2), meets, target)  # more pc sat
+    # and when the incumbent itself misses, any improvement is adoptable
+    low = (50.0, 0, -1)
+    assert _should_adopt((60.0, 0, -2), low, target)

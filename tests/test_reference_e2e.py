@@ -598,17 +598,15 @@ def test_e2e_cycles_writer_source_edge_path(ref_ibg, tmp_path):
         import cycle_decomposition as ref_cd
     finally:
         sys.path.remove(str(REF_SRC))
-    import random as _r
-
     from test_reference_differential import _RefGraphShim
-    from test_reference_miqp import _source_edge_graph, _SolverShim, \
-        _total_weights, _our_setup
+    from test_reference_miqp import _source_edge_graph, _total_weights, \
+        _our_setup
     from coral_tpu.config import CycleConfig
     from coral_tpu.cycles.decomposition import joint_minimize
     from coral_tpu.cycles.output import output_cycles
     from coral_tpu.cycles.refmodel import segments_to_solution
 
-    g = _source_edge_graph(_r.Random(97))
+    g = _source_edge_graph(pyrandom.Random(97))
     tw = _total_weights(g)
     status, total, _n, cycles, weights, sat = joint_minimize(
         g, _our_setup(g), 2, tw, [], CycleConfig())

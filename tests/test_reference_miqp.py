@@ -411,7 +411,7 @@ def test_minimize_cycles_source_edge_differential(refcd, tmp_path):
         assert abs(obj_ref - obj_our) < 1e-5, (trial, obj_ref, obj_our)
         # a path must use the source edge in both solutions
         uses_src = lambda cycles: any(
-            k[0] in ("s", "t") and True
+            k[0] in ("s", "t")
             for slot in (0, 1) for c in cycles[slot] for k in c)
         assert uses_src(cyc_ref), cyc_ref
         assert uses_src(cyc_o), cyc_o

@@ -208,6 +208,28 @@ def test_packed_layout_roundtrip_and_predicate():
     np.testing.assert_array_equal(io_p, io_u)
     assert hit_u.sum() > 0
 
+    # review fix: SA-tag MAPQ is parsed unvalidated, so out-of-BAM-domain
+    # values must not overflow the meta bit fields — pack clamps to
+    # uint8, which preserves the >= min_mapq gate for any threshold in
+    # 0..255 (so the packed TPU route still equals the other engines)
+    cols["mapq_i"] = rng.choice(
+        np.array([-7, 0, 20, 255, 256, 300], np.int32), n)
+    cols["mapq_j"] = rng.choice(
+        np.array([-1, 19, 60, 255, 999], np.int32), n)
+    packed = pack_pair_cols(np, *(cols[k] for k in no_nm))
+    ci2, _, mi2, cj2, _, mj2 = unpack_pair_meta(np, packed[5])
+    np.testing.assert_array_equal(ci2, cols["chrom_i"])  # no bit overflow
+    np.testing.assert_array_equal(cj2, cols["chrom_j"])
+    np.testing.assert_array_equal(mi2, np.clip(cols["mapq_i"], 0, 255))
+    np.testing.assert_array_equal(mj2, np.clip(cols["mapq_j"], 0, 255))
+    hit_u, io_u = pair_predicate(
+        np, *(cols[k] for k in COL_ORDER), ic, is_, ie, 100, 20, 100.0,
+        np.inf)
+    hit_p, io_p = pair_predicate_packed(
+        np, *packed, ic, is_, ie, 100, 20, 100.0)
+    np.testing.assert_array_equal(hit_p, hit_u)
+    np.testing.assert_array_equal(io_p, io_u)
+
 
 def test_numpy_coverage_estimate_exact_at_scale():
     """Round-2 review fix: numpy's SEQUENTIAL float32 cumsum walked past
