@@ -46,7 +46,13 @@ def timeit(fn, n1=8, n2=96, outer=7):
         # tunnel chip shows ~3x run-to-run variance
         return float(np.min(ts))
 
-    return max(run(n2) - run(n1), 1e-9) / (n2 - n1)
+    slope = (run(n2) - run(n1)) / (n2 - n1)
+    if slope < 20e-6 and n2 < 1024:
+        # under the tunnel's noise floor the two chain timings can
+        # cross and report a bogus ~0; amortize over longer chains
+        # instead of printing quadrillions of items/s
+        return timeit(fn, n1=n1 * 4, n2=n2 * 4, outer=outer)
+    return max(slope, 1e-9)
 
 
 def bench_pair_predicates(n_pairs, n_intervals=16):
