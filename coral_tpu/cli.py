@@ -93,6 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="coral_tpu",
         description="TPU-native long-read amplicon reconstruction pipeline "
                     "and associated utilities.")
+    from . import __version__
+    parser.add_argument("--version", action="version",
+                        version=f"%(prog)s {__version__}")
     sub = parser.add_subparsers(dest="mode", help="Select mode.")
 
     p = sub.add_parser("seed", help="Filter and merge amplified intervals.")
