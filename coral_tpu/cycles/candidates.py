@@ -15,7 +15,16 @@ Feasibility rules mirror the reference model:
   * paths terminate exactly at endnodes or source-edge nodes, with one
     's'-side and one 't'-side terminal (``:111-119,159-167``);
   * per-edge multiplicity caps: discordant edges by inferred multiplicity
-    (``:146-149``), everything by the reference's ub of 10 (``:74``).
+    (``:146-149``), everything by the reference's ub of 10 (``:74``);
+  * cycles must have a spanning-tree ROOT: a used node whose
+    set-deduped concordant/discordant usage is exactly 1 (the c-variable
+    constraints, ref ``:164-177`` — ``sum c*x_bp <= 1`` at the root, and
+    connectivity requires a used root).  A uniformly doubled cycle
+    (every node's bp usage >= 2) has no root and is INFEASIBLE in the
+    reference MIQP, so it must not enter the pool: its coverage is
+    always realizable as the underlying rooted walk(s) at scaled
+    weight, and keeping it could make our MILP pick a decomposition the
+    reference can never emit.
 
 Candidates are deduplicated by edge multiset; the multiset keys use the
 reference's cycle-dict vocabulary: ('e',i) sequence, ('c',i) concordant,
@@ -83,6 +92,33 @@ def _seq_at(g: BreakpointGraph, node) -> int:
     return g.nodes[node][SEQ][0]
 
 
+def cycle_has_reference_root(g: BreakpointGraph, used) -> bool:
+    """Does this closed walk have a valid spanning-tree root in the
+    reference MIQP (``cycle_decomposition.py:164-177``)?
+
+    The root node carries ``c=1`` and its total concordant+discordant
+    usage — with the reference's per-node ``set()`` dedup, so a self-loop
+    counts once — must be <= 1; connectivity forces the root to be a USED
+    node, and any used interior node has bp usage >= 1, so feasibility
+    reduces to: some node's set-deduped bp usage is exactly 1.
+
+    ``used`` is an edge multiset (dict or key/count pair iterable)."""
+    items = used.items() if hasattr(used, "items") else used
+    bp_at: Dict[tuple, int] = {}
+    for (t, i), c in items:
+        if c <= 0:
+            continue
+        if t == "c":
+            e = g.concordant_edges[i]
+        elif t == "d":
+            e = g.discordant_edges[i]
+        else:
+            continue
+        for node in {e.node1(), e.node2()}:  # set: self-loop ends collapse
+            bp_at[node] = bp_at.get(node, 0) + c
+    return any(v == 1 for v in bp_at.values())
+
+
 def _seq_other_end(g: BreakpointGraph, seqi: int, node):
     e = g.sequence_edges[seqi]
     left, right = (e.chrom, e.start, "-"), (e.chrom, e.end, "+")
@@ -133,7 +169,8 @@ def enumerate_candidates(
         logger.info("enumerated %d candidate cycles/paths (native)", len(rows))
         return CandidatePool(
             (Candidate(tuple(sorted(edges.items(), key=repr)), is_cycle, w)
-             for (edges, is_cycle, w) in rows),
+             for (edges, is_cycle, w) in rows
+             if not is_cycle or cycle_has_reference_root(g, edges)),
             truncated=bool(truncated), max_states=max_states,
             conc_cap=conc_cap)
 
@@ -147,6 +184,8 @@ def enumerate_candidates(
     truncated = [False]
 
     def emit(used: Dict[tuple, int], is_cycle: bool):
+        if is_cycle and not cycle_has_reference_root(g, used):
+            return  # root-less (e.g. uniformly doubled) — ref-infeasible
         key = frozenset(used.items())
         if key in seen:
             return
@@ -200,12 +239,15 @@ def enumerate_candidates(
     terminals: List[tuple] = [("n", i, n) for i, n in enumerate(endnode_list)]
     terminals += [("src", i, s.node()) for i, s in enumerate(g.source_edges)]
 
+    # static node -> [(kind, idx)] map: the DFS queries this at every
+    # visited node, so a linear scan of the terminal list would cost
+    # O(len(terminals) * max_states)
+    exits_at: Dict[tuple, List[tuple]] = {}
+    for (kind, idx, tn) in terminals:
+        exits_at.setdefault(tn, []).append((kind, idx))
+
     def terminal_exits(node):
-        outl = []
-        for (kind, idx, tn) in terminals:
-            if tn == node:
-                outl.append((kind, idx))
-        return outl
+        return exits_at.get(node, ())
 
     def dfs_path(start_key, node, used: Dict[tuple, int], steps: int):
         """``node`` reached via a sequence edge; may terminate here if a

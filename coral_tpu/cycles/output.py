@@ -103,7 +103,14 @@ def output_cycles(rec, prefix: str, output_all_paths: bool = False,
                                             seed=eulerian_seed + rank)
                     # traversal closes on the starting segment: first token
                     # repeats at the end and is dropped (ref :2020-2026)
-                    assert tokens and tokens[0] == tokens[-1]
+                    if not tokens or tokens[0] != tokens[-1]:
+                        # all randomized trials dead-ended: refuse to emit
+                        # a malformed "Segments=" row (and unlike assert,
+                        # this survives python -O), mirroring the path
+                        # branch below
+                        raise RuntimeError(
+                            "no Eulerian cycle realizes decomposition %d "
+                            "of amplicon %d" % (rank + 1, amplicon_idx + 1))
                     fp.write("Cycle=%d;" % (rank + 1))
                     fp.write("Copy_count=%s;" % str(weights[slot][idx]))
                     fp.write("Segments=")

@@ -18,6 +18,9 @@ artifact — can be verified against the reference's own feasibility rules:
 * single connected Eulerian component           (ref ``:152-332``,
   the c/d/y spanning-tree machinery, checked directly as
   connectivity + terminal structure)
+* cycle spanning-tree root: a used node with
+  set-deduped conc/disc usage exactly 1          (ref ``:164-177``,
+  the c-variable constraints — kills uniformly doubled cycles)
 * subpath-constraint satisfaction               (ref ``:334-353``)
 
 It also converts AA ``Segments=`` token strings into reference edge
@@ -47,6 +50,13 @@ EdgeDict = Dict[tuple, int]
 def _seg_nodes(g: BreakpointGraph, token: str) -> Tuple[int, tuple, tuple]:
     """(seq_index, entry_node, exit_node) for a segment token like '2+'."""
     idx = int(token[:-1]) - 1
+    if not 0 <= idx < len(g.sequence_edges):
+        # '0±' outside the wrap positions, or an out-of-range id: without
+        # this guard python's negative indexing would silently validate
+        # the wrong segment
+        raise ValueError(f"segment token {token!r} does not name a "
+                         f"sequence edge (graph has "
+                         f"{len(g.sequence_edges)})")
     e = g.sequence_edges[idx]
     left = (e.chrom, e.start, "-")
     right = (e.chrom, e.end, "+")
@@ -88,7 +98,10 @@ def segments_to_solution(
     if not segs:
         return None, is_cycle, ["empty segment list"]
     used: EdgeDict = {}
-    info = [_seg_nodes(g, t) for t in segs]
+    try:
+        info = [_seg_nodes(g, t) for t in segs]
+    except ValueError as exc:
+        return None, is_cycle, [str(exc)]
     for (idx, _, _) in info:
         used[("e", idx)] = used.get(("e", idx), 0) + 1
     # interior junctions
@@ -315,6 +328,16 @@ def verify_reference_model(
             viol.append(
                 f"decomp {di}: used edges do not form one connected "
                 f"component (ref spanning-tree constraints :179-332)")
+        if is_cycle and edges:
+            from .candidates import cycle_has_reference_root
+
+            if not cycle_has_reference_root(g, edges):
+                viol.append(
+                    f"decomp {di}: cycle has no spanning-tree root — no "
+                    f"used node with set-deduped conc/disc usage exactly "
+                    f"1 (c-variable constraints, ref :164-177); e.g. a "
+                    f"uniformly doubled cycle is infeasible in the "
+                    f"reference MIQP")
 
     # CN caps (ref :122-143)
     def usage(key) -> float:
@@ -361,10 +384,7 @@ def verify_reference_model(
 
     # coverage (ref :85-89)
     total_weights = float(sum(e.size * e.cn for e in g.sequence_edges))
-    covered = sum(
-        w * sum(g.sequence_edges[i].size * c
-                for (t, i), c in edges.items() if t == "e")
-        for (edges, w, _) in all_decomps)
+    covered = decomposition_coverage(g, cycles, weights)
     if covered < p_total_weight * total_weights - tol * max(total_weights, 1.0):
         viol.append(
             f"coverage {covered:.1f} below p_total_weight * total = "

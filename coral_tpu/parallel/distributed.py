@@ -30,6 +30,7 @@ Run a self-test worker by hand:
 """
 from __future__ import annotations
 
+import functools as _functools
 import sys
 
 import numpy as np
@@ -68,7 +69,6 @@ def allreduce_sum(local: np.ndarray, mesh=None, axis: str = "dp") -> np.ndarray:
     bitwise.
     """
     import jax
-    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     mesh = mesh or global_dp_mesh(axis)
@@ -84,10 +84,24 @@ def allreduce_sum(local: np.ndarray, mesh=None, axis: str = "dp") -> np.ndarray:
     # this reduction on CPU, where 64-bit integer adds are free)
     with jax.enable_x64(True):
         garr = jax.make_array_from_process_local_data(sharding, per_dev)
-        fn = jax.jit(shard_map(
-            lambda x: jax.lax.psum(x.sum(axis=0), axis),
-            mesh=mesh, in_specs=P(axis), out_specs=P()))
-        return np.asarray(fn(garr))
+        return np.asarray(_psum_fn(mesh, axis)(garr))
+
+
+@_functools.lru_cache(maxsize=32)
+def _psum_fn(mesh, axis: str):
+    """Cached jitted psum reduction: jax.jit caches by function identity,
+    so building a fresh lambda per allreduce_sum call would retrace and
+    recompile every time (minutes per program shape on the axon TPU
+    backend).  Mesh objects hash by (devices, axis_names), so repeated
+    reductions over the same mesh reuse one compiled executable per
+    input shape."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    return jax.jit(shard_map(
+        lambda x: jax.lax.psum(x.sum(axis=0), axis),
+        mesh=mesh, in_specs=P(axis), out_specs=P()))
 
 
 def shard_bin_histogram(shard_path: str, chrom: str, origin: int,

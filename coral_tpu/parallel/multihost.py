@@ -221,12 +221,53 @@ def scan_shard(shard_path: str) -> dict:
         bam.close()
 
 
-def merge_scan_products(parts: List[dict]):
+def _rescue_read_lengths(shards, missing) -> Dict[str, int]:
+    """Find primary-record read lengths for chimeric names whose primary
+    does not itself carry an SA tag (so :func:`scan_shard`'s SA-only name
+    decode missed it — possibly in a different shard than the
+    supplementary).  Candidate records are screened vectorized on
+    (length, first byte, last byte) so only near-matches are decoded."""
+    found: Dict[str, int] = {}
+    if not missing:
+        return found
+    groups: Dict[Tuple[int, int, int], List[bytes]] = {}
+    for rn in missing:
+        b = rn.encode()  # name_off spans exclude the NUL (io/bam.py:188)
+        if b:
+            groups.setdefault((len(b), b[0], b[-1]), []).append(b)
+    for s in shards:
+        off = np.asarray(s.name_off, np.int64)
+        if off.size < 2 or not len(bytes(s.name_blob)):
+            continue
+        blob = np.frombuffer(bytes(s.name_blob), np.uint8)
+        lengths = np.diff(off)
+        first = blob[np.minimum(off[:-1], len(blob) - 1)]
+        last = blob[np.maximum(off[1:] - 1, off[:-1])]
+        primary = np.asarray(s.flag) < 256
+        for (ln, f0, lb), names in groups.items():
+            cand = np.flatnonzero(primary & (lengths == ln)
+                                  & (first == f0) & (last == lb))
+            for i in cand:
+                raw = bytes(blob[off[i]:off[i + 1]])
+                for b in names:
+                    if raw == b:
+                        rn = b.decode()
+                        if rn not in found:
+                            found[rn] = int(s.qlen[i])
+    return found
+
+
+def merge_scan_products(parts: List[dict], shards=None):
     """Merge per-shard scan products in shard order; decode chimeras.
 
     Reproduces ``collect_chimeras`` over the unsplit BAM: read lengths
     keep the first-seen primary, SA buckets append across shards with
-    in-order dedup, and the NM baseline merges moment sums.
+    in-order dedup, and the NM baseline merges moment sums.  ``shards``
+    (open BamFiles over the same shard set) enables the rescue pass for
+    chimeric reads whose primary record carries no SA tag — the
+    single-process paths take the read length from ANY primary of a
+    chimeric name (``bamcore.cpp`` parse_sa primary screen;
+    ``ops/chimera.py`` all-primaries dict), so the merge must too.
     """
     import math
 
@@ -254,9 +295,14 @@ def merge_scan_products(parts: List[dict]):
         nm_stats = [mean, math.sqrt(max(s2 / n - mean * mean, 0.0)), n]
     else:
         nm_stats = [0.0, 0.0, 0]
+    if shards is not None:
+        missing = [rn for rn in sa_buckets if rn not in read_length]
+        read_length.update(_rescue_read_lengths(shards, missing))
     chimeras: Dict[str, Chimera] = {}
     for rn, entries in sa_buckets.items():
         if rn not in read_length:
+            # no primary alignment anywhere: dropped, matching both
+            # single-process paths
             continue
         chim = alignment_from_sa(entries, read_length[rn])
         chimeras[rn] = chim if chim is not None else Chimera([], [], [], [])
@@ -397,9 +443,9 @@ def multihost_reconstruct_graphs(
     ctx = mp.get_context("spawn")
     with ctx.Pool(processes or len(shard_paths)) as pool:
         parts = pool.map(scan_shard, list(shard_paths))
-    read_length, chimeras, nm_stats = merge_scan_products(parts)
-
     bam = MultiShardBam(shard_paths)
+    read_length, chimeras, nm_stats = merge_scan_products(
+        parts, shards=bam.shards)
     rec = Reconstruction(bam, cnv_seed, cfg)
     rec.read_cns(cn_seg)
     rec.read_length = read_length

@@ -204,3 +204,87 @@ def test_native_enumeration_matches_python():
                     round(c.seq_weight, 3)) for c in nat}
         assert py_set == nat_set, maker.__name__
         assert len(py) == len(nat)
+
+
+def uniform_double_graph():
+    """Isolated two-segment cycle whose CNs invite a DOUBLED traversal:
+    both discordant edges have inferred multiplicity 2, so the walk
+    e0,d0,e1,d1,e0,d0,e1,d1 (every edge twice) is enumerable — but it has
+    no spanning-tree root (every node's bp usage is 2), so it is
+    INFEASIBLE in the reference MIQP (cycle_decomposition.py:164-177)."""
+    g = BreakpointGraph()
+    coords = [(1000, 9999), (10000, 19999)]
+    for (s, e) in coords:
+        g.add_node(("chr1", s, "-"))
+        g.add_node(("chr1", e, "+"))
+    for (s, e) in coords:
+        g.add_sequence_edge("chr1", s, e, cn=40.0, lr_count=400,
+                            lr_nc=int(40.0 * 10 * (e - s + 1)))
+    # head-to-tail junctions both ways; lr_count ratios give mult 2
+    g.add_discordant_edge("chr1", 9999, "+", "chr1", 10000, "-", cn=40.0,
+                          lr_count=200)
+    g.add_discordant_edge("chr1", 19999, "+", "chr1", 1000, "-", cn=40.0,
+                          lr_count=100)
+    g.max_cn = 41.0
+    g.amplicon_intervals.append(["chr1", 1000, 19999])
+    return g
+
+
+def test_rootless_cycles_excluded_from_pool():
+    """Review fix: uniformly doubled cycles (no node with set-deduped
+    conc/disc usage exactly 1) are reference-infeasible and must not be
+    enumerated — by either engine."""
+    from coral_tpu.cycles.candidates import cycle_has_reference_root
+
+    g = uniform_double_graph()
+    mults = g.infer_discordant_edge_multiplicities()
+    assert max(mults) >= 2  # the doubled walk is within caps
+    for engine in ("python", "native"):
+        try:
+            cands = enumerate_candidates(g, engine=engine)
+        except Exception:
+            if engine == "native":
+                continue  # native core not built here
+            raise
+        simple = {("e", 0): 1, ("e", 1): 1, ("d", 0): 1, ("d", 1): 1}
+        assert any(c.edge_dict() == simple for c in cands if c.is_cycle)
+        for c in cands:
+            if c.is_cycle:
+                assert cycle_has_reference_root(g, c.edge_dict()), \
+                    (engine, c.edge_dict())
+                assert max(c.edge_dict().values()) == 1, (engine, c)
+
+
+def test_refmodel_flags_rootless_cycle():
+    """verify_reference_model must reject a doubled cycle (the c-variable
+    root constraint, ref :164-177) while accepting the simple one."""
+    from coral_tpu.cycles.refmodel import verify_reference_model
+
+    g = uniform_double_graph()
+    simple = {("e", 0): 1, ("e", 1): 1, ("d", 0): 1, ("d", 1): 1}
+    doubled = {k: 2 * v for k, v in simple.items()}
+    ok = verify_reference_model(g, [[simple], []], [[40.0], []])
+    assert ok == []
+    viol = verify_reference_model(g, [[doubled], []], [[20.0], []])
+    assert any("spanning-tree root" in v for v in viol), viol
+
+
+def test_refmodel_self_loop_root_allowed():
+    """A self-loop discordant edge counts ONCE at its node (the
+    reference's set() dedup in :171-177), so a foldback cycle with a
+    self-loop has a valid root."""
+    from coral_tpu.cycles.candidates import cycle_has_reference_root
+
+    g = BreakpointGraph()
+    g.add_node(("chr1", 1000, "-"))
+    g.add_node(("chr1", 9999, "+"))
+    g.add_sequence_edge("chr1", 1000, 9999, cn=20.0, lr_count=100,
+                        lr_nc=int(20.0 * 10 * 9000))
+    g.add_discordant_edge("chr1", 9999, "+", "chr1", 9999, "+", cn=10.0,
+                          lr_count=50)
+    g.add_discordant_edge("chr1", 1000, "-", "chr1", 1000, "-", cn=10.0,
+                          lr_count=50)
+    # walk: e0, d0(self at right), e0 back, d1(self at left) -> closes;
+    # each self-loop used once, each node's DEDUPED bp usage is 1
+    used = {("e", 0): 2, ("d", 0): 1, ("d", 1): 1}
+    assert cycle_has_reference_root(g, used)

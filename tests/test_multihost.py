@@ -112,3 +112,45 @@ def test_multiprocess_graphs_byte_identical(sample, tmp_path, n_shards):
             assert filecmp.cmp(a, b, shallow=False), \
                 f"{kind} differs for amplicon {gi} at {n_shards} shards:\n" \
                 + os.popen(f"diff {a} {b} | head -5").read()
+
+
+def test_primary_without_sa_rescued_across_shards(tmp_path):
+    """Review fix: a chimeric read whose PRIMARY record carries no SA tag
+    (the supplementary does, possibly in another shard) must still get a
+    read length — both single-process paths take qlen from any primary of
+    a chimeric name (bamcore parse_sa primary screen; ops/chimera.py
+    all-primaries dict), so the shard merge must match."""
+    from coral_tpu.io.bamwrite import BamRecord, write_bam
+    from coral_tpu.ops.chimera import collect_chimeras
+
+    m = 4000
+    recs = []
+    # background so shards are non-trivial
+    for i in range(200):
+        recs.append(BamRecord(f"bg{i:04d}", 0, "chr7", 54_000_000 + i * 5_000,
+                              60, "20000M", seq="*"))
+    # primary WITHOUT SA at a low coordinate; supplementary WITH SA high
+    # (the contiguous split puts them in different shards)
+    cig1 = f"{m}M{m}S"
+    cig2 = f"{m}S{m}M"
+    sa1 = f"chr7,{54_100_001},+,{cig1},60,0;"
+    recs.append(BamRecord("chimX", 0, "chr7", 54_100_000, 60, cig1, seq="*"))
+    recs.append(BamRecord("chimX", 0x800, "chr7", 55_900_000, 60, cig2,
+                          seq="*", tags={"SA": sa1 +
+                                         f"chr7,{55_900_001},+,{cig2},60,0;"}))
+    bam = str(tmp_path / "nosa.bam")
+    write_bam(bam, [("chr7", 159_345_973)], recs)
+
+    shards = split_bam(bam, [str(tmp_path / f"s{i}.bam") for i in range(3)])
+    parts = [scan_shard(p) for p in shards]
+    mb = MultiShardBam(shards)
+    read_length, chimeras, _nm = merge_scan_products(parts, shards=mb.shards)
+    wl, wc, _wn = collect_chimeras(BamFile(bam))
+    assert "chimX" in wc and "chimX" in chimeras
+    assert read_length["chimX"] == wl["chimX"]
+    assert chimeras["chimX"].q == wc["chimX"].q
+    assert chimeras["chimX"].r == wc["chimX"].r
+    # without the rescue shards the read is (incorrectly) dropped —
+    # pin the failure mode so the rescue stays load-bearing
+    rl0, ch0, _ = merge_scan_products(parts)
+    assert "chimX" not in ch0

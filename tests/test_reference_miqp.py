@@ -779,3 +779,38 @@ def test_dense_graph_driver_matches_reference_optimum(refcd, tmp_path):
     cov_our = decomposition_coverage(g, cy, w)
     assert n_our == n_ref == 1
     assert cov_our == pytest.approx(tr, rel=1e-6)
+
+
+def test_minimize_cycles_rejects_rootless_doubled_cycle(refcd, tmp_path):
+    """Differential for the cycle-root rule (ref :164-177): on a graph
+    where a uniformly DOUBLED two-segment cycle is within multiplicity
+    caps, the reference's own solver must still return the simple cycle
+    (the doubled walk has no node with bp usage 1, so no c-root exists),
+    and our post-filter pool must match its optimum exactly."""
+    from test_decomposition_hard import uniform_double_graph
+
+    from coral_tpu.config import CycleConfig
+    from coral_tpu.cycles.decomposition import joint_minimize
+    from coral_tpu.cycles.refmodel import verify_reference_model
+
+    g = uniform_double_graph()
+    shim = _SolverShim(g)
+    node_order = {n: i for i, n in enumerate(g.nodes)}
+    tw = _total_weights(g)
+    (status, total_ref, _n, cyc_ref, w_ref, _s) = refcd.minimize_cycles(
+        1, shim, 2, tw, node_order, [], p_total_weight=0.9,
+        p_bp_cn=0.9, num_threads=-1, time_limit=600,
+        model_prefix=str(tmp_path / "rootless"))
+    assert status == refcd.GRB.OPTIMAL
+    # every reference decomposition passes the checker (incl. root rule)
+    assert verify_reference_model(g, cyc_ref, w_ref, pc_list=[]) == []
+    # no reference cycle is uniformly doubled
+    for c in cyc_ref[0]:
+        assert min(c.values()) == 1, c
+    (status_o, total_o, _no, cyc_o, _w, _sl) = joint_minimize(
+        g, _our_setup(g), 2, tw, [], CycleConfig())
+    assert status_o == 2
+    obj_ref = _ref_objective(tw, total_ref, cyc_ref)
+    obj_our = _ref_objective(tw, total_o, cyc_o)
+    assert abs(obj_ref - obj_our) < 1e-5, (obj_ref, obj_our)
+    assert verify_reference_model(g, cyc_o, _w, pc_list=[]) == []
