@@ -188,10 +188,15 @@ def _solve_selection_milp(
     soft = soft_pc_fraction is not None
     nR = npc if soft else 0
     nvar = 2 * m + nR
-    info = [(c, _cn_keys(c.edge_dict()),
-             [pi for pi, pc in enumerate(pc_list)
-              if candidate_satisfies(c.edge_dict(), pc)])
-            for c in candidates]
+    # one edge_dict materialization per candidate (it rebuilds from the
+    # sorted-tuple form; npc+2 rebuilds per candidate added up)
+    info = []
+    for c in candidates:
+        edges = c.edge_dict()
+        info.append((c, _cn_keys(edges),
+                     [pi for pi, pc in enumerate(pc_list)
+                      if candidate_satisfies(edges, pc)],
+                     sum(edges.values())))
 
     cons = []
     # w_i - max_cn * z_i <= 0
@@ -213,11 +218,11 @@ def _solve_selection_milp(
     cons.append(LinearConstraint(A, -np.inf, k))
     # coverage
     A = np.zeros((1, nvar))
-    for i, (c, _, _) in enumerate(info):
+    for i, (c, _, _, _) in enumerate(info):
         A[0, m + i] = c.seq_weight
     cons.append(LinearConstraint(A, p_total_weight * total_weights, np.inf))
     # per-edge CN caps
-    all_keys = sorted({k_ for (_, cnk, _) in info for k_ in cnk}, key=repr)
+    all_keys = sorted({k_ for (_, cnk, _, _) in info for k_ in cnk}, key=repr)
     cn_of = {}
     for i, e in enumerate(g.sequence_edges):
         cn_of[("s", i)] = e.cn
@@ -232,7 +237,7 @@ def _solve_selection_milp(
         lb = np.full(len(all_keys), -np.inf)
         ub = np.zeros(len(all_keys))
         for r, key in enumerate(all_keys):
-            for i, (_, cnk, _) in enumerate(info):
+            for i, (_, cnk, _, _) in enumerate(info):
                 if key in cnk:
                     A[r, m + i] = cnk[key]
             ub[r] = cn_of[key]
@@ -241,7 +246,7 @@ def _solve_selection_milp(
         A = np.zeros((len(g.discordant_edges), nvar))
         lb = np.zeros(len(g.discordant_edges))
         for d in range(len(g.discordant_edges)):
-            for i, (_, cnk, _) in enumerate(info):
+            for i, (_, cnk, _, _) in enumerate(info):
                 if ("d", d) in cnk:
                     A[d, m + i] = cnk[("d", d)]
             lb[d] = p_bp_cn * g.discordant_edges[d].cn
@@ -253,7 +258,7 @@ def _solve_selection_milp(
             A = np.zeros((npc, nvar))
             for p in range(npc):
                 A[p, 2 * m + p] = 1.0
-                for i, (_, _, sat) in enumerate(info):
+                for i, (_, _, sat, _) in enumerate(info):
                     if p in sat:
                         A[p, i] -= 1.0
             cons.append(LinearConstraint(A, -np.inf, 0.0))
@@ -263,7 +268,7 @@ def _solve_selection_milp(
         else:
             A = np.zeros((npc, nvar))
             for p in range(npc):
-                for i, (_, _, sat) in enumerate(info):
+                for i, (_, _, sat, _) in enumerate(info):
                     if p in sat:
                         A[p, i] = 1.0
             cons.append(LinearConstraint(A, 1.0, np.inf))
@@ -272,8 +277,8 @@ def _solve_selection_milp(
     # minimize number of cycles; the epsilon term breaks coverage ties
     # toward structurally simpler decompositions (fewer edge traversals),
     # making solutions canonical where Gurobi's choice is arbitrary
-    for i, (c, _, _) in enumerate(info):
-        cvec[i] = 1.0 + 1e-6 * sum(c.edge_dict().values())
+    for i, (c, _, _, n_edges) in enumerate(info):
+        cvec[i] = 1.0 + 1e-6 * n_edges
         cvec[m + i] = -c.seq_weight / total_weights
     if soft:
         cvec[2 * m:] = -1.0 / npc

@@ -124,9 +124,9 @@ class Reconstruction:
         nnc = 0
         for r in chosen:
             # the reference passes quality_threshold=0 and
-            # read_callback='nofilter' at THIS call site
-            # (infer_breakpoint_graph.py:131-132) — unlike its assign_cov
-            # sites (:834,:1034), which inherit the pysam defaults
+            # read_callback='nofilter' here (infer_breakpoint_graph.py:
+            # 131-132) and at the assign_cov sequence-edge site (:1034);
+            # only find_cn_breakpoints (:834) inherits pysam defaults
             nnc += self.bam.coverage_sum(
                 r[0], r[1], r[2] + 1,
                 quality_threshold=0, flag_exclude=0)
@@ -549,20 +549,11 @@ class Reconstruction:
                                 [nint_segs[i_][2] for i_ in range(lasti, i + 1)])
                             lasti = i + 1
                     if len(nint_segs) > 0:
-                        amp_flag_l = rows_[nint_segs[lasti][0]][3] >= cfg_i.cn_gain
-                        amp_flag_r = rows_[nint_segs[-1][0]][3] >= cfg_i.cn_gain
-                        if not amp_flag_l:
-                            left = max(nint_segs[lasti][1] - cfg_i.interval_delta,
-                                       rows_[0][1])
-                        else:
-                            left = max(rows_[nint_segs[lasti][0]][1] - cfg_i.interval_delta,
-                                       rows_[0][1])
-                        if not amp_flag_r:
-                            right = min(nint_segs[-1][1] + cfg_i.interval_delta,
-                                        rows_[-1][2])
-                        else:
-                            right = min(rows_[nint_segs[-1][0]][2] + cfg_i.interval_delta,
-                                        rows_[-1][2])
+                        # the helper evaluated at the trailing block:
+                        # i=-1, lir = the last segment's row end
+                        left, right = self._refine_interval_bounds_seg(
+                            chr_, nint_segs, lasti, -1,
+                            rows_[nint_segs[-1][0]][2])
                         # reference bug (live): boolean assignment at :547
                         if nint_segs[lasti][1] - int(cfg_i.max_seq_len / 2) > left:
                             left = nint_segs[lasti][1] - int(cfg_i.max_seq_len / 2) > left
@@ -739,7 +730,13 @@ class Reconstruction:
             for gi, entry in enumerate(self.large_indels[rn]):
                 gap = entry[:3]
                 if gap[2] > gap[1]:
-                    gap = [gap[0], gap[2], gap[1]]
+                    # reference quirk (infer_breakpoint_graph.py:768-772):
+                    # `rr_gap_ = rr_gap` ALIASES, so its "swap" assigns
+                    # [2]=old[1] then [1]=new[2] — both positions collapse
+                    # to the next-block start.  Reproduced bug-for-bug
+                    # (live path; only reachable on CIGARs whose deletion
+                    # blocks come out reversed).
+                    gap = [gap[0], gap[1], gap[1]]
                 new_bp_list_.append(
                     [gap[0], gap[1], "-", gap[0], gap[2], "+",
                      (rn, gi, gi), 0, 0, -1, -1])
