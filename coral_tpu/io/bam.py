@@ -145,6 +145,7 @@ class BamFile:
             self._scan_python(path)
         self._build_index()
         self._names: Optional[List[str]] = None
+        self._rid_map: Optional[Dict[str, int]] = None
 
     # -- scanning ---------------------------------------------------------
 
@@ -253,10 +254,12 @@ class BamFile:
             self._cummax_end[s:e] = np.maximum.accumulate(self.end[s:e])
 
     def rid(self, chrom: str) -> int:
-        for i, (name, _l) in enumerate(self.references):
-            if name == chrom:
-                return i
-        return -1
+        # every region query calls this; a linear scan over the reference
+        # list is O(n_refs) per query on scaffold-heavy assemblies
+        if self._rid_map is None:
+            self._rid_map = {name: i
+                             for i, (name, _l) in enumerate(self.references)}
+        return self._rid_map.get(chrom, -1)
 
     def name(self, i: int) -> str:
         return self.name_blob[self.name_off[i]:self.name_off[i + 1]].decode()

@@ -111,6 +111,11 @@ def encode_record(rec: BamRecord, ref_ids: Dict[str, int]) -> bytes:
         packed = (nibs[0::2] << 4) | nibs[1::2]
         body += packed.tobytes()
         quals = rec.quals if rec.quals is not None else bytes([30] * l_seq)
+        if len(quals) != l_seq:
+            # a short/long QUAL shifts the aux-data offset for every
+            # reader — refuse to emit a structurally inconsistent record
+            raise ValueError(
+                f"QUAL length {len(quals)} != SEQ length {l_seq}")
         body += quals
     body += _encode_tags(rec.tags)
     return struct.pack("<i", len(body)) + body

@@ -138,61 +138,6 @@ bool inflate_raw(const uint8_t* src, int n, uint8_t* dst, int cap, int* out_n) {
   return r == Z_STREAM_END;
 }
 
-// Read one BGZF block header at the current file position; returns false at
-// EOF. Fills csize (total member size) and usize (ISIZE) without inflating.
-bool read_block_header(FILE* fp, int64_t coffset, BlockInfo* bi, std::string* err) {
-  uint8_t hdr[18];
-  size_t got = fread(hdr, 1, sizeof(hdr), fp);
-  if (got == 0) return false;
-  if (got < sizeof(hdr) || hdr[0] != 0x1f || hdr[1] != 0x8b || hdr[2] != 8 || !(hdr[3] & 4)) {
-    *err = "bad BGZF block header";
-    return false;
-  }
-  uint16_t xlen;
-  memcpy(&xlen, hdr + 10, 2);
-  // locate the BC subfield inside the extra area
-  std::vector<uint8_t> extra(xlen);
-  if (xlen > 6) {
-    memcpy(extra.data(), hdr + 12, 6);
-    if (fread(extra.data() + 6, 1, xlen - 6, fp) != static_cast<size_t>(xlen - 6)) {
-      *err = "truncated BGZF extra";
-      return false;
-    }
-  } else {
-    memcpy(extra.data(), hdr + 12, xlen);
-    if (xlen < 6) fseek(fp, xlen - 6, SEEK_CUR);  // never happens for BC-only
-  }
-  int bsize = -1;
-  for (int p = 0; p + 4 <= xlen;) {
-    uint16_t slen;
-    memcpy(&slen, extra.data() + p + 2, 2);
-    if (extra[p] == 'B' && extra[p + 1] == 'C') {
-      uint16_t v;
-      memcpy(&v, extra.data() + p + 4, 2);
-      bsize = v + 1;
-    }
-    p += 4 + slen;
-  }
-  if (bsize < 0) {
-    *err = "BGZF block missing BC subfield";
-    return false;
-  }
-  // seek to ISIZE (last 4 bytes of member) and read it
-  int64_t data_off = coffset + 12 + xlen;
-  fseek(fp, coffset + bsize - 4, SEEK_SET);
-  uint32_t isize;
-  if (fread(&isize, 4, 1, fp) != 1) {
-    *err = "truncated BGZF block";
-    return false;
-  }
-  bi->coffset = coffset;
-  bi->csize = bsize;
-  bi->usize = static_cast<int32_t>(isize);
-  (void)data_off;
-  fseek(fp, coffset + bsize, SEEK_SET);
-  return true;
-}
-
 // Sequentially read one whole BGZF member at the current file position
 // (assumed == coffset): header, BC subfield, compressed payload, trailer —
 // ONE buffered fread stream, no fseeks.  The window loop calls this
@@ -212,7 +157,10 @@ bool read_block_seq(FILE* fp, int64_t coffset, BlockInfo* bi,
   }
   uint16_t xlen;
   memcpy(&xlen, hdr + 10, 2);
-  mem->resize(12 + xlen);  // provisional: through the extra area
+  // provisional: through the extra area; never smaller than the 18-byte
+  // header we copy in (xlen < 6 cannot carry a BC subfield and errors
+  // below, but must not overflow the buffer here)
+  mem->resize(std::max<size_t>(12 + xlen, sizeof(hdr)));
   memcpy(mem->data(), hdr, sizeof(hdr));
   if (xlen > 6) {
     if (fread(mem->data() + 18, 1, xlen - 6, fp) !=
@@ -226,7 +174,7 @@ bool read_block_seq(FILE* fp, int64_t coffset, BlockInfo* bi,
   for (int p = 0; p + 4 <= xlen;) {
     uint16_t slen;
     memcpy(&slen, extra + p + 2, 2);
-    if (extra[p] == 'B' && extra[p + 1] == 'C') {
+    if (extra[p] == 'B' && extra[p + 1] == 'C' && p + 6 <= xlen) {
       uint16_t v;
       memcpy(&v, extra + p + 4, 2);
       bsize = v + 1;
@@ -346,7 +294,10 @@ struct Scanner {
   int64_t gbase = 0;                   // global stream offset of buf[0]
   int nthreads;
 
-  explicit Scanner(BamCore* b, int nt) : bc(b), nthreads(nt < 1 ? 1 : nt) {}
+  // clamp to the fixed errs[64] arrays in the scan phases — an
+  // uncapped nthreads from the public ABI would index past them
+  explicit Scanner(BamCore* b, int nt)
+      : bc(b), nthreads(nt < 1 ? 1 : (nt > 64 ? 64 : nt)) {}
 
   uint64_t voffset_of(int64_t gpos) const {
     // binary search blocks for the block containing gpos
@@ -551,6 +502,13 @@ bool scan_file(BamCore* bc, int nthreads) {
       if (off + 4 > static_cast<int64_t>(sc.buf.size())) break;
       int32_t block_size;
       memcpy(&block_size, sc.buf.data() + off, 4);
+      // BAM fixed fields alone are 32 bytes; a smaller (or negative)
+      // block_size is corruption — without this check a negative value
+      // loops forever or walks the cursor out of the buffer
+      if (block_size < 32) {
+        bc->error = "corrupt BAM: record block_size < 32";
+        return false;
+      }
       if (off + 4 + block_size > static_cast<int64_t>(sc.buf.size())) break;
       rec_offs.push_back(off);
       rec_voffs.push_back(sc.voffset_of(parse_gpos));
@@ -649,6 +607,18 @@ bool scan_file(BamCore* bc, int nthreads) {
             "bc_scan timing: window=%.2fs p1=%.2fs p2=%.2fs "
             "merge=%.2fs drop=%.2fs\n", t_win, t_p1, t_p2, t_p3, t_drop);
   }
+  // loud EOF validation (matching the python backend): a file with no
+  // BAM header, or trailing unparsed payload bytes (truncation at a
+  // block boundary mid-record), must not silently yield a partial table
+  if (!header_parsed) {
+    bc->error = "not a BAM file (missing BAM\\1 header)";
+    return false;
+  }
+  if (parse_gpos - sc.gbase <
+      static_cast<int64_t>(sc.buf.size())) {
+    bc->error = "truncated BAM: partial record at end of file";
+    return false;
+  }
   return true;
 }
 
@@ -669,13 +639,15 @@ bool decode_range(BamCore* bc, int64_t lo, int64_t hi, F&& fn) {
   bool first_block = true;
 
   auto more = [&]() -> bool {
+    // read_block_seq streams the whole member in one buffered pass;
+    // consecutive calls are sequential, so the fseek stays inside the
+    // stdio readahead buffer (the old read_block_header variant paid
+    // ~4 seeks + a full re-read per 64 KiB block on this hot path)
     BlockInfo bi;
     fseek(fp, next_coffset, SEEK_SET);
-    if (!read_block_header(fp, next_coffset, &bi, &bc->error)) return false;
-    member.resize(bi.csize);
-    fseek(fp, bi.coffset, SEEK_SET);
-    if (fread(member.data(), 1, bi.csize, fp) != static_cast<size_t>(bi.csize)) {
-      bc->error = "short read";
+    if (!read_block_seq(fp, next_coffset, &bi, &member, &bc->error)) {
+      if (bc->error.empty())
+        bc->error = "unexpected EOF in region decode";
       return false;
     }
     size_t old = buf.size();
@@ -776,8 +748,13 @@ bool parse_sa_entry(const BamCore* bc, const char* s, const char* end,
   char strand = *f[2];
   int64_t left, al, right;
   if (!sa_cigar_spans(f[3], f[4] - 1, &left, &al, &right)) return false;
-  int64_t mapq = strtoll(f[4], nullptr, 10);
-  double nm = strtod(f[5], nullptr);
+  int64_t mapq = strtoll(f[4], nullptr, 10);  // bounded by the ',' at f[5]-1
+  // the NM field is the LAST in the entry: strtod directly on the blob
+  // pointer would run past `end` when a nonconforming SA tag lacks its
+  // trailing ';' (OOB read at the blob end; silent digit concatenation
+  // from the next entry mid-blob) — copy the bounded span first
+  std::string nm_str(f[5], end - f[5]);
+  double nm = strtod(nm_str.c_str(), nullptr);
   if (strand == '+') {
     out->qs = left;
     out->qe = read_length - right - 1;
@@ -813,9 +790,15 @@ bool write_vec(FILE* f, const dvec<T>& v) {
 }
 
 template <typename T>
-bool read_vec(FILE* f, dvec<T>& v) {
+bool read_vec(FILE* f, dvec<T>& v, int64_t max_bytes) {
   uint64_t n = 0;
   if (fread(&n, 8, 1, f) != 1) return false;
+  // a corrupt on-disk count must fail the load (-> rescan fallback);
+  // without this bound a flipped length field throws bad_alloc through
+  // the C ABI and std::terminate()s the host process.  The cache file
+  // size caps every vector's payload.
+  if (max_bytes < 0 ||
+      n > static_cast<uint64_t>(max_bytes) / sizeof(T)) return false;
   ensure_size(v, n);
   v.resize(n);
   return n == 0 || fread(v.data(), sizeof(T), n, f) == n;
@@ -867,6 +850,9 @@ bool save_cache(BamCore* bc, const char* cache_path) {
 bool load_cache(BamCore* bc, const char* cache_path) {
   int64_t size, mtime_ns, ino;
   if (!stat_file(bc->path, &size, &mtime_ns, &ino)) return false;
+  int64_t cache_bytes, cache_mt, cache_ino;
+  if (!stat_file(cache_path, &cache_bytes, &cache_mt, &cache_ino))
+    return false;
   FILE* f = fopen(cache_path, "rb");
   if (!f) return false;
   bool ok = true;
@@ -893,13 +879,14 @@ bool load_cache(BamCore* bc, const char* cache_path) {
       }
     }
   }
-  ok = ok && read_vec(f, bc->flag) && read_vec(f, bc->ref_id) &&
-       read_vec(f, bc->pos) && read_vec(f, bc->end) &&
-       read_vec(f, bc->mapq) && read_vec(f, bc->qlen) &&
-       read_vec(f, bc->nm) && read_vec(f, bc->voffset) &&
-       read_vec(f, bc->name_blob) && read_vec(f, bc->name_off) &&
-       read_vec(f, bc->sa_blob) && read_vec(f, bc->sa_off) &&
-       read_vec(f, bc->sa_len);
+  const int64_t mb = cache_bytes;
+  ok = ok && read_vec(f, bc->flag, mb) && read_vec(f, bc->ref_id, mb) &&
+       read_vec(f, bc->pos, mb) && read_vec(f, bc->end, mb) &&
+       read_vec(f, bc->mapq, mb) && read_vec(f, bc->qlen, mb) &&
+       read_vec(f, bc->nm, mb) && read_vec(f, bc->voffset, mb) &&
+       read_vec(f, bc->name_blob, mb) && read_vec(f, bc->name_off, mb) &&
+       read_vec(f, bc->sa_blob, mb) && read_vec(f, bc->sa_off, mb) &&
+       read_vec(f, bc->sa_len, mb);
   ok = ok && bc->name_off.size() == bc->flag.size() + 1 &&
        bc->sa_off.size() == bc->flag.size() &&
        bc->sa_len.size() == bc->flag.size();

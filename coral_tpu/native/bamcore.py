@@ -164,12 +164,20 @@ def parse_sa(bam):
     return chim_rec, chim_rl, chim_off, cols
 
 
+def _native_error(nb) -> str:
+    """bc_error returns NULL (ctypes None) when no message was recorded
+    (e.g. a clean-EOF failure inside decode_range); never AttributeError
+    on the error path."""
+    msg = nb._lib.bc_error(nb._h)
+    return msg.decode() if msg else "native bamcore error (no message)"
+
+
 def coverage_sum(bam, lo, hi, start, stop, quality_threshold, flag_exclude, min_mapq):
     nb = bam._native
     r = nb._lib.bc_coverage_sum(nb._h, lo, hi, start, stop,
                                 quality_threshold, flag_exclude, min_mapq)
     if r < 0:
-        raise RuntimeError(nb._lib.bc_error(nb._h).decode())
+        raise RuntimeError(_native_error(nb))
     return int(r)
 
 
@@ -181,7 +189,7 @@ def coverage_profile(bam, lo, hi, start, stop, quality_threshold, flag_exclude, 
         out.ctypes.data_as(C.POINTER(C.c_int64)),
     )
     if rc != 0:
-        raise RuntimeError(nb._lib.bc_error(nb._h).decode())
+        raise RuntimeError(_native_error(nb))
     return out
 
 
@@ -190,7 +198,7 @@ def del_gaps(bam, lo, hi, start, min_del_len, min_mapq):
     nb = bam._native
     cnt = nb._lib.bc_del_gaps(nb._h, lo, hi, start, min_del_len, min_mapq)
     if cnt < 0:
-        raise RuntimeError(nb._lib.bc_error(nb._h).decode())
+        raise RuntimeError(_native_error(nb))
     arrs = [np.zeros(cnt, np.int64) for _ in range(5)]
     nb._lib.bc_del_gaps_fetch(
         nb._h, *[a.ctypes.data_as(C.POINTER(C.c_int64)) for a in arrs]

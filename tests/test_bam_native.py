@@ -145,3 +145,123 @@ def test_long_names_and_big_aux(tmp_path):
     for i in range(50):
         assert py.name(i) == nat.name(i)
         assert py.sa_tag(i) == nat.sa_tag(i)
+
+
+def test_corrupt_record_block_size_raises(tmp_path):
+    """Review fix: a negative/undersized record block_size used to loop
+    forever (negative) or silently truncate; both must error cleanly."""
+    import struct
+
+    from coral_tpu.io.bgzf import write_bgzf
+
+    src = random_fixture(tmp_path, n=50, seed=13)
+    # rebuild the payload with one record's block_size corrupted
+    payload = bytearray()
+    from coral_tpu.parallel.multihost import _walk_bam
+    for kind, blob in _walk_bam(src):
+        if kind == "record" and len(payload) > 200:
+            blob = struct.pack("<i", -4) + blob[4:]
+            payload += blob
+            break
+        payload += blob
+    p = str(tmp_path / "negsize.bam")
+    with open(p, "wb") as fp:
+        write_bgzf(fp, bytes(payload))
+        from coral_tpu.io.bgzf import BGZF_EOF
+        fp.write(BGZF_EOF)
+    with pytest.raises(Exception, match="block_size|corrupt|struct"):
+        BamFile(p, backend="native")
+
+
+def test_block_boundary_truncation_raises(tmp_path):
+    """Truncation at a BGZF block boundary (valid blocks, partial final
+    record) must raise, not return a silently partial table."""
+    from coral_tpu.io.bgzf import BGZF_EOF, write_bgzf
+    from coral_tpu.parallel.multihost import _walk_bam
+
+    src = random_fixture(tmp_path, n=50, seed=14)
+    parts = list(_walk_bam(src))
+    header = parts[0][1]
+    records = [b for k, b in parts[1:]]
+    # header + whole records in one block, then HALF a record in a
+    # second complete block
+    p = str(tmp_path / "btrunc.bam")
+    with open(p, "wb") as fp:
+        write_bgzf(fp, header + b"".join(records[:20]))
+        write_bgzf(fp, records[20][: len(records[20]) // 2])
+        fp.write(BGZF_EOF)
+    with pytest.raises(Exception, match="[Tt]runcat|partial"):
+        BamFile(p, backend="native")
+
+
+def test_not_a_bam_raises(tmp_path):
+    """A BGZF stream that is not a BAM (and a non-BGZF file) must raise
+    on both backends."""
+    from coral_tpu.io.bgzf import BGZF_EOF, write_bgzf
+
+    p1 = str(tmp_path / "notbam.bam")
+    with open(p1, "wb") as fp:
+        write_bgzf(fp, b"NOTBAM__payload")
+        fp.write(BGZF_EOF)
+    p2 = str(tmp_path / "eofonly.bam")
+    open(p2, "wb").write(BGZF_EOF)
+    for p in (p1, p2):
+        for backend in ("python", "native"):
+            with pytest.raises(Exception):
+                BamFile(p, backend=backend)
+
+
+def test_corrupt_scan_cache_falls_back(tmp_path):
+    """Review fix: a corrupt .scanx (flipped vector-length field) must
+    fall back to a clean rescan, not kill the process via bad_alloc."""
+    import struct
+
+    src = random_fixture(tmp_path, n=100, seed=15)
+    bam = BamFile(src, backend="native", scan_cache=True)
+    n = bam.n_records
+    bam.close()
+    cache = src + ".scanx"
+    raw = bytearray(open(cache, "rb").read())
+    # corrupt the FIRST vector-length field (the flag column's count,
+    # the first u64 equal to n_records) to 2^62: pre-fix this threw
+    # bad_alloc through the C ABI and std::terminate()d the process
+    off = raw.find(struct.pack("<Q", n))
+    assert off > 0
+    raw[off:off + 8] = struct.pack("<Q", 1 << 62)
+    open(cache, "wb").write(bytes(raw))
+    bam2 = BamFile(src, backend="native", scan_cache=True)
+    assert bam2.n_records == n
+    assert not bam2.scan_from_cache  # cache rejected, rescanned
+
+
+def test_sa_without_trailing_semicolon_parses_bounded(tmp_path):
+    """Review fix: an SA tag missing its spec-mandated trailing ';' must
+    not read past the entry (NM inflation / OOB) — both backends must
+    agree on the parsed chimera."""
+    recs = [
+        BamRecord("chim1", 0, "chr1", 1000, 60, "1000M1000S",
+                  tags={"SA": "chr2,5000,+,1000S1000M,60,7"}),  # no ';'
+        BamRecord("pad", 0, "chr1", 2000, 60, "500M",
+                  tags={"SA": "chr1,9000,+,250S250M,60,11;"}),
+    ]
+    p = str(tmp_path / "nosemi.bam")
+    write_bam(p, REFS, recs)
+    from coral_tpu.ops.chimera import collect_chimeras
+
+    outs = []
+    for backend in ("python", "native"):
+        _rl, chim, _nm = collect_chimeras(BamFile(p, backend=backend))
+        assert "chim1" in chim
+        outs.append(chim["chim1"])
+    assert outs[0].q == outs[1].q
+    assert outs[0].r == outs[1].r
+    assert outs[0].nm == outs[1].nm
+
+
+def test_bamwrite_rejects_bad_qual_length(tmp_path):
+    """Review fix: QUAL shorter than SEQ shifts every reader's aux
+    offset — the writer must refuse."""
+    rec = BamRecord("q", 0, "chr1", 100, 60, "4M", seq="ACGT",
+                    quals=b"\x1e\x1e")
+    with pytest.raises(ValueError, match="QUAL"):
+        write_bam(str(tmp_path / "bad.bam"), REFS, [rec])
