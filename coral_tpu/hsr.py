@@ -124,6 +124,10 @@ def locate_hsrs(args) -> None:
                             and bp[2] == existing[2] and bp[5] == existing[5]
                             and abs(bp[1] - existing[1]) <= args.bp_match_cutoff
                             and abs(bp[4] - existing[4]) < args.bp_match_cutoff):
+                        # crash-fix deviation: the reference stores a
+                        # LIST here and `list |= set` TypeErrors on the
+                        # first merge (reference src/hsr.py:166); we
+                        # store a set so the merge its code intends works
                         existing[-1] |= set(bpr)
                         merged = True
                         break
@@ -147,6 +151,9 @@ def locate_hsrs(args) -> None:
         starting_pos[chrom] = (agg - size) * 100.0 / sum_sizes
 
     def plot_side(chrom, pos, support):
+        # crash-fix deviation: the reference indexes cns_dict[chrom]
+        # directly and KeyErrors on a chromosome absent from the CN
+        # calls (reference src/hsr.py:189); .get treats it as cn=0
         cn = 0.0
         for seg in cns_dict.get(chrom, []):
             if seg[0] < pos < seg[1]:

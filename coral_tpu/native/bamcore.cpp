@@ -17,6 +17,7 @@
 #include <cstring>
 #include <cstdlib>
 #include <algorithm>
+#include <limits>
 #include <string>
 #include <unordered_map>
 #include <unordered_set>
@@ -1093,7 +1094,13 @@ int64_t bc_parse_sa(BamCore* bc) {
         bc->aln_ref.push_back(a.ref_id);
         bc->aln_mapq.push_back(a.mapq);
         bc->aln_strand.push_back(a.strand);
-        bc->aln_nm.push_back(a.nm / static_cast<double>(a.qe - a.qs));
+        // degenerate 1-base local alignment: qe == qs (reference
+        // off-by-one span; it ZeroDivisionErrors, cigar_parsing.py:268).
+        // Emit inf explicitly — a plain 0.0/0.0 is NaN, which would
+        // diverge from the python backend's inf for NM=0 records
+        bc->aln_nm.push_back(
+            a.qe > a.qs ? a.nm / static_cast<double>(a.qe - a.qs)
+                        : std::numeric_limits<double>::infinity());
       }
     }
     bc->chim_off.push_back(static_cast<int64_t>(bc->aln_qs.size()));

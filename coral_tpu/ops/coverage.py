@@ -53,8 +53,16 @@ class CoverageIndex:
     """Sorted-endpoint coverage index over aligned blocks or reads."""
 
     def __init__(self, starts: np.ndarray, ends: np.ndarray):
-        starts = jnp.asarray(np.asarray(starts, np.int32))
-        ends = jnp.asarray(np.asarray(ends, np.int32))
+        s64 = np.asarray(starts)
+        e64 = np.asarray(ends)
+        if s64.size and (int(e64.max()) > np.iinfo(np.int32).max
+                         or int(s64.min()) < np.iinfo(np.int32).min):
+            # int32 conversion would WRAP silently (per-chromosome
+            # coordinates always fit; only flat-genome misuse trips this)
+            raise ValueError("coordinates exceed int32; index per "
+                             "chromosome instead")
+        starts = jnp.asarray(s64.astype(np.int32))
+        ends = jnp.asarray(e64.astype(np.int32))
         self._tables = _build_tables(starts, ends)
         self.n = int(starts.shape[0])
 
@@ -96,8 +104,18 @@ def bin_coverage_sharded(starts, ends, origin, bin_size, n_bins, mesh,
     from jax import shard_map
 
     n_dev = mesh.shape[axis]
-    starts = np.asarray(starts, np.int32)
-    ends = np.asarray(ends, np.int32)
+    starts = np.asarray(starts)
+    ends = np.asarray(ends)
+    # per-chromosome coordinates always fit int32 (longest chromosome is
+    # 249 Mb), but a flat-concatenated-genome caller can exceed 2^31 —
+    # np.asarray(x, int32) would WRAP silently and corrupt histograms
+    if starts.size and (int(ends.max()) > np.iinfo(np.int32).max
+                        or int(starts.min()) < np.iinfo(np.int32).min):
+        raise ValueError(
+            "read positions exceed int32; shard per chromosome (or "
+            "rebase origins) before bin_coverage_sharded")
+    starts = starts.astype(np.int32)
+    ends = ends.astype(np.int32)
     pad = (-len(starts)) % n_dev
     if pad:
         # zero-length pad intervals contribute nothing

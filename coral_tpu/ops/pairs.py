@@ -14,7 +14,8 @@ agreement against the per-read host implementation on randomized data.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+import math
+from dataclasses import dataclass
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -151,12 +152,10 @@ def find_breakpoints_device(
         rescue_pass
 
     table = build_chimera_table(chimeras)
-    if max_nm is None:
-        # NM gate off: feed ZERO nm columns with the inf cutoff (the
-        # scoring contract) — real nm values can be inf for degenerate
-        # 1-base alignments, and inf < inf would reject rows the host
-        # gate (max_nm is None -> pass) keeps
-        table = replace(table, nm=np.zeros_like(table.nm))
+    # the NM gate-off contract (zero nm + inf cutoff) is owned by the
+    # scoring entry points themselves (score_pairs_l /
+    # score_pairs_sharded / score_pairs_two_intervals), so every caller
+    # and engine agrees on gate-off inputs
     if mesh is not None:
         from ..parallel.sharded import score_pairs_sharded
         pi, pj, hits = score_pairs_sharded(
@@ -255,8 +254,12 @@ def score_pairs_two_intervals(
     pair_in = (overlaps(i, intrvl1) & overlaps(j, intrvl2)) \
         | (overlaps(j, intrvl1) & overlaps(i, intrvl2))
     hit = (qgap + min_bp_match_cutoff >= 0) & pair_in \
-        & (table.mapq[i] >= min_mapq) & (table.mapq[j] >= min_mapq) \
-        & (table.nm[i] < max_nm) & (table.nm[j] < max_nm)
+        & (table.mapq[i] >= min_mapq) & (table.mapq[j] >= min_mapq)
+    if not np.isinf(max_nm):
+        # gate ON only for finite cutoffs: degenerate 1-base alignments
+        # carry inf/NaN per-base NM, and inf<inf / NaN<x would reject
+        # rows the gate-off host semantics (max_nm is None -> pass) keep
+        hit = hit & (table.nm[i] < max_nm) & (table.nm[j] < max_nm)
     return hit
 
 
@@ -372,21 +375,29 @@ def score_pairs_l(
         hit, _ = pair_predicates_pallas(
             cols, int_chrom, int_start.astype(np.int32),
             int_end.astype(np.int32),
-            min_bp_match_cutoff=min_bp_match_cutoff, min_mapq=int(min_mapq),
+            min_bp_match_cutoff=min_bp_match_cutoff,
+            min_mapq=int(math.ceil(min_mapq)),
             gap_=float(gap_),
             interpret=jax.default_backend() != "tpu")
         return pi, pj, hit
     hits = np.zeros(pi.size, bool)
     fn = _pair_predicates if engine == "jax" else _pair_predicates_numpy
+    nm_col = table.nm
+    if np.isinf(max_nm):
+        # gate-off contract owned HERE (not per caller): zero nm + inf
+        # cutoff, so inf/NaN per-base NM of degenerate alignments cannot
+        # reject pairs — keeps numpy/jax results identical to the Pallas
+        # engine (which carries no NM columns at all)
+        nm_col = np.zeros_like(table.nm)
     for lo in range(0, pi.size, batch):
         sl = slice(lo, min(lo + batch, pi.size))
         i, j = pi[sl], pj[sl]
         hit, _ = fn(
             table.q_end[i], table.q_start[j],
             table.chrom[i], table.r1[i], table.r2[i],
-            table.strand[i].astype(np.int32), table.mapq[i], table.nm[i],
+            table.strand[i].astype(np.int32), table.mapq[i], nm_col[i],
             table.chrom[j], table.r1[j], table.r2[j],
-            table.strand[j].astype(np.int32), table.mapq[j], table.nm[j],
+            table.strand[j].astype(np.int32), table.mapq[j], nm_col[j],
             int_chrom, int_start, int_end,
             min_bp_match_cutoff, min_mapq, float(gap_), float(max_nm),
         )

@@ -61,8 +61,14 @@ def score_pairs_sharded(
         col(table.chrom, pj), col(table.r1, pj), col(table.r2, pj),
         col(table.strand, pj), col(table.mapq, pj),
     ]
-    nm_i = np.asarray(table.nm, np.float32)[pi]
-    nm_j = np.asarray(table.nm, np.float32)[pj]
+    nm = np.asarray(table.nm, np.float32)
+    if np.isinf(max_nm):
+        # gate-off contract (same as ops.pairs.score_pairs_l): zero nm +
+        # inf cutoff, so degenerate alignments' inf/NaN per-base NM
+        # cannot reject pairs the host semantics keep
+        nm = np.zeros_like(nm)
+    nm_i = nm[pi]
+    nm_j = nm[pj]
     if pad:
         nm_i = np.concatenate([nm_i, np.full(pad, np.inf, np.float32)])
         nm_j = np.concatenate([nm_j, np.full(pad, np.inf, np.float32)])

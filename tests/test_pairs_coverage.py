@@ -217,3 +217,62 @@ def test_score_pairs_pallas_engine_matches_numpy():
     np.testing.assert_array_equal(pi_n, pi_p)
     np.testing.assert_array_equal(hits_n, hits_p)
     assert hits_n.sum() > 0
+
+
+def test_gate_off_engines_agree_on_inf_nm():
+    """Review fix: with the NM gate off (max_nm=inf), a degenerate 1-base
+    alignment's inf per-base NM must not reject pairs — and every engine
+    (numpy, jax, two-interval batch, sharded) must agree.  The gate-off
+    contract (zero nm + inf cutoff) now lives inside the scoring entry
+    points, not in one caller."""
+    import numpy as np
+
+    from coral_tpu.ops.pairs import (score_pairs_two_intervals,
+                                     subset_to_bps_batch)
+    from coral_tpu.ops.chimera import ChimeraStore  # noqa: F401  (doc)
+
+    # one read whose both sides hit interval 0/1 and whose first side
+    # carries inf per-base NM (degenerate alignment)
+    chims = {
+        # both sides inside interval 0 (the pair predicate requires the
+        # SAME first-overlap interval), far apart (gap discrepancy)
+        "inf0": Chimera(
+            [[0, 999], [1005, 2004]],
+            [["chr1", 1000, 2000, "+"], ["chr1", 1_200_000, 1_201_000, "+"]],
+            [60, 60], [float("inf"), 0.01]),
+    }
+    table = build_chimera_table(chims)
+    for engine in ("numpy", "jax"):
+        _pi, _pj, hits = score_pairs_l(
+            table, INTERVALS, 100, 20, 100.0, np.inf, engine=engine)
+        assert hits.tolist() == [True], engine
+    # finite cutoff still rejects it
+    _pi, _pj, hits = score_pairs_l(table, INTERVALS, 100, 20, 100.0, 0.5)
+    assert hits.tolist() == [False]
+    # two-interval batch path (the subset_to_bps_batch predicate)
+    hits2 = score_pairs_two_intervals(
+        table, np.asarray([0]), INTERVALS[0], INTERVALS[0], 100, 20, np.inf)
+    assert hits2.tolist() == [True]
+    hits2 = score_pairs_two_intervals(
+        table, np.asarray([0]), INTERVALS[0], INTERVALS[0], 100, 20, 0.5)
+    assert hits2.tolist() == [False]
+
+
+def test_gate_off_sharded_agrees_on_inf_nm():
+    """Same contract over the mesh path."""
+    import numpy as np
+
+    from coral_tpu.parallel.mesh import make_mesh
+    from coral_tpu.parallel.sharded import score_pairs_sharded
+
+    chims = {
+        "inf0": Chimera(
+            [[0, 999], [1005, 2004]],
+            [["chr1", 1000, 2000, "+"], ["chr1", 1_200_000, 1_201_000, "+"]],
+            [60, 60], [float("inf"), 0.01]),
+    }
+    table = build_chimera_table(chims)
+    mesh = make_mesh()
+    _pi, _pj, hits = score_pairs_sharded(
+        table, INTERVALS, 100, 20, 100.0, mesh, max_nm=np.inf)
+    assert hits.tolist() == [True]
