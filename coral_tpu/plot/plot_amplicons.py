@@ -399,10 +399,21 @@ class AmpliconVisualizer:
             else:
                 print("Could not place " + str(bp))
         if placeable:
-            xs1 = np.concatenate([
-                layout.pos_x(bp[0], [bp[1]])[0] for bp in placeable])
-            xs2 = np.concatenate([
-                layout.pos_x(bp[3], [bp[4]])[0] for bp in placeable])
+            def batched_pos_x(chroms, poss):
+                # pos_x is vectorized per chromosome: two calls per
+                # distinct chrom instead of one tiny call per breakpoint
+                chroms = np.asarray(chroms)
+                poss = np.asarray(poss, np.int64)
+                out = np.zeros(len(poss))
+                for c in np.unique(chroms):
+                    m = chroms == c
+                    out[m] = layout.pos_x(str(c), poss[m])[0]
+                return out
+
+            xs1 = batched_pos_x([bp[0] for bp in placeable],
+                                [bp[1] for bp in placeable])
+            xs2 = batched_pos_x([bp[3] for bp in placeable],
+                                [bp[4] for bp in placeable])
             for bp, x1, x2 in zip(placeable, xs1, xs2):
                 if self.plot_bounds:
                     hit1 = (bp[0] == self.plot_bounds[0]
@@ -460,8 +471,21 @@ class AmpliconVisualizer:
                 # (plot_amplicons.py:406-414) — same rect, same max_cov fold
                 wt = iv[1] - ((iv[1] - iv[0] + 1) % window)
                 if wt < iv[1]:
-                    c = float(profile[wt - iv[0]: wt - iv[0] + window].sum()
-                              ) / window
+                    lo_rel = wt - iv[0]
+                    if lo_rel >= 0:
+                        c = float(profile[lo_rel: lo_rel + window].sum()
+                                  ) / window
+                    else:
+                        # interval shorter than the window: the tail
+                        # window starts BEFORE the interval, outside the
+                        # prefetched profile — the reference queries the
+                        # genome there (count_coverage(wt, wt+window),
+                        # plot_amplicons.py:407-409); a negative profile
+                        # slice would silently yield coverage 0
+                        c = float(np.asarray(self.bam.coverage_profile(
+                            chrom, wt, wt + window,
+                            quality_threshold=int(quality_threshold)),
+                            float).sum()) / window
                     max_cov = max(max_cov, c)
                     xt = starts[chrom][inti] + \
                         (wt - iv[0]) * 100.0 / total_len_amp
@@ -514,14 +538,20 @@ class AmpliconVisualizer:
         plt.close(fig)
 
     def _draw_gene_track(self, ax3, sorted_chrs, intervals, starts,
-                         total_len_amp, gene_font_size, zoom=1.0) -> None:
+                         total_len_amp, gene_font_size, zoom=1.0,
+                         respect_bounds=True) -> None:
+        # respect_bounds: the --region zoom applies to the GRAPH figure
+        # only — the reference's plotcycle ignores it entirely
+        # (src/plot_amplicons.py:806-848), so the cycles figure passes
+        # respect_bounds=False
+        bounds = self.plot_bounds if respect_bounds else None
         for chrom in sorted_chrs:
             for inti, iv in enumerate(intervals[chrom]):
-                if self.plot_bounds:
-                    if chrom != self.plot_bounds[0]:
+                if bounds:
+                    if chrom != bounds[0]:
                         continue
-                    if not (iv[1] >= self.plot_bounds[1]
-                            and iv[0] <= self.plot_bounds[2]):
+                    if not (iv[1] >= bounds[1]
+                            and iv[0] <= bounds[2]):
                         continue
                 rel = self.genes_overlapping(chrom, iv[0], iv[1])
                 self.set_gene_heights(rel, total_len_amp * 0.02)
@@ -532,11 +562,11 @@ class AmpliconVisualizer:
                     gx1 = starts[chrom][inti] + (cut_gs - iv[0]) * 100.0 / total_len_amp
                     gx2 = starts[chrom][inti] + (cut_ge - iv[0]) * 100.0 / total_len_amp
                     ax3.hlines(h, gx1, gx2, color="cornflowerblue", lw=4.5)
-                    if self.plot_bounds:
-                        if cut_ge < self.plot_bounds[1] or cut_gs > self.plot_bounds[2]:
+                    if bounds:
+                        if cut_ge < bounds[1] or cut_gs > bounds[2]:
                             continue
-                        cut_gs = max(self.plot_bounds[1], cut_gs)
-                        cut_ge = min(self.plot_bounds[2], cut_ge)
+                        cut_gs = max(bounds[1], cut_gs)
+                        cut_ge = min(bounds[2], cut_ge)
                         gx1 = starts[chrom][inti] + (cut_gs - iv[0]) * 100.0 / total_len_amp
                         gx2 = starts[chrom][inti] + (cut_ge - iv[0]) * 100.0 / total_len_amp
                     ax3.text((gx1 + gx2) / 2, h + 0.05, g.gname, ha="center",
@@ -771,7 +801,8 @@ class AmpliconVisualizer:
 
         if not hide_genes:
             self._draw_gene_track(ax3, sorted_chrs, self.intervals_from_cycle,
-                                  starts, total_len_amp, gene_font_size)
+                                  starts, total_len_amp, gene_font_size,
+                                  respect_bounds=False)
 
         ax.set_xlim(-1, 101 + (self.num_amplified_intervals + 1) * margin)
         ax.set_ylim(y_cur + 2, 0)

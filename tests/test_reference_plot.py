@@ -392,3 +392,82 @@ def test_plot_graph_region_bounds_differential(ref_plot, sample, monkeypatch,
     our_geom = _capture_graph(ours, "t", str(tmp_path / "our_rg"))
 
     assert our_geom == ref_geom
+
+
+def test_plot_graph_short_interval_tail_window(ref_plot, sample, monkeypatch,
+                                               tmp_path):
+    """Review fix: an amplified interval SHORTER than the coverage window
+    puts the reference's extra tail window before the interval start
+    (count_coverage(wt, wt+window) with wt < start); our prefetched
+    profile must query the genome there too, not silently slice empty
+    (zero bar + wrong y-limit).  Differential on a 100 bp interval."""
+    _redirect_refgene(monkeypatch, ref_plot, sample["refgene"])
+    monkeypatch.chdir(sample["dir"])
+    graph_fn = str(tmp_path / "tiny_graph.txt")
+    with open(graph_fn, "w") as fp:
+        fp.write(
+            "SequenceEdge: StartPosition, EndPosition, PredictedCN, "
+            "AverageCoverage, Size, NumberOfLongReads\n"
+            "sequence\tchr7:55000300-\tchr7:55000399+\t20.0\t25.0\t100\t10\n"
+            "BreakpointEdge: StartPosition->EndPosition, PredictedCN, "
+            "NumberOfLongReads\n"
+            "discordant\tchr7:55000399+->chr7:55000300-\t18.0\t9\n")
+
+    gref = _fresh_ref_vis(ref_plot)
+    gref.open_bam(sample["bam"])
+    gref.parse_graph_file(graph_fn)
+    gref.parse_genes("hg38", set(), False)
+    gref.graph_amplified_intervals()
+    ref_geom = _capture_graph(gref, "t", str(tmp_path / "ref_tiny"))
+
+    from coral_tpu.plot.plot_amplicons import AmpliconVisualizer
+
+    ours = AmpliconVisualizer()
+    ours.open_bam(sample["bam"])
+    ours.parse_graph_file(graph_fn)
+    ours.parse_genes("hg38", set(), False)
+    ours.graph_amplified_intervals()
+    our_geom = _capture_graph(ours, "t", str(tmp_path / "our_tiny"))
+
+    assert our_geom["lims"] == ref_geom["lims"]  # y-limit needs real cov
+    assert our_geom["rects"] == ref_geom["rects"]
+    # the tail bar must carry nonzero coverage (the sim covers chr7 here)
+    assert any(r[3] > 0 for r in our_geom["rects"]), our_geom["rects"]
+
+
+def test_plot_cycles_ignores_region_bounds(ref_plot, sample, monkeypatch,
+                                           tmp_path):
+    """Review fix: --region applies to the GRAPH figure only — the
+    reference's plotcycle has no region support at all
+    (plot_amplicons.py:584-904), so a cycles figure rendered WITH
+    plot_bounds set must equal the reference's regionless output
+    (previously the shared gene-track helper filtered the cycles gene
+    track by the region)."""
+    _redirect_refgene(monkeypatch, ref_plot, sample["refgene"])
+    monkeypatch.chdir(sample["dir"])
+    cycles_fn = sample["prefix"] + "_amplicon1_cycles.txt"
+
+    gref = _fresh_ref_vis(ref_plot)
+    gref.parse_genes("hg38", set(), False)
+    gref.parse_cycle_file(cycles_fn, str(tmp_path / "refc"), None)
+    gref.cycle_amplified_intervals(cycle_ids=None, cycle_only=False,
+                                   graph_given=False)
+    ref_geom = _capture_cycles(gref, "plotcycle", "t",
+                               str(tmp_path / "ref_cyc_nr"))
+
+    from coral_tpu.plot.plot_amplicons import AmpliconVisualizer
+
+    ours = AmpliconVisualizer()
+    ours.parse_genes("hg38", set(), False)
+    ours.parse_cycle_file(cycles_fn, str(tmp_path / "ourc"), None)
+    ours.cycle_amplified_intervals(cycle_ids=None, cycle_only=False,
+                                   graph_given=False)
+    # a narrow region that would filter out the gene track if (wrongly)
+    # applied to the cycles figure
+    ours.plot_bounds = ("chr7", 55_250_000, 55_260_000)
+    our_geom = _capture_cycles(ours, "plot_cycles", "t",
+                               str(tmp_path / "our_cyc_nr"))
+
+    assert our_geom["lims"] == ref_geom["lims"]
+    assert our_geom["rects"] == ref_geom["rects"]
+    assert our_geom["segs"] == ref_geom["segs"]
