@@ -67,9 +67,7 @@ def synth_scoring_batch(n_reads: int, n_intervals: int = 16, seed: int = 0):
     return starts, ends, cols, int_chrom, int_start, int_end
 
 
-COL_ORDER = ("qi_end", "qj_start", "chrom_i", "r1_i", "r2_i", "strand_i",
-             "mapq_i", "nm_i", "chrom_j", "r1_j", "r2_j", "strand_j",
-             "mapq_j", "nm_j")
+from coral_tpu.ops.scoring import COL_ORDER  # canonical order
 
 
 def roofline_utilization(n_reads: int, t_dev: float,

@@ -30,6 +30,10 @@ struct WalkEnum {
   std::vector<int32_t> adj_off, adj_ids;      // per-node bp adjacency
   std::vector<uint8_t> is_endnode;
   std::vector<int32_t> term_node, term_skey, term_tkey;
+  // node -> terminal indices (built once; the DFS queries this at every
+  // visited node, where a linear scan of the terminal list would cost
+  // O(n_term * states) — mirrors the Python driver's exits_at)
+  std::vector<int32_t> term_at_off, term_at_ids;
   int32_t max_mult = 10;
   int32_t max_bp_steps = 40;
   int64_t budget = 200000;
@@ -56,7 +60,6 @@ void emit(WalkEnum* we, bool cycle, int32_t extra_key1, int32_t extra_key2) {
   for (int32_t si : we->used_seq) {
     if (we->seq_cnt[si] > 0) items.push_back({si, we->seq_cnt[si]});
   }
-  size_t n_seq_items = items.size();
   for (int32_t bi : we->used_bp) {
     if (we->bp_cnt[bi] > 0) items.push_back({we->bp_key[bi], we->bp_cnt[bi]});
   }
@@ -73,7 +76,6 @@ void emit(WalkEnum* we, bool cycle, int32_t extra_key1, int32_t extra_key2) {
       w += static_cast<double>(we->seq_len[items[k].first]) * items[k].second;
     }
   }
-  (void)n_seq_items;
   for (auto& it : items) {
     we->keys.push_back(it.first);
     we->counts.push_back(it.second);
@@ -147,10 +149,9 @@ void dfs_cycle(WalkEnum* we, int32_t start_entry, int32_t node, int32_t steps) {
 void dfs_path(WalkEnum* we, int32_t start_term, int32_t node, int32_t steps) {
   if (we->budget <= 0) { we->truncated = true; return; }
   we->budget--;
-  for (size_t t = 0; t < we->term_node.size(); t++) {
-    if (we->term_node[t] == node) {
-      emit(we, false, we->term_skey[start_term], we->term_tkey[t]);
-    }
+  for (int32_t a = we->term_at_off[node]; a < we->term_at_off[node + 1]; a++) {
+    int32_t t = we->term_at_ids[a];
+    emit(we, false, we->term_skey[start_term], we->term_tkey[t]);
   }
   if (we->is_endnode[node]) return;
   for (int32_t a = we->adj_off[node]; a < we->adj_off[node + 1]; a++) {
@@ -208,6 +209,17 @@ WalkEnum* we_create(
   we->budget = max_states;
   we->seq_cnt.assign(n_seq, 0);
   we->bp_cnt.assign(n_bp, 0);
+  // bucket terminals by node (counting sort keeps terminal order stable
+  // per node, matching the scan order the Python twin emits in)
+  std::vector<int32_t> cnt(n_nodes + 1, 0);
+  for (int32_t t = 0; t < n_term; t++) cnt[term_node[t] + 1]++;
+  we->term_at_off.assign(n_nodes + 1, 0);
+  for (int32_t v = 0; v < n_nodes; v++)
+    we->term_at_off[v + 1] = we->term_at_off[v] + cnt[v + 1];
+  we->term_at_ids.assign(n_term, 0);
+  std::vector<int32_t> cur(we->term_at_off.begin(), we->term_at_off.end() - 1);
+  for (int32_t t = 0; t < n_term; t++)
+    we->term_at_ids[cur[term_node[t]]++] = t;
   return we;
 }
 
@@ -233,7 +245,15 @@ void we_run(WalkEnum* we) {
       dfs_path(we, static_cast<int32_t>(t), other, 0);
       untouch_seq(we, si);
     }
-    if (depth >= we->max_bp_steps || we->truncated || we->budget <= 0) break;
+    if (depth >= we->max_bp_steps || we->truncated) break;
+    if (we->budget <= 0) {
+      // budget ran out exactly at a pass boundary: deeper walks were
+      // never explored, so the pool IS truncated even though no dfs
+      // call tripped the in-search guard (mirrors the Python driver,
+      // candidates.py deepening loop)
+      we->truncated = true;
+      break;
+    }
     if (we->budget == start_budget) break;
     depth = depth * 2 < we->max_bp_steps ? depth * 2 : we->max_bp_steps;
   }

@@ -154,12 +154,19 @@ def enumerate_native(
         lib.we_run(h)
         n_cand = lib.we_n_candidates(h)
         truncated = bool(lib.we_truncated(h))
+        if n_cand == 0:
+            # empty pool: the column pointers are empty-vector data()
+            # (NULL), which np.ctypeslib.as_array rejects even for a
+            # dummy shape — a tiny budget / degenerate graph must yield
+            # an empty (possibly truncated) pool like the python engine,
+            # not a ValueError
+            return [], truncated
         off = np.ctypeslib.as_array(lib.we_cand_off(h), shape=(n_cand + 1,))
-        total_keys = int(off[-1]) if n_cand else 0
+        total_keys = int(off[-1])
         keys = np.ctypeslib.as_array(lib.we_keys(h), shape=(max(total_keys, 1),))
         counts = np.ctypeslib.as_array(lib.we_counts(h), shape=(max(total_keys, 1),))
-        iscycle = np.ctypeslib.as_array(lib.we_iscycle(h), shape=(max(n_cand, 1),))
-        weight = np.ctypeslib.as_array(lib.we_seqweight(h), shape=(max(n_cand, 1),))
+        iscycle = np.ctypeslib.as_array(lib.we_iscycle(h), shape=(n_cand,))
+        weight = np.ctypeslib.as_array(lib.we_seqweight(h), shape=(n_cand,))
         out = []
         for k in range(n_cand):
             edges = {}

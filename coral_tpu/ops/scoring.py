@@ -96,6 +96,12 @@ META_SIDE_BITS = 14
 META_CHROM_SHIFT = 9
 META_MAPQ_SHIFT = 1
 PACKED_COL_ORDER = ("qgap", "r1_i", "r2_i", "r1_j", "r2_j", "meta")
+# the 14-column UNPACKED layout, in pair_predicate's positional parameter
+# order — owned here so consumers (bench.py, __graft_entry__.py, tests)
+# cannot drift out of sync with the predicate signature
+COL_ORDER = ("qi_end", "qj_start", "chrom_i", "r1_i", "r2_i", "strand_i",
+             "mapq_i", "nm_i", "chrom_j", "r1_j", "r2_j", "strand_j",
+             "mapq_j", "nm_j")
 
 
 def pack_pair_cols(xp, qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i,

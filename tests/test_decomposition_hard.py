@@ -288,3 +288,24 @@ def test_refmodel_self_loop_root_allowed():
     # each self-loop used once, each node's DEDUPED bp usage is 1
     used = {("e", 0): 2, ("d", 0): 1, ("d", 1): 1}
     assert cycle_has_reference_root(g, used)
+
+
+def test_tiny_budget_engines_agree():
+    """Review fixes: (a) an empty native pool must not crash on NULL
+    column pointers; (b) budget exhaustion exactly at a deepening-pass
+    boundary must set truncated on BOTH engines (the native enumerator
+    used to return truncated=False there, silently skipping the
+    escalation ladder)."""
+    from coral_tpu.native import walkenum
+    from test_cycle_decomposition import gbm39_graph
+
+    if not walkenum.available():
+        import pytest
+        pytest.skip("native walkenum not built")
+    g = gbm39_graph()
+    for budget in (1, 2, 4, 12, 77, 259, 1000, 100000):
+        py = enumerate_candidates(g, engine="python", max_states=budget)
+        nat = enumerate_candidates(g, engine="native", max_states=budget)
+        assert py.truncated == nat.truncated, budget
+        assert sorted(c.edges for c in py) == sorted(c.edges for c in nat), \
+            budget

@@ -40,9 +40,7 @@ def _random_batch(n=4096, seed=3):
     return starts, ends, cols, ic, is_, ie
 
 
-COL_ORDER = ("qi_end", "qj_start", "chrom_i", "r1_i", "r2_i", "strand_i",
-             "mapq_i", "nm_i", "chrom_j", "r1_j", "r2_j", "strand_j",
-             "mapq_j", "nm_j")
+from coral_tpu.ops.scoring import COL_ORDER  # canonical order
 
 
 def test_fused_step_numpy_equals_jax():
