@@ -20,6 +20,8 @@ CHR = "chr7"
 CHR_LEN = 159_345_973
 CHR2 = "chr8"
 CHR2_LEN = 145_138_636
+CHR3 = "chr5"
+CHR3_LEN = 181_538_259
 
 
 def simulate_ecdna(
@@ -229,6 +231,133 @@ def simulate_translocated_ecdna(
                 pos = end
 
     seed_path = os.path.join(out_dir, "sim_tx_seeds.bed")
+    with open(seed_path, "w") as fp:
+        fp.write(f"{CHR}\t{amp_a[0]}\t{amp_a[1] - 1}\n")
+    return bam_path, cns_path, seed_path
+
+
+def simulate_multichrom_inverted_ecdna(
+    out_dir: str,
+    amp_a=(55_000_000, 55_300_000),     # chr7 segment, traversed '+'
+    amp_b=(127_000_000, 127_200_000),   # chr8 segment, traversed '-'
+    amp_c=(90_000_000, 90_150_000),     # chr5 segment, traversed '+'
+    bg_cov: int = 20,
+    amp_extra_cov: int = 150,
+    n_junction_reads: int = 60,
+    bg_read_len: int = 50_000,
+    amp_read_len: int = 10_000,
+    junction_flank: int = 10_000,
+    jitter: int = 0,
+    seed: int = 0,
+    emit_seq: bool = False,
+) -> Tuple[str, str, str]:
+    """Three-chromosome circular amplicon with one INVERTED segment:
+
+        chr7:A+  -->  chr8:B-  -->  chr5:C+  -->  back to A+
+
+    Only the chr7 segment is seeded, so the interval search must discover
+    chr8 through junction 1 and then chr5 through junction 2 — a
+    two-hop transitive BFS (every other sim discovers at most one hop).
+    The B segment is traversed on the MINUS strand: the A->B junction
+    enters B at its RIGHT end moving left, and the B->C junction leaves B
+    at its LEFT end, producing mixed-strand split reads that are NOT
+    foldbacks (distinct positions and chromosomes), the one discordant
+    orientation class the single-strand sims and the BFB fold sims never
+    emit together.
+    """
+    rng = random.Random(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    recs: List[BamRecord] = []
+    # emit_seq: realistic SEQ-bearing primaries (real nanopore primaries
+    # always carry SEQ; '*' models are compact but make pysam-semantics
+    # consumers divide by query_length == 0)
+    sq = "" if emit_seq else "*"
+    domains = [(CHR, 50_000_000, 60_000_000),
+               (CHR2, 122_000_000, 132_000_000),
+               (CHR3, 85_000_000, 95_000_000)]
+    step = bg_read_len // bg_cov
+    i = 0
+    for (chrom, dstart, dend) in domains:
+        for start in range(dstart, dend - bg_read_len, step):
+            recs.append(BamRecord(f"bg{i:07d}", 0, chrom, start, 60,
+                                  f"{bg_read_len}M", seq=sq, tags={"NM": 100}))
+            i += 1
+    astep = max(amp_read_len // amp_extra_cov, 1)
+    i = 0
+    for (chrom, (s, e)) in [(CHR, amp_a), (CHR2, amp_b), (CHR3, amp_c)]:
+        for start in range(s, e - amp_read_len, astep):
+            recs.append(BamRecord(f"amp{i:07d}", 0, chrom, start, 60,
+                                  f"{amp_read_len}M", seq=sq, tags={"NM": 20}))
+            i += 1
+
+    f = junction_flank
+    rl = 2 * f
+
+    def j():
+        return rng.randint(-jitter, jitter) if jitter else 0
+
+    for k in range(n_junction_reads):
+        # junction 1: A+ end -> B- right end (read enters B moving LEFT).
+        # part 1 = query [0,f) on '+' ending at A_end; part 2 = query
+        # [f,2f) on '-' covering [B_end-f, B_end) — stored (reference-
+        # orientation) CIGAR of the reversed segment is fMfS.
+        a1 = amp_a[1] - f + j()
+        b2 = amp_b[1] - f + j()
+        sa1 = f"{CHR},{a1 + 1},+,{f}M{f}S,60,50;"
+        sa2 = f"{CHR2},{b2 + 1},-,{f}M{f}S,60,50;"
+        recs.append(BamRecord(f"jab{k:04d}", 0, CHR, a1, 60, f"{f}M{f}S",
+                              seq="A" * rl, tags={"NM": 50, "SA": sa2}))
+        recs.append(BamRecord(f"jab{k:04d}", 0x810, CHR2, b2, 60,
+                              f"{f}M{f}S", seq="*",
+                              tags={"NM": 50, "SA": sa1}))
+        # junction 2: B- left end -> C+ start.  part 1 = query [0,f) on
+        # '-' covering [B_start, B_start+f) (stored CIGAR fSfM); part 2 =
+        # query [f,2f) on '+' from C_start.
+        b1 = amp_b[0] + j()
+        c2 = amp_c[0] + j()
+        sa1 = f"{CHR2},{b1 + 1},-,{f}S{f}M,60,50;"
+        sa2 = f"{CHR3},{c2 + 1},+,{f}S{f}M,60,50;"
+        recs.append(BamRecord(f"jbc{k:04d}", 0x10, CHR2, b1, 60,
+                              f"{f}S{f}M", seq="A" * rl,
+                              tags={"NM": 50, "SA": sa2}))
+        recs.append(BamRecord(f"jbc{k:04d}", 0x800, CHR3, c2, 60,
+                              f"{f}S{f}M", seq="*",
+                              tags={"NM": 50, "SA": sa1}))
+        # junction 3: C+ end -> A+ start (plain head-to-tail).
+        c1 = amp_c[1] - f + j()
+        a2 = amp_a[0] + j()
+        sa1 = f"{CHR3},{c1 + 1},+,{f}M{f}S,60,50;"
+        sa2 = f"{CHR},{a2 + 1},+,{f}S{f}M,60,50;"
+        recs.append(BamRecord(f"jca{k:04d}", 0, CHR3, c1, 60, f"{f}M{f}S",
+                              seq="A" * rl, tags={"NM": 50, "SA": sa2}))
+        recs.append(BamRecord(f"jca{k:04d}", 0x800, CHR, a2, 60,
+                              f"{f}S{f}M", seq="*",
+                              tags={"NM": 50, "SA": sa1}))
+
+    bam_path = os.path.join(out_dir, "sim_mc.bam")
+    write_bam(bam_path, [(CHR3, CHR3_LEN), (CHR, CHR_LEN), (CHR2, CHR2_LEN)],
+              recs)
+
+    cns_path = os.path.join(out_dir, "sim_mc.cns")
+    amp_cn = 2.0 * (bg_cov + amp_extra_cov) / bg_cov
+    with open(cns_path, "w") as fp:
+        fp.write("chromosome\tstart\tend\tgene\tlog2\tdepth\n")
+        for (chrom, dstart, dend), (amps, ampe) in zip(
+                domains, [amp_a, amp_b, amp_c]):
+            pos = dstart
+            while pos < amps:
+                end = min(pos + 5_000_000, amps)
+                fp.write(f"{chrom}\t{pos}\t{end}\t-\t0.0\t{bg_cov}\n")
+                pos = end
+            fp.write(f"{chrom}\t{amps}\t{ampe}\t-\t"
+                     f"{math.log2(amp_cn / 2.0)}\t{bg_cov + amp_extra_cov}\n")
+            pos = ampe
+            while pos < dend:
+                end = min(pos + 5_000_000, dend)
+                fp.write(f"{chrom}\t{pos}\t{end}\t-\t0.0\t{bg_cov}\n")
+                pos = end
+
+    seed_path = os.path.join(out_dir, "sim_mc_seeds.bed")
     with open(seed_path, "w") as fp:
         fp.write(f"{CHR}\t{amp_a[0]}\t{amp_a[1] - 1}\n")
     return bam_path, cns_path, seed_path

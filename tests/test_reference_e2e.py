@@ -210,6 +210,20 @@ def test_e2e_breakpoints_translocated(ref_ibg, tmp_path):
     _run_both(ref_ibg, tmp_path, bam, cns, seeds, "transloc")
 
 
+def test_e2e_breakpoints_multichrom_inverted(ref_ibg, tmp_path):
+    """Three chromosomes in ONE cycle with an inverted middle segment
+    (chr7:A+ -> chr8:B- -> chr5:C+ -> A): only chr7 is seeded, so the
+    interval search must discover chr8 and then chr5 transitively (a
+    two-hop BFS), and the A->B / B->C junctions are mixed-strand
+    non-foldback chimeras no other archetype emits."""
+    from coral_tpu.sim import simulate_multichrom_inverted_ecdna
+
+    bam, cns, seeds = simulate_multichrom_inverted_ecdna(
+        str(tmp_path / "sim"), seed=1, **_GEOM)
+    n = _run_both(ref_ibg, tmp_path, bam, cns, seeds, "multichrom")
+    assert n == 1  # one connected component spanning all three chromosomes
+
+
 # --------------------------------------------------------------------------
 # Cycles writer + Eulerian digestion of identical solutions
 # --------------------------------------------------------------------------
@@ -328,10 +342,18 @@ def _sim_mixed_full(path):
     return simulate_mixed_sample(str(path / "sim"), seed=13, **_GEOM)
 
 
+def _sim_multichrom_full(path):
+    from coral_tpu.sim import simulate_multichrom_inverted_ecdna
+
+    return simulate_multichrom_inverted_ecdna(str(path / "sim"), seed=1,
+                                              **_GEOM)
+
+
 @pytest.mark.parametrize(
     "sim_factory",
-    [_sim_ecdna_full, _sim_transloc_full, _sim_bfb_full, _sim_mixed_full],
-    ids=["ecdna", "transloc", "bfb", "mixed"])
+    [_sim_ecdna_full, _sim_transloc_full, _sim_bfb_full, _sim_mixed_full,
+     _sim_multichrom_full],
+    ids=["ecdna", "transloc", "bfb", "mixed", "multichrom"])
 def test_e2e_full_pipeline_cycles(ref_ibg, tmp_path, sim_factory):
     """Capstone differential: the reference's ENTIRE reconstruct mode —
     BAM scan + graph inference (pysam facade), CN balance (cvxopt-cp
