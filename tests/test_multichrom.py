@@ -77,3 +77,34 @@ def test_multichrom_cycle_decomposition(sim):
     # weight is capped by the min CN along the walk (the short chr5
     # segment's interior coverage, < the 17.0 junction CN)
     assert 10.0 <= float(fields["Copy_count"]) <= 17.5
+
+
+def test_multichrom_mesh_sharded_identical(sim, tmp_path):
+    """Data-parallel breakpoint scoring over the mesh stays byte-identical
+    to the host path when the breakpoints span three chromosomes and
+    mixed-strand junction orientations."""
+    from coral_tpu.io.bam import BamFile
+    from coral_tpu.parallel import make_mesh
+    from coral_tpu.reconstruct import Reconstruction
+    from coral_tpu.graph.breakpoint_graph import write_graph_file
+
+    (bam_p, cns_p, seeds_p), _out = sim
+
+    def run(mesh, tag):
+        rec = Reconstruction(BamFile(bam_p), seeds_p)
+        rec.read_cns(cns_p)
+        rec.collect()
+        rec.hash_to_segments()
+        rec.find_amplicon_intervals()
+        rec.find_smalldel_breakpoints()
+        rec.find_breakpoints(mesh=mesh)
+        rec.build_graph()
+        rec.assign_cov()
+        rec.compute_cn()
+        out = str(tmp_path / f"{tag}_graph.txt")
+        write_graph_file(rec.graphs[0], out)
+        return out
+
+    a = run(None, "single")
+    b = run(make_mesh(8), "mesh8")
+    assert open(a).read() == open(b).read()

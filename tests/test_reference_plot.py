@@ -471,3 +471,90 @@ def test_plot_cycles_ignores_region_bounds(ref_plot, sample, monkeypatch,
     assert our_geom["lims"] == ref_geom["lims"]
     assert our_geom["rects"] == ref_geom["rects"]
     assert our_geom["segs"] == ref_geom["segs"]
+
+
+# --------------------------------------------------------------------------
+# Multi-chromosome amplicon (3 chroms, inverted segment)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def sample_mc(tmp_path_factory):
+    """3-chromosome inverted-segment amplicon: the one layout class the
+    single-chromosome samples never draw — multiple per-chromosome
+    interval groups on one x-axis, cross-chromosome discordant arcs, and
+    a gene on a NON-first chromosome of the layout."""
+    from coral_tpu.reconstruct import reconstruct_cycles, reconstruct_graphs
+    from coral_tpu.sim import simulate_multichrom_inverted_ecdna
+
+    out = tmp_path_factory.mktemp("refplotmc")
+    bam, cns, seeds = simulate_multichrom_inverted_ecdna(str(out))
+    prefix = os.path.join(str(out), "p")
+    rec = reconstruct_graphs(bam, seeds, cns, prefix)
+    reconstruct_cycles(rec, prefix)
+    rows = []
+    for name, chrom, s0, e0 in (("GENE5SIM", "chr5", 90_000_000, 90_150_000),
+                                ("GENE8SIM", "chr8", 127_050_000, 127_180_000)):
+        rows.append("\t".join([
+            "0", "NM_0", chrom, "+", str(s0), str(e0), str(s0), str(e0),
+            "1", f"{s0},", f"{e0},", "0", name, "cmpl", "cmpl", "0,",
+        ]))
+    refgene = out / "refGene_hg38.txt"
+    refgene.write_text("\n".join(rows) + "\n")
+    return {"bam": bam, "prefix": prefix, "dir": out, "refgene": refgene}
+
+
+def test_plot_graph_multichrom_differential(ref_plot, sample_mc, monkeypatch,
+                                            tmp_path):
+    _redirect_refgene(monkeypatch, ref_plot, sample_mc["refgene"])
+    monkeypatch.chdir(sample_mc["dir"])
+
+    gref = _fresh_ref_vis(ref_plot)
+    gref.open_bam(sample_mc["bam"])
+    gref.parse_graph_file(sample_mc["prefix"] + "_amplicon1_graph.txt")
+    gref.parse_genes("hg38", set(), False)
+    gref.graph_amplified_intervals()
+    ref_geom = _capture_graph(gref, "t", str(tmp_path / "ref_graph_mc"))
+
+    from coral_tpu.plot.plot_amplicons import AmpliconVisualizer
+
+    ours = AmpliconVisualizer()
+    ours.open_bam(sample_mc["bam"])
+    ours.parse_graph_file(sample_mc["prefix"] + "_amplicon1_graph.txt")
+    ours.parse_genes("hg38", set(), False)
+    ours.graph_amplified_intervals()
+    our_geom = _capture_graph(ours, "t", str(tmp_path / "our_graph_mc"))
+
+    assert our_geom["lims"] == ref_geom["lims"]
+    assert our_geom["arcs"] == ref_geom["arcs"]
+    assert our_geom["rects"] == ref_geom["rects"]
+    assert our_geom["segs"] == ref_geom["segs"]
+
+
+def test_plot_cycles_multichrom_differential(ref_plot, sample_mc, monkeypatch,
+                                             tmp_path):
+    _redirect_refgene(monkeypatch, ref_plot, sample_mc["refgene"])
+    monkeypatch.chdir(sample_mc["dir"])
+    cycles_fn = sample_mc["prefix"] + "_amplicon1_cycles.txt"
+
+    gref = _fresh_ref_vis(ref_plot)
+    gref.parse_genes("hg38", set(), False)
+    gref.parse_cycle_file(cycles_fn, str(tmp_path / "refc"), None)
+    gref.cycle_amplified_intervals(cycle_ids=None, cycle_only=False,
+                                   graph_given=False)
+    ref_geom = _capture_cycles(gref, "plotcycle", "t",
+                               str(tmp_path / "ref_cycles_mc"))
+
+    from coral_tpu.plot.plot_amplicons import AmpliconVisualizer
+
+    ours = AmpliconVisualizer()
+    ours.parse_genes("hg38", set(), False)
+    ours.parse_cycle_file(cycles_fn, str(tmp_path / "ourc"), None)
+    ours.cycle_amplified_intervals(cycle_ids=None, cycle_only=False,
+                                   graph_given=False)
+    our_geom = _capture_cycles(ours, "plot_cycles", "t",
+                               str(tmp_path / "our_cycles_mc"))
+
+    assert our_geom["lims"] == ref_geom["lims"]
+    assert our_geom["rects"] == ref_geom["rects"]
+    assert our_geom["segs"] == ref_geom["segs"]
+    assert our_geom["arcs"] == ref_geom["arcs"]
