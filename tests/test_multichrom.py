@@ -108,3 +108,32 @@ def test_multichrom_mesh_sharded_identical(sim, tmp_path):
     a = run(None, "single")
     b = run(make_mesh(8), "mesh8")
     assert open(a).read() == open(b).read()
+
+
+def test_multichrom_multiprocess_identical(sim, tmp_path):
+    """Shard-ingest determinism when EVERY junction's split halves land in
+    different shards: 3 contiguous shards over a 3-chromosome sample put
+    roughly one chromosome per shard, so all three cross-chromosome
+    chimeras must be reassembled purely through the deterministic merge."""
+    import filecmp
+
+    from coral_tpu.parallel.multihost import (
+        multihost_reconstruct_graphs,
+        split_bam,
+    )
+
+    (bam, cns, seeds), _out = sim
+    ref_prefix = str(tmp_path / "single")
+    rec1 = reconstruct_graphs(bam, seeds, cns, ref_prefix)
+    reconstruct_cycles(rec1, ref_prefix)
+
+    shards = split_bam(bam, [str(tmp_path / f"s{i}.bam") for i in range(3)])
+    mh_prefix = str(tmp_path / "multi3")
+    rec2 = multihost_reconstruct_graphs(shards, seeds, cns, mh_prefix)
+    reconstruct_cycles(rec2, mh_prefix)
+
+    assert len(rec1.graphs) == len(rec2.graphs) == 1
+    for kind in ("graph", "cycles"):
+        a = f"{ref_prefix}_amplicon1_{kind}.txt"
+        b = f"{mh_prefix}_amplicon1_{kind}.txt"
+        assert filecmp.cmp(a, b, shallow=False), kind
