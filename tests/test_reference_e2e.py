@@ -92,7 +92,10 @@ def _reset_reference_state(ref_ibg):
     cls.normal_cov = 0.0
 
 
-def _run_both(ref_ibg, tmp_path, bam, cns, seeds, tag):
+def _run_both(ref_ibg, tmp_path, bam, cns, seeds, tag, min_bp_support=1.0):
+    import dataclasses
+
+    from coral_tpu.config import DEFAULT_CONFIG
     from coral_tpu.reconstruct import reconstruct_graphs
 
     _reset_reference_state(ref_ibg)
@@ -100,11 +103,13 @@ def _run_both(ref_ibg, tmp_path, bam, cns, seeds, tag):
     our_prefix = str(tmp_path / f"ours_{tag}")
     args = SimpleNamespace(
         lr_bam=bam, cnv_seed=seeds, cn_seg=cns,
-        output_prefix=ref_prefix, min_bp_support=1.0,
+        output_prefix=ref_prefix, min_bp_support=min_bp_support,
         output_bp=True, log_fn=str(tmp_path / f"ref_{tag}.log"),
     )
     ref_ibg.reconstruct_graph(args)
-    reconstruct_graphs(bam, seeds, cns, our_prefix, output_bp=True)
+    cfg = DEFAULT_CONFIG.replace(bp=dataclasses.replace(
+        DEFAULT_CONFIG.bp, min_bp_cov_factor=min_bp_support))
+    reconstruct_graphs(bam, seeds, cns, our_prefix, cfg=cfg, output_bp=True)
 
     ref_files = sorted(glob.glob(ref_prefix + "_amplicon*_breakpoints.txt"))
     our_files = sorted(glob.glob(our_prefix + "_amplicon*_breakpoints.txt"))
@@ -208,6 +213,31 @@ def test_e2e_breakpoints_translocated(ref_ibg, tmp_path):
     bam, cns, seeds = simulate_translocated_ecdna(str(tmp_path / "sim"),
                                                   seed=5, **geom)
     _run_both(ref_ibg, tmp_path, bam, cns, seeds, "transloc")
+
+
+def test_e2e_breakpoints_min_support_filter(ref_ibg, tmp_path):
+    """--min_bp_support ABOVE the default: the support filter (cluster
+    cutoff raised to min_bp_support * normal coverage,
+    infer_breakpoint_graph.py:135) must drop the 8-read integration
+    cluster while keeping the 30-read ecDNA junction, identically on
+    both sides.  Every other differential runs at the default 1.0, so
+    this is the only coverage of the raised-threshold path."""
+    from coral_tpu.sim import simulate_ecdna
+
+    bam, cns, seeds = simulate_ecdna(
+        str(tmp_path / "sim"), seed=17, **_GEOM,
+        n_integration_reads=8, integration_pos=58_000_000)
+    # control at the default: the integration cluster is reported
+    _run_both(ref_ibg, tmp_path, bam, cns, seeds, "ctl")
+    ctl = Path(glob.glob(str(tmp_path / "ours_ctl_amplicon*_breakpoints.txt")
+                         )[0]).read_text()
+    assert "58000000" in ctl
+    # raised threshold: 5.0 * normal_cov(2) = 10 > 8-read support
+    _run_both(ref_ibg, tmp_path, bam, cns, seeds, "hi", min_bp_support=5.0)
+    hi = Path(glob.glob(str(tmp_path / "ours_hi_amplicon*_breakpoints.txt")
+                        )[0]).read_text()
+    assert "58000000" not in hi
+    assert len(hi.splitlines()) < len(ctl.splitlines())
 
 
 def test_e2e_breakpoints_multichrom_inverted(ref_ibg, tmp_path):
