@@ -508,6 +508,46 @@ def test_greedy_differential(refcd, tmp_path):
         assert viol == [], (trial, viol)
 
 
+@pytest.mark.parametrize("alpha", [0.5, -1.0])
+def test_greedy_alpha_differential(refcd, tmp_path, alpha):
+    """Non-default greedy alpha: alpha scales the per-iteration bonus for
+    satisfying subpath constraints (reference `maximize_weights_greedy`
+    pp = alpha * remaining_weights / num_unsatisfied,
+    cycle_decomposition.py:1052-1053); alpha < 0 takes the documented
+    pure-CN branch (`:995`) that ignores constraints entirely.  Every
+    other greedy differential runs at the default 0.01."""
+    import dataclasses
+
+    from coral_tpu.config import CycleConfig
+    from coral_tpu.cycles.decomposition import greedy_extract
+
+    rng = random.Random(29)
+    cfg = dataclasses.replace(CycleConfig(), alpha=alpha)
+    for trial in range(3):
+        g = _planted_graph(rng, n_segs=rng.randint(3, 4))
+        shim = _SolverShim(g)
+        node_order = {n: i for i, n in enumerate(g.nodes)}
+        tw = _total_weights(g)
+        pc_list = [_pc_through(g, [0, 1])]   # always present: alpha matters
+        (total_ref, nsat_ref, cyc_ref, w_ref, _sat_ref) = (
+            refcd.maximize_weights_greedy(
+                1, shim, tw, node_order, pc_list, alpha=alpha,
+                p_total_weight=0.9, resolution=0.1, cn_tol=0.005,
+                p_subpaths=0.9, num_threads=-1, postprocess=0,
+                time_limit=300, model_prefix=str(tmp_path / f"a{trial}"))
+        )
+        (total_o, nsat_o, cyc_o, w_o, _sat_o) = greedy_extract(
+            g, _our_setup(g), tw, pc_list, cfg)
+        assert abs(total_ref - total_o) < 1e-4 * max(1.0, tw), (
+            trial, total_ref, total_o)
+        assert (len(cyc_ref[0]), len(cyc_ref[1])) == (
+            len(cyc_o[0]), len(cyc_o[1])), (trial, cyc_ref, cyc_o)
+        for slot in (0, 1):
+            assert sorted(round(x, 4) for x in w_ref[slot]) == \
+                sorted(round(x, 4) for x in w_o[slot]), (trial, w_ref, w_o)
+        assert nsat_ref == nsat_o
+
+
 def test_driver_differential(refcd, tmp_path):
     """Reference `cycle_decomposition` driver (k=max(10,ld//2) clamp, size
     gate, k-doubling, `:1495-1599`) run verbatim on the facade vs our
