@@ -548,6 +548,41 @@ def test_greedy_alpha_differential(refcd, tmp_path, alpha):
         assert nsat_ref == nsat_o
 
 
+@pytest.mark.parametrize("resolution", [1.0, 3.0])
+def test_resolution_differential(refcd, tmp_path, resolution):
+    """Non-default resolution — the greedy's per-iteration minimum copy
+    count and termination threshold (reference `maximize_weights_greedy`
+    `w[0] >= z[0] * resolution` at cycle_decomposition.py:1072 and the
+    `next_w >= resolution` loop guard at `:1039,1049`).  Raising it can
+    stop extraction earlier / drop thin cycles; both sides must agree on
+    the altered extraction sequence.  (`minimize_cycles` takes no
+    resolution — only the greedy and postprocess models do.)"""
+    import dataclasses
+
+    from coral_tpu.config import CycleConfig
+    from coral_tpu.cycles.decomposition import greedy_extract
+
+    rng = random.Random(31)
+    cfg = dataclasses.replace(CycleConfig(), resolution=resolution)
+    for trial in range(3):
+        g = _planted_graph(rng, n_segs=rng.randint(3, 4))
+        node_order = {n: i for i, n in enumerate(g.nodes)}
+        tw = _total_weights(g)
+        (gt_ref, _ns, gcyc_ref, gw_ref, _sat) = refcd.maximize_weights_greedy(
+            1, _SolverShim(g), tw, node_order, [], alpha=0.01,
+            p_total_weight=0.9, resolution=resolution, cn_tol=0.005,
+            p_subpaths=0.9, num_threads=-1, postprocess=0,
+            time_limit=300, model_prefix=str(tmp_path / f"gr{trial}"))
+        (gt_o, _nso, gcyc_o, gw_o, _sato) = greedy_extract(
+            g, _our_setup(g), tw, [], cfg)
+        assert abs(gt_ref - gt_o) < 1e-4 * max(1.0, tw), (trial, gt_ref, gt_o)
+        assert (len(gcyc_ref[0]), len(gcyc_ref[1])) == (
+            len(gcyc_o[0]), len(gcyc_o[1])), trial
+        for slot in (0, 1):
+            assert sorted(round(x, 4) for x in gw_ref[slot]) == \
+                sorted(round(x, 4) for x in gw_o[slot]), trial
+
+
 def test_driver_differential(refcd, tmp_path):
     """Reference `cycle_decomposition` driver (k=max(10,ld//2) clamp, size
     gate, k-doubling, `:1495-1599`) run verbatim on the facade vs our
