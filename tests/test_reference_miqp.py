@@ -583,6 +583,54 @@ def test_resolution_differential(refcd, tmp_path, resolution):
                 sorted(round(x, 4) for x in gw_o[slot]), trial
 
 
+@pytest.mark.parametrize("ptw", [0.5, 0.99])
+def test_p_total_weight_differential(refcd, tmp_path, ptw):
+    """Non-default p_total_weight — the fraction of total length-weighted
+    CN a decomposition must explain: minimize_cycles' coverage constraint
+    and the greedy's loop guard
+    (`remaining_weights > (1 - p_total_weight) * total_weights`,
+    cycle_decomposition.py:1049).  0.5 lets both solvers stop early;
+    0.99 forces near-complete coverage."""
+    import dataclasses
+
+    from coral_tpu.config import CycleConfig
+    from coral_tpu.cycles.decomposition import greedy_extract, joint_minimize
+
+    rng = random.Random(37)
+    cfg = dataclasses.replace(CycleConfig(), p_total_weight=ptw)
+    for trial in range(3):
+        g = _planted_graph(rng, n_segs=rng.randint(3, 4))
+        shim = _SolverShim(g)
+        node_order = {n: i for i, n in enumerate(g.nodes)}
+        tw = _total_weights(g)
+        (status, total_ref, _n, cyc_ref, _w, _s) = refcd.minimize_cycles(
+            1, shim, 2, tw, node_order, [],
+            p_total_weight=ptw, p_bp_cn=0.9, num_threads=-1,
+            time_limit=300, model_prefix=str(tmp_path / f"p{trial}"))
+        (status_o, total_o, _no, cyc_o, _wo, _sl) = joint_minimize(
+            g, _our_setup(g), 2, tw, [], cfg)
+        ref_feasible = status != refcd.GRB.INFEASIBLE
+        assert ref_feasible == (status_o != 3), (trial, ptw)
+        if ref_feasible:
+            assert abs(_ref_objective(tw, total_ref, cyc_ref)
+                       - _ref_objective(tw, total_o, cyc_o)) < 1e-5, trial
+            assert total_ref >= ptw * tw - 1e-6
+            assert total_o >= ptw * tw - 1e-6
+        (gt_ref, _ns, gcyc_ref, gw_ref, _sat) = refcd.maximize_weights_greedy(
+            1, _SolverShim(g), tw, node_order, [], alpha=0.01,
+            p_total_weight=ptw, resolution=0.1, cn_tol=0.005,
+            p_subpaths=0.9, num_threads=-1, postprocess=0,
+            time_limit=300, model_prefix=str(tmp_path / f"gp{trial}"))
+        (gt_o, _nso, gcyc_o, gw_o, _sato) = greedy_extract(
+            g, _our_setup(g), tw, [], cfg)
+        assert abs(gt_ref - gt_o) < 1e-4 * max(1.0, tw), (trial, gt_ref, gt_o)
+        assert (len(gcyc_ref[0]), len(gcyc_ref[1])) == (
+            len(gcyc_o[0]), len(gcyc_o[1])), trial
+        for slot in (0, 1):
+            assert sorted(round(x, 4) for x in gw_ref[slot]) == \
+                sorted(round(x, 4) for x in gw_o[slot]), trial
+
+
 def test_driver_differential(refcd, tmp_path):
     """Reference `cycle_decomposition` driver (k=max(10,ld//2) clamp, size
     gate, k-doubling, `:1495-1599`) run verbatim on the facade vs our
