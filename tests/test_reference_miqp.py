@@ -631,6 +631,44 @@ def test_p_total_weight_differential(refcd, tmp_path, ptw):
                 sorted(round(x, 4) for x in gw_o[slot]), trial
 
 
+@pytest.mark.parametrize("cn_tol,p_subpaths", [(0.3, 0.9), (0.005, 1.0)])
+def test_greedy_termination_knob_differential(refcd, tmp_path, cn_tol,
+                                              p_subpaths):
+    """The two remaining greedy termination knobs at non-default values:
+    cn_tol (stop when the next cycle explains < cn_tol * total_weights,
+    cycle_decomposition.py:1464) at 0.3 forces termination after the
+    dominant cycle; p_subpaths (fraction of subpath constraints that
+    must be satisfied, `:1050,1483`) at 1.0 keeps iterating until every
+    pc is satisfied."""
+    import dataclasses
+
+    from coral_tpu.config import CycleConfig
+    from coral_tpu.cycles.decomposition import greedy_extract
+
+    rng = random.Random(41)
+    cfg = dataclasses.replace(CycleConfig(), cn_tol=cn_tol,
+                              p_subpaths=p_subpaths)
+    for trial in range(3):
+        g = _planted_graph(rng, n_segs=rng.randint(3, 4))
+        node_order = {n: i for i, n in enumerate(g.nodes)}
+        tw = _total_weights(g)
+        pc_list = [_pc_through(g, [0, 1])]
+        (gt_ref, ns_ref, gcyc_ref, gw_ref, _sat) = refcd.maximize_weights_greedy(
+            1, _SolverShim(g), tw, node_order, pc_list, alpha=0.01,
+            p_total_weight=0.9, resolution=0.1, cn_tol=cn_tol,
+            p_subpaths=p_subpaths, num_threads=-1, postprocess=0,
+            time_limit=300, model_prefix=str(tmp_path / f"k{trial}"))
+        (gt_o, ns_o, gcyc_o, gw_o, _sato) = greedy_extract(
+            g, _our_setup(g), tw, pc_list, cfg)
+        assert abs(gt_ref - gt_o) < 1e-4 * max(1.0, tw), (trial, gt_ref, gt_o)
+        assert (len(gcyc_ref[0]), len(gcyc_ref[1])) == (
+            len(gcyc_o[0]), len(gcyc_o[1])), trial
+        for slot in (0, 1):
+            assert sorted(round(x, 4) for x in gw_ref[slot]) == \
+                sorted(round(x, 4) for x in gw_o[slot]), trial
+        assert ns_ref == ns_o
+
+
 def test_driver_differential(refcd, tmp_path):
     """Reference `cycle_decomposition` driver (k=max(10,ld//2) clamp, size
     gate, k-doubling, `:1495-1599`) run verbatim on the facade vs our
