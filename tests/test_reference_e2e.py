@@ -482,7 +482,10 @@ def test_e2e_full_pipeline_cycles(ref_ibg, tmp_path, sim_factory):
 # HSR mode
 # --------------------------------------------------------------------------
 
-def test_e2e_hsr_sites(ref_ibg, tmp_path, monkeypatch, capsys):
+@pytest.mark.parametrize("bp_cutoff,cl_cutoff", [(100, 2000), (3, 4)],
+                         ids=["default", "tight"])
+def test_e2e_hsr_sites(ref_ibg, tmp_path, monkeypatch, capsys,
+                       bp_cutoff, cl_cutoff):
     """HSR integration-site detection: the reference's locate_hsrs runs on
     the pysam facade and must report the same breakpoint sites (stdout
     ``Breakpoint ... Support = ...`` lines are its machine-readable
@@ -530,7 +533,7 @@ def test_e2e_hsr_sites(ref_ibg, tmp_path, monkeypatch, capsys):
         args = SimpleNamespace(
             lr_bam=bam, cycles=str(cycles_bed), cn_seg=cns,
             output_prefix=prefix, normal_cov="4",
-            bp_match_cutoff=100, bp_match_cutoff_clustering=2000)
+            bp_match_cutoff=bp_cutoff, bp_match_cutoff_clustering=cl_cutoff)
         geom = {}
         real_savefig = plt.savefig
 
