@@ -247,7 +247,13 @@ class AmpliconVisualizer:
             if num_cycles:
                 conv += str(num_cycles) + "_"
             conv += "cycles.bed"
-            cycle2bed.convert_cycles_to_bed(cycle_fn, conv, num_cycles=num_cycles)
+            # Reference quirk (plot_amplicons.py:144): num_cycles is passed
+            # POSITIONALLY into convert_cycles_to_bed's rotate_to_min slot,
+            # so --num_cycles turns ON min-rotation and does NOT head-limit
+            # the conversion; the limit happens at plot time instead
+            # (CoRAL.py-driven plotcycle num_cycles filter, :591-592,956-957).
+            cycle2bed.convert_cycles_to_bed(
+                cycle_fn, conv, rotate_to_min=bool(num_cycles))
             cycle_fn = conv
         elif not cycle_fn.endswith(".bed"):
             sys.exit("Cycles file must be either a valid *_cycles.txt file "

@@ -558,3 +558,74 @@ def test_plot_cycles_multichrom_differential(ref_plot, sample_mc, monkeypatch,
     assert our_geom["rects"] == ref_geom["rects"]
     assert our_geom["segs"] == ref_geom["segs"]
     assert our_geom["arcs"] == ref_geom["arcs"]
+
+
+def test_plot_graph_knob_differential(ref_plot, sample, monkeypatch,
+                                      tmp_path):
+    """Remaining graph-view knobs at non-default values: max_cov_cutoff
+    clips the coverage ylim (reference plot_amplicons.py:416),
+    quality_threshold gates reads out of the coverage bars, and
+    hide_genes collapses the gene axis (`:270`)."""
+    _redirect_refgene(monkeypatch, ref_plot, sample["refgene"])
+    monkeypatch.chdir(sample["dir"])
+    kw = dict(max_cov_cutoff=100.0, quality_threshold=30, hide_genes=True)
+
+    gref = _fresh_ref_vis(ref_plot)
+    gref.open_bam(sample["bam"])
+    gref.parse_graph_file(sample["prefix"] + "_amplicon1_graph.txt")
+    gref.parse_genes("hg38", set(), False)
+    gref.graph_amplified_intervals()
+    ref_geom = _capture_graph(gref, "t", str(tmp_path / "ref_knob"), **kw)
+
+    from coral_tpu.plot.plot_amplicons import AmpliconVisualizer
+
+    ours = AmpliconVisualizer()
+    ours.open_bam(sample["bam"])
+    ours.parse_graph_file(sample["prefix"] + "_amplicon1_graph.txt")
+    ours.parse_genes("hg38", set(), False)
+    ours.graph_amplified_intervals()
+    our_geom = _capture_graph(ours, "t", str(tmp_path / "our_knob"), **kw)
+
+    assert our_geom["lims"] == ref_geom["lims"]
+    # the cutoff must actually bite: coverage ylim clipped to 100
+    assert any(abs(l[3] - 100.0) < 1e-6 for l in ref_geom["lims"])
+    assert our_geom["arcs"] == ref_geom["arcs"]
+    assert our_geom["rects"] == ref_geom["rects"]
+    assert our_geom["segs"] == ref_geom["segs"]
+
+
+def test_plot_cycles_subset_differential(ref_plot, sample, monkeypatch,
+                                         tmp_path):
+    """Cycles-view selection knobs, driven exactly like the reference CLI
+    (plot_amplicons.py:938-957): --num_cycles 1 + --only_cyclic_paths.
+    Pins the reference's positional-misroute quirk at `:144` — num_cycles
+    lands in convert_cycles_to_bed's rotate_to_min slot, so the flag
+    turns ON min-rotation and the head-limit happens only at plot time
+    (`:591-592`)."""
+    _redirect_refgene(monkeypatch, ref_plot, sample["refgene"])
+    monkeypatch.chdir(sample["dir"])
+    cycles_fn = sample["prefix"] + "_amplicon1_cycles.txt"
+    kw = dict(num_cycles=1, cycle_only=True)
+
+    gref = _fresh_ref_vis(ref_plot)
+    gref.parse_genes("hg38", set(), False)
+    gref.parse_cycle_file(cycles_fn, str(tmp_path / "refc"), 1)
+    gref.cycle_amplified_intervals(cycle_ids=["1"], cycle_only=True,
+                                   graph_given=False)
+    ref_geom = _capture_cycles(gref, "plotcycle", "t",
+                               str(tmp_path / "ref_sub"), **kw)
+
+    from coral_tpu.plot.plot_amplicons import AmpliconVisualizer
+
+    ours = AmpliconVisualizer()
+    ours.parse_genes("hg38", set(), False)
+    ours.parse_cycle_file(cycles_fn, str(tmp_path / "ourc"), 1)
+    ours.cycle_amplified_intervals(cycle_ids=["1"], cycle_only=True,
+                                   graph_given=False)
+    our_geom = _capture_cycles(ours, "plot_cycles", "t",
+                               str(tmp_path / "our_sub"), **kw)
+
+    assert our_geom["lims"] == ref_geom["lims"]
+    assert our_geom["rects"] == ref_geom["rects"]
+    assert our_geom["segs"] == ref_geom["segs"]
+    assert our_geom["arcs"] == ref_geom["arcs"]
