@@ -629,3 +629,43 @@ def test_plot_cycles_subset_differential(ref_plot, sample, monkeypatch,
     assert our_geom["rects"] == ref_geom["rects"]
     assert our_geom["segs"] == ref_geom["segs"]
     assert our_geom["arcs"] == ref_geom["arcs"]
+
+
+def test_plot_cycles_with_graph_differential(ref_plot, sample, monkeypatch,
+                                             tmp_path):
+    """The common CLI invocation --plot_cycles WITH --graph: amplified
+    intervals come from the graph file instead of merged cycle segments
+    (reference cycle_amplified_intervals graph_given branch,
+    plot_amplicons.py:213-222) — a live branch no other differential
+    drives."""
+    _redirect_refgene(monkeypatch, ref_plot, sample["refgene"])
+    monkeypatch.chdir(sample["dir"])
+    cycles_fn = sample["prefix"] + "_amplicon1_cycles.txt"
+    graph_fn = sample["prefix"] + "_amplicon1_graph.txt"
+
+    gref = _fresh_ref_vis(ref_plot)
+    gref.parse_genes("hg38", set(), False)
+    gref.parse_cycle_file(cycles_fn, str(tmp_path / "refc"), None)
+    gref.parse_graph_file(graph_fn)
+    gref.graph_amplified_intervals()
+    gref.cycle_amplified_intervals(cycle_ids=None, cycle_only=False,
+                                   graph_given=True)
+    ref_geom = _capture_cycles(gref, "plotcycle", "t",
+                               str(tmp_path / "ref_cg"))
+
+    from coral_tpu.plot.plot_amplicons import AmpliconVisualizer
+
+    ours = AmpliconVisualizer()
+    ours.parse_genes("hg38", set(), False)
+    ours.parse_cycle_file(cycles_fn, str(tmp_path / "ourc"), None)
+    ours.parse_graph_file(graph_fn)
+    ours.graph_amplified_intervals()
+    ours.cycle_amplified_intervals(cycle_ids=None, cycle_only=False,
+                                   graph_given=True)
+    our_geom = _capture_cycles(ours, "plot_cycles", "t",
+                               str(tmp_path / "our_cg"))
+
+    assert our_geom["lims"] == ref_geom["lims"]
+    assert our_geom["rects"] == ref_geom["rects"]
+    assert our_geom["segs"] == ref_geom["segs"]
+    assert our_geom["arcs"] == ref_geom["arcs"]
