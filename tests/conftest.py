@@ -27,3 +27,19 @@ jax.config.update("jax_platforms", "cpu")
 import coral_tpu.graph.gurobi_compat as _gurobi_compat  # noqa: E402
 
 sys.modules.setdefault("gurobipy", _gurobi_compat)
+
+import pytest  # noqa: E402
+
+# Test tiers: every reference-as-oracle module (they import and run the
+# reference pipeline in-process — the bulk of suite wall-clock) is marked
+# `differential` automatically.  Quick edit loop:
+#   python -m pytest tests/ -q -m "not differential"     (< ~2 min)
+# The driver / CI run the full suite (no -m filter).
+_DIFFERENTIAL_FILES = ("test_reference_", "test_gbm39_parity")
+
+
+def pytest_collection_modifyitems(config, items):
+    mark = pytest.mark.differential
+    for item in items:
+        if any(tag in item.nodeid for tag in _DIFFERENTIAL_FILES):
+            item.add_marker(mark)

@@ -21,7 +21,10 @@ from test_reference_e2e import (
     test_e2e_full_pipeline_cycles as _capstone,
 )
 
-_capstone.__test__ = False  # collected only via the wrappers below
+# NOTE: do NOT set `_capstone.__test__ = False` here — the attribute would
+# mutate the function object shared with test_reference_e2e.py and drop its
+# parametrizations from collection whenever this module imports first.  The
+# leading-underscore rename alone keeps pytest from collecting it twice.
 
 
 def _g(**over):
