@@ -53,10 +53,22 @@ def reconstruct_mode(args) -> None:
             threads=args.cycle_decomp_threads or -1,
             postprocess=bool(args.postprocess_greedy_sol),
         ),
+        engine=dataclasses.replace(
+            cfg.engine, engine=args.engine, cn_engine=args.cn_engine),
     )
+    mesh = None
+    if args.shard_devices:
+        import jax
+        from jax.sharding import Mesh
+        import numpy as np
+        devs = jax.devices()[: args.shard_devices]
+        mesh = Mesh(np.asarray(devs), (cfg.parallel.dp_axis,))
+        logging.info("pair scoring sharded over %d %s device(s)",
+                     len(devs), devs[0].platform)
     rec = reconstruct_graphs(
         args.lr_bam, args.cnv_seed, args.cn_seg, args.output_prefix,
-        cfg=cfg, output_bp=args.output_bp, scan_cache=args.scan_cache)
+        cfg=cfg, output_bp=args.output_bp, scan_cache=args.scan_cache,
+        mesh=mesh)
     if not (args.output_bp or args.skip_cycle_decomp):
         reconstruct_cycles(
             rec, args.output_prefix,
@@ -150,6 +162,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--postprocess_greedy_sol", action="store_true",
                    help="Postprocess the greedy cycles/paths solution.")
     p.add_argument("--log_fn", help="Name of log file.")
+    p.add_argument("--engine", choices=["auto", "numpy", "jax", "pallas"],
+                   default="auto",
+                   help="Pair-scoring engine (no reference analog): numpy "
+                        "(host), jax (XLA device program), pallas (Mosaic "
+                        "TPU kernel), or auto (host below the pair-count "
+                        "threshold, device above it on an accelerator "
+                        "backend).")
+    p.add_argument("--cn_engine",
+                   choices=["auto", "numpy", "jax", "batch"], default="auto",
+                   help="CN-balance solver engine: numpy f64, jax CPU-f64, "
+                        "batch (vmapped device solve over amplicons, "
+                        "mesh-shardable), or auto.")
+    p.add_argument("--shard_devices", type=int, default=0,
+                   help="Opt pair scoring into a data-parallel device mesh "
+                        "over this many local devices (0 = off).")
 
     p = sub.add_parser(
         "hsr", help="Detect possible integration points of ecDNA HSR amplifications.")

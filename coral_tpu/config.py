@@ -100,6 +100,37 @@ class CycleConfig:
 
 
 @dataclass(frozen=True)
+class EngineConfig:
+    """Compute-engine routing for the scoring and CN hot paths (no
+    reference analog; SURVEY §2.1 — the TPU kernels are pipeline
+    components, not bench-only artifacts).
+
+    ``engine`` picks the junction-predicate evaluator in
+    ``ops.pairs.score_pairs_l``: ``numpy`` (host), ``jax`` (XLA device
+    program; on a TPU backend with the NM gate off this self-routes to
+    the Pallas kernel), ``pallas`` (force the Mosaic kernel), or ``auto``.
+    ``auto`` = numpy below ``device_pair_threshold`` pairs or when no
+    accelerator backend is present, device above it.  The threshold is
+    sized from measured amortization (BENCH_r02 / BASELINE.md): host
+    numpy scores ~3 M pairs/s single-thread while a device dispatch is
+    ~0.3 ms/2M pairs, but each NEW compiled shape costs 20 s-5 min
+    (axon); the device route bucket-pads to power-of-two shapes so a
+    pipeline pays a handful of compiles, and below ~1M pairs the host
+    finishes before a single compile would.
+
+    ``cn_engine`` picks the CN-balance solver engine
+    (``graph.cn_solver``): ``numpy`` (f64 damped-Newton), ``jax``
+    (CPU-f64 jit), ``batch`` (padded vmap over amplicons,
+    mesh-shardable), or ``auto`` (jax-f64 on a CPU backend, else numpy
+    f64 — the TPU backend has no f64 LU; both match the reference's
+    digit-exact cvxopt contract).
+    """
+    engine: str = "auto"              # auto | numpy | jax | pallas
+    cn_engine: str = "auto"           # auto | numpy | jax | batch
+    device_pair_threshold: int = 1 << 20
+
+
+@dataclass(frozen=True)
 class ParallelConfig:
     """TPU sharding (no reference analog; SURVEY §2.1)."""
     dp_axis: str = "dp"
@@ -115,6 +146,7 @@ class Config:
     cn: CnSolverConfig = field(default_factory=CnSolverConfig)
     pc: PathConstraintConfig = field(default_factory=PathConstraintConfig)
     cycles: CycleConfig = field(default_factory=CycleConfig)
+    engine: EngineConfig = field(default_factory=EngineConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
 
     def replace(self, **sections) -> "Config":

@@ -285,14 +285,15 @@ def _write_cn(g, x) -> None:
     g.max_cn += 1.0
 
 
-def _assign_solution(g, wlrseg, wcn, wlncn, max_iters) -> bool:
+def _assign_solution(g, wlrseg, wcn, wlncn, max_iters,
+                     engine: str = "auto") -> bool:
     """Build the balance matrix, solve, write CNs back (shared tail of the
     LR-only and hybrid paths).  Returns False when there are no balance
     constraints (caller applies its raw-coverage fallback)."""
     A = _balance_matrix(g, len(wcn))
     if A is None:
         return False
-    x = solve_cn_balance(wlrseg, wcn, wlncn, A, max_iters)
+    x = solve_cn_balance(wlrseg, wcn, wlncn, A, max_iters, engine=engine)
     _write_cn(g, x)
     return True
 
@@ -324,12 +325,16 @@ def _raw_coverage_fallback(g, normal_cov: float) -> None:
     g.max_cn += 1.0
 
 
-def compute_cn(g, normal_cov: float, max_iters: int = 1000) -> None:
+def compute_cn(g, normal_cov: float, max_iters: int = 1000,
+               engine: str = "auto") -> None:
     """Estimate CN for every edge of a BreakpointGraph in place
     (reference ``compute_cn_lr``, ``breakpoint_graph.py:495-606``).
-    Self-loop discordant edges are NOT doubled (ref :583-592)."""
+    Self-loop discordant edges are NOT doubled (ref :583-592).
+    ``engine`` selects the Newton solve backend ('auto' = jax CPU-f64
+    when the backend is CPU, else numpy f64 — the TPU backend has no
+    f64 LU)."""
     wlrseg, wcn, wlncn = _lr_weights(g, normal_cov)
-    if not _assign_solution(g, wlrseg, wcn, wlncn, max_iters):
+    if not _assign_solution(g, wlrseg, wcn, wlncn, max_iters, engine=engine):
         _raw_coverage_fallback(g, normal_cov)
 
 

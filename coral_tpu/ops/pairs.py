@@ -128,6 +128,26 @@ def _pair_predicates(
         min_bp_match_cutoff, min_mapq, gap_, max_nm)
 
 
+def resolve_engine(engine: str, n_pairs: int,
+                   device_pair_threshold: int = 1 << 20) -> str:
+    """Resolve an ``auto`` engine request to a concrete scoring engine.
+
+    ``auto`` = host numpy below ``device_pair_threshold`` pairs or when no
+    accelerator backend is present; the jitted device program above it
+    (which self-routes to the Pallas kernel on a TPU backend with the NM
+    gate off).  Sizing rationale in :class:`coral_tpu.config.EngineConfig`.
+    """
+    if engine != "auto":
+        return engine
+    if n_pairs < device_pair_threshold:
+        return "numpy"
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return "numpy"
+    return "numpy" if backend == "cpu" else "jax"
+
+
 def find_breakpoints_device(
     chimeras: Dict[str, object],
     intervals: List[list],
@@ -138,6 +158,8 @@ def find_breakpoints_device(
     max_nm: Optional[float] = None,
     mesh=None,
     mesh_axis: str = "dp",
+    engine: str = "auto",
+    device_pair_threshold: int = 1 << 20,
 ) -> List[list]:
     """Whole-table breakpoint extraction with device predicate evaluation.
 
@@ -147,7 +169,13 @@ def find_breakpoints_device(
     rescue pass (which needs the adjacency assignment mask and applies to
     reads with a sub-``gap_mapq`` middle alignment) runs on host for the
     few affected reads.
+
+    ``engine`` routes the pair-predicate evaluation (``auto``/``numpy``/
+    ``jax``/``pallas`` — see :func:`resolve_engine`); results are engine-
+    independent (exactness-tested).
     """
+    import logging
+
     from .breakpoints import interval_to_bp, interval_overlap_l, \
         rescue_pass
 
@@ -158,13 +186,20 @@ def find_breakpoints_device(
     # and engine agrees on gate-off inputs
     if mesh is not None:
         from ..parallel.sharded import score_pairs_sharded
+        logging.getLogger(__name__).info(
+            "pair scoring route: mesh axis=%s (%d alignments)",
+            mesh_axis, table.n_alignments)
         pi, pj, hits = score_pairs_sharded(
             table, intervals, min_bp_match_cutoff, min_mapq, gap_,
             mesh, mesh_axis, np.inf if max_nm is None else max_nm)
     else:
+        n_pairs = max(table.n_alignments - len(table.read_names), 0)
+        engine = resolve_engine(engine, n_pairs, device_pair_threshold)
+        logging.getLogger(__name__).info(
+            "pair scoring route: engine=%s (%d pairs)", engine, n_pairs)
         pi, pj, hits = score_pairs_l(
             table, intervals, min_bp_match_cutoff, min_mapq, gap_,
-            np.inf if max_nm is None else max_nm)
+            np.inf if max_nm is None else max_nm, engine=engine)
     # per-pair hit mask back into per-read slices
     hit_by_row = np.zeros(max(table.n_alignments, 1), bool)
     hit_by_row[pi] = hits

@@ -33,33 +33,41 @@ def _pad2d(x: np.ndarray, rows: int) -> np.ndarray:
     return out.reshape(rows, LANES)
 
 
+def _first_overlap_scan(xp, chrom, a, b, ic_ref, is_ref, ie_ref):
+    """Mosaic-lowerable loop form of ``ops.scoring.first_overlap``: a
+    reverse unrolled scan over the VMEM interval refs so the FIRST
+    overlapping interval wins — the same storage-order overlap test, no
+    (n, n_int) broadcast mask."""
+    n_int = ic_ref.shape[1]
+    io = jnp.full(chrom.shape, -1, jnp.int32)
+    for k in range(n_int - 1, -1, -1):
+        ov = (chrom == ic_ref[0, k]) & (a <= ie_ref[0, k]) \
+            & (is_ref[0, k] <= b)
+        io = jnp.where(ov, k, io)
+    return io
+
+
 def _predicate_vals(ic_ref, is_ref, ie_ref,
                     qgap, chrom_i, r1_i, r2_i, strand_i, mapq_i,
                     chrom_j, r1_j, r2_j, strand_j, mapq_j,
                     n_int, min_bp_match_cutoff, min_mapq, gap_):
-    """The junction predicate on one block of loaded values — the SINGLE
-    in-kernel source shared by `_pair_kernel` and `_pair_hist_kernel`
-    (mirrors `ops.scoring.pair_predicate`; traced/inlined, zero runtime
-    cost).  Returns (hit, io_i)."""
-    def first_overlap(chrom, a, b):
-        io = jnp.full(chrom.shape, -1, jnp.int32)
-        # reverse scan so the FIRST overlapping interval wins
-        for k in range(n_int - 1, -1, -1):
-            ov = (chrom == ic_ref[0, k]) & (a <= ie_ref[0, k]) \
-                & (is_ref[0, k] <= b)
-            io = jnp.where(ov, k, io)
-        return io
+    """The junction predicate on one block of loaded values, evaluated by
+    the ONE product implementation ``ops.scoring.pair_predicate`` (traced/
+    inlined; the only Pallas-specific piece is the injected loop-form
+    interval search :func:`_first_overlap_scan`).  The packed layout has
+    no NM columns, so the NM gate is fed its gate-off contract (zero nm,
+    ``max_nm=inf`` — see ``ops.scoring.pack_pair_cols``).
+    Returns (hit, io_i)."""
+    from .scoring import pair_predicate
 
-    io_i = first_overlap(chrom_i, r1_i, r2_i)
-    io_j = first_overlap(chrom_j, r1_j, r2_j)
-    base = (qgap + min_bp_match_cutoff >= 0) & (io_i >= 0) & (io_i == io_j)
-    mq_ok = (mapq_i >= min_mapq) & (mapq_j >= min_mapq)
-    strand_diff = strand_i != strand_j
-    grr = jnp.where(strand_j > 0, r1_j - r2_i, r2_i - r1_j)
-    diff = jnp.abs(qgap - grr).astype(jnp.float32)
-    gap_disc = diff > jnp.maximum(gap_, jnp.abs(qgap).astype(jnp.float32) * 0.2)
-    hit = base & mq_ok & (strand_diff | gap_disc)
-    return hit, io_i
+    zero_f = jnp.zeros(qgap.shape, jnp.float32)
+    return pair_predicate(
+        jnp, jnp.zeros_like(qgap), qgap,
+        chrom_i, r1_i, r2_i, strand_i, mapq_i, zero_f,
+        chrom_j, r1_j, r2_j, strand_j, mapq_j, zero_f,
+        ic_ref, is_ref, ie_ref,
+        min_bp_match_cutoff, min_mapq, gap_, np.inf,
+        first_overlap_fn=_first_overlap_scan)
 
 
 def _unpack_packed_block(qgap, r1_i, r2_i, r1_j, r2_j, meta):
@@ -162,12 +170,17 @@ def pair_predicates_pallas(
     packing here (cheap numpy bit ops) halves the host->device transfer
     and the kernel's HBM reads.  Returns (hit_mask, io) trimmed to the
     input length.
+
+    Row counts bucket to powers of two so a pipeline with varying pair
+    counts pays at most ~20 kernel compiles ever (each new shape costs
+    20 s-5 min on a remote backend); zero padding is inert in the packed
+    layout (meta 0 decodes to chrom -1, which matches no interval).
     """
     from .scoring import pack_pair_cols
 
     n = len(cols["qi_end"])
     rows = max(-(-n // LANES), SUBLANES)
-    rows = -(-rows // SUBLANES) * SUBLANES
+    rows = 1 << (rows - 1).bit_length()   # pow2 bucket (compile reuse)
     packed = pack_pair_cols(
         np, *(np.asarray(cols[k]) for k in PAIR_COL_ORDER))
     padded = [_pad2d(np.asarray(c, np.int32), rows) for c in packed]

@@ -55,6 +55,7 @@ def pair_predicate(
     int_chrom, int_start, int_end,
     # scalars
     min_bp_match_cutoff, min_mapq, gap_, max_nm,
+    first_overlap_fn=None,
 ):
     """Evaluate the interval-list junction predicate for each pair.
 
@@ -63,9 +64,15 @@ def pair_predicate(
     ``strand_*`` is +1/-1; ``nm_*`` is per-base NM (pass zeros and
     ``max_nm=inf`` to disable the NM gate, as the reference does unless
     ``filter_bp_by_edit_distance`` is set).
+
+    ``first_overlap_fn`` swaps the interval-search implementation (same
+    signature as :func:`first_overlap`, which is the default): the Pallas
+    kernel injects a Mosaic-lowerable loop/binary-search form while the
+    predicate FORMULA itself stays this single source.
     """
-    io_i = first_overlap(xp, chrom_i, r1_i, r2_i, int_chrom, int_start, int_end)
-    io_j = first_overlap(xp, chrom_j, r1_j, r2_j, int_chrom, int_start, int_end)
+    fo = first_overlap if first_overlap_fn is None else first_overlap_fn
+    io_i = fo(xp, chrom_i, r1_i, r2_i, int_chrom, int_start, int_end)
+    io_j = fo(xp, chrom_j, r1_j, r2_j, int_chrom, int_start, int_end)
     qgap = qj_start - qi_end
     base = (qgap + min_bp_match_cutoff >= 0) & (io_i >= 0) & (io_i == io_j)
     mq_ok = (mapq_i >= min_mapq) & (mapq_j >= min_mapq)

@@ -693,14 +693,17 @@ class Reconstruction:
         max_nm = (self.nm_stats[0] + 3 * self.nm_stats[1]
                   if cfg_b.nm_filter else None)
         if use_device is None:
-            use_device = len(self.chimeras) >= 512 or mesh is not None
+            use_device = len(self.chimeras) >= 512 or mesh is not None \
+                or self.cfg.engine.engine not in ("auto", "numpy")
         if use_device:
             from .ops.pairs import find_breakpoints_device
             new_bp_list_ = find_breakpoints_device(
                 self.chimeras, self.amplicon_intervals,
                 cfg_b.min_bp_match_cutoff, cfg_b.min_mapq, 100,
                 cfg_b.gap_mapq, max_nm,
-                mesh=mesh, mesh_axis=self.cfg.parallel.dp_axis)
+                mesh=mesh, mesh_axis=self.cfg.parallel.dp_axis,
+                engine=self.cfg.engine.engine,
+                device_pair_threshold=self.cfg.engine.device_pair_threshold)
         else:
             new_bp_list_ = []
             for rn, chim in self.chimeras.items():
@@ -1163,17 +1166,24 @@ class Reconstruction:
 
     # -- full pipeline -----------------------------------------------------
 
-    def compute_cn(self, engine: str = "loop", mesh=None) -> None:
+    def compute_cn(self, engine: Optional[str] = None, mesh=None) -> None:
         """CN balance for every amplicon graph.  ``engine='batch'`` pads
         the per-amplicon KKT systems to one shape and solves them in a
-        single vmapped (optionally mesh-sharded) device dispatch."""
+        single vmapped (optionally mesh-sharded) device dispatch; default
+        is the config's ``cn_engine`` (``auto`` = the numpy-f64 loop,
+        matching the reference's digit-exact cvxopt contract)."""
+        if engine is None:
+            engine = self.cfg.engine.cn_engine
+        logger.info("CN balance route: engine=%s (%d amplicons)",
+                    engine, len(self.graphs))
         if engine == "batch":
             from .graph.cn_solver import compute_cn_batch
             compute_cn_batch(self.graphs, self.normal_cov,
                              self.cfg.cn.max_iters, mesh=mesh)
         else:
             for g in self.graphs:
-                compute_cn(g, self.normal_cov, self.cfg.cn.max_iters)
+                compute_cn(g, self.normal_cov, self.cfg.cn.max_iters,
+                           engine=engine)
 
 
 def reconstruct_cycles(rec: Reconstruction, output_prefix: str,
@@ -1199,10 +1209,13 @@ def reconstruct_graphs(
     cfg: Config = DEFAULT_CONFIG,
     output_bp: bool = False,
     scan_cache: bool = False,
+    mesh=None,
 ) -> Reconstruction:
     """End-to-end graph reconstruction (reference ``reconstruct_graph``,
     ``infer_breakpoint_graph.py:1333-1395``).  ``scan_cache`` enables the
-    BAM scan-resume checkpoint (``BamFile(scan_cache=True)``)."""
+    BAM scan-resume checkpoint (``BamFile(scan_cache=True)``).  ``mesh``
+    opts pair scoring (and the batch CN engine, if selected) into
+    mesh-sharded execution."""
     from .graph.breakpoint_graph import write_breakpoints_file, write_graph_file
 
     bam = BamFile(lr_bam, scan_cache=scan_cache)
@@ -1215,7 +1228,7 @@ def reconstruct_graphs(
     rec.hash_to_segments()
     rec.find_amplicon_intervals()
     rec.find_smalldel_breakpoints()
-    rec.find_breakpoints()
+    rec.find_breakpoints(mesh=mesh)
     rec.build_graph()
     if output_bp:
         for gi, g in enumerate(rec.graphs):
@@ -1231,7 +1244,7 @@ def reconstruct_graphs(
                 g, f"{output_prefix}_amplicon{gi + 1}_breakpoints.txt", stats)
     else:
         rec.assign_cov()
-        rec.compute_cn()
+        rec.compute_cn(mesh=mesh)
         for gi, g in enumerate(rec.graphs):
             write_graph_file(g, f"{output_prefix}_amplicon{gi + 1}_graph.txt")
     return rec

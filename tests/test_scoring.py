@@ -86,16 +86,16 @@ def test_gap_disc_clause_active():
 
 def test_no_second_predicate_copy():
     """Grep-provable single source: the gap-discrepancy formula appears in
-    exactly one vectorized implementation (ops/scoring.py).  The per-read
-    scalar oracle in ops/breakpoints.py (the reference-semantics spec the
-    vectorized engines are differential-tested against) and the
-    Pallas-scheduled variant are the only other occurrences allowed."""
+    exactly one vectorized implementation (ops/scoring.py) plus the
+    per-read scalar oracle in ops/breakpoints.py (the reference-semantics
+    spec the vectorized engines are differential-tested against).  The
+    Pallas kernels call ``scoring.pair_predicate`` with an injected
+    interval-search form — no third formula copy is allowed anywhere."""
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parents[1]
     allowed = {"coral_tpu/ops/scoring.py",        # the implementation
-               "coral_tpu/ops/breakpoints.py",    # per-read scalar oracle
-               "coral_tpu/ops/pallas_kernels.py"}  # scheduled variant
+               "coral_tpu/ops/breakpoints.py"}    # per-read scalar oracle
     offenders = []
     for py in root.rglob("*.py"):
         rel = py.relative_to(root).as_posix()
@@ -105,6 +105,9 @@ def test_no_second_predicate_copy():
         if "gap_disc" in text and "def pair_predicate" not in text:
             offenders.append(rel)
     assert not offenders, f"duplicated predicate logic in {offenders}"
+    # the kernels must call the product predicate, not mirror it
+    ktext = (root / "coral_tpu/ops/pallas_kernels.py").read_text()
+    assert "pair_predicate(" in ktext and "gap_disc" not in ktext
 
 
 def test_fused_step_wide_coverage_no_overflow():
