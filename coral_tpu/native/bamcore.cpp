@@ -1270,4 +1270,61 @@ void bc_del_gaps_fetch(BamCore* bc, int64_t* rec, int64_t* next_start,
   }
 }
 
+// Pack adjacent-pair predicate columns straight from the flat alignment
+// columns into the device layout (ops/scoring.py PACKED_COL_ORDER: qgap,
+// r1_i, r2_i, r1_j, r2_j, meta; bit layout per META_* constants there).
+// Pair p is (pi[p], pi[p]+1).  Every output byte is written exactly once
+// (pads [n_pairs, n_out) zeroed here, so callers pass never-memset
+// np.empty buffers — first-touch page cost is paid once, by this pass).
+// Semantics are bit-identical to pack_pair_cols(np, ...): int64->int32
+// casts wrap, MAPQ clamps to the BAM uint8 domain.
+void bc_pack_pairs(int64_t n_pairs, const int64_t* pi,
+                   const int64_t* qs, const int64_t* qe,
+                   const int64_t* r1, const int64_t* r2,
+                   const int32_t* chrom, const int8_t* strand,
+                   const int32_t* mapq, int64_t n_out, int nthreads,
+                   int32_t* out_qgap, int32_t* out_r1i, int32_t* out_r2i,
+                   int32_t* out_r1j, int32_t* out_r2j, int32_t* out_meta) {
+  auto side = [&](int64_t k) -> int32_t {
+    int32_t mq = mapq[k];
+    mq = mq < 0 ? 0 : (mq > 255 ? 255 : mq);
+    return ((chrom[k] + 1) << 9) | (mq << 1) | (strand[k] > 0 ? 1 : 0);
+  };
+  int nt = nthreads < 1 ? 1 : (nthreads > 64 ? 64 : nthreads);
+  if (static_cast<int64_t>(nt) > n_out) nt = n_out > 0 ? static_cast<int>(n_out) : 1;
+  auto work = [&](int64_t lo, int64_t hi) {
+    int64_t body = hi < n_pairs ? hi : n_pairs;
+    for (int64_t p = lo; p < body; p++) {
+      int64_t i = pi[p], j = i + 1;
+      out_qgap[p] = static_cast<int32_t>(qs[j] - qe[i]);
+      out_r1i[p] = static_cast<int32_t>(r1[i]);
+      out_r2i[p] = static_cast<int32_t>(r2[i]);
+      out_r1j[p] = static_cast<int32_t>(r1[j]);
+      out_r2j[p] = static_cast<int32_t>(r2[j]);
+      out_meta[p] = (side(i) << 14) | side(j);
+    }
+    for (int64_t p = body > lo ? body : lo; p < hi; p++) {
+      out_qgap[p] = 0;
+      out_r1i[p] = 0;
+      out_r2i[p] = 0;
+      out_r1j[p] = 0;
+      out_r2j[p] = 0;
+      out_meta[p] = 0;
+    }
+  };
+  if (nt <= 1) {
+    work(0, n_out);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t chunk = (n_out + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    int64_t lo = t * chunk;
+    int64_t hi = lo + chunk < n_out ? lo + chunk : n_out;
+    if (lo >= hi) break;
+    threads.emplace_back(work, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+}
+
 }  // extern "C"

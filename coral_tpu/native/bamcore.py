@@ -62,6 +62,12 @@ def _load():
     lib.bc_del_gaps_fetch.argtypes = [C.c_void_p] + [C.POINTER(C.c_int64)] * 5
     lib.bc_parse_sa.restype = C.c_int64
     lib.bc_parse_sa.argtypes = [C.c_void_p]
+    lib.bc_pack_pairs.restype = None
+    lib.bc_pack_pairs.argtypes = (
+        [C.c_int64] + [C.POINTER(C.c_int64)] * 5
+        + [C.POINTER(C.c_int32), C.POINTER(C.c_int8), C.POINTER(C.c_int32)]
+        + [C.c_int64, C.c_int] + [C.POINTER(C.c_int32)] * 6
+    )
     for fn, ty in [
         ("bc_chim_rec", C.c_int64), ("bc_chim_off", C.c_int64),
         ("bc_chim_rl", C.c_int32),
@@ -162,6 +168,49 @@ def parse_sa(bam):
         _as_np(lib.bc_aln_nm(h), np.float64, n_aln),
     )
     return chim_rec, chim_rl, chim_off, cols
+
+
+def pack_pairs(pi, qs, qe, r1, r2, chrom, strand, mapq,
+               n_out: int | None = None, nthreads: int = 0):
+    """Native adjacent-pair packing: gathers pair (pi[p], pi[p]+1) from
+    the flat alignment columns and emits the 6-column device layout
+    (``ops.scoring.PACKED_COL_ORDER``) in one threaded pass —
+    bit-identical to ``pack_pair_cols(np, ...)`` over the gathered
+    columns, with rows [n_pairs, n_out) zero-padded (inert: meta 0
+    decodes to chrom -1, matching no interval).
+
+    Returns a list of 6 int32 arrays of length ``n_out``
+    (default: n_pairs).  Raises OSError when the native library is
+    unavailable (callers fall back to the numpy path)."""
+    lib = _load()
+    pi = np.ascontiguousarray(pi, np.int64)
+    qs = np.ascontiguousarray(qs, np.int64)
+    qe = np.ascontiguousarray(qe, np.int64)
+    r1 = np.ascontiguousarray(r1, np.int64)
+    r2 = np.ascontiguousarray(r2, np.int64)
+    chrom = np.ascontiguousarray(chrom, np.int32)
+    strand = np.ascontiguousarray(strand, np.int8)
+    mapq = np.ascontiguousarray(mapq, np.int32)
+    n_pairs = len(pi)
+    if n_out is None:
+        n_out = n_pairs
+    if nthreads <= 0:
+        nthreads = min(os.cpu_count() or 1, 8)
+    # np.empty, not zeros: the native pass writes every byte exactly once
+    # (this microVM pays ~38s/GB on first touch; see CLAUDE.md)
+    outs = [np.empty(n_out, np.int32) for _ in range(6)]
+    i64p = C.POINTER(C.c_int64)
+    i32p = C.POINTER(C.c_int32)
+    lib.bc_pack_pairs(
+        n_pairs, pi.ctypes.data_as(i64p),
+        qs.ctypes.data_as(i64p), qe.ctypes.data_as(i64p),
+        r1.ctypes.data_as(i64p), r2.ctypes.data_as(i64p),
+        chrom.ctypes.data_as(i32p),
+        strand.ctypes.data_as(C.POINTER(C.c_int8)),
+        mapq.ctypes.data_as(i32p),
+        n_out, nthreads,
+        *[o.ctypes.data_as(i32p) for o in outs])
+    return outs
 
 
 def _native_error(nb) -> str:

@@ -396,8 +396,32 @@ def score_pairs_l(
             "(max_nm=%s); falling back to the XLA engine", max_nm)
         engine = "jax"
     if engine == "pallas":
-        from .pallas_kernels import pair_predicates_pallas
+        from .pallas_kernels import (LANES, _bucket_rows,
+                                     pair_predicates_pallas,
+                                     pair_predicates_pallas_packed)
 
+        interpret = jax.default_backend() != "tpu"
+        packed = None
+        try:
+            # native one-pass gather+pack straight from the flat columns
+            # (bamcore.bc_pack_pairs) — the numpy gather+bit-pack costs
+            # ~500x the device dispatch it feeds (round-2 host_pack_ms)
+            from ..native.bamcore import pack_pairs
+
+            packed = pack_pairs(
+                pi, table.q_start, table.q_end, table.r1, table.r2,
+                table.chrom, table.strand, table.mapq,
+                n_out=_bucket_rows(pi.size) * LANES)
+        except OSError:
+            pass
+        if packed is not None:
+            hit, _ = pair_predicates_pallas_packed(
+                packed, pi.size, int_chrom, int_start.astype(np.int32),
+                int_end.astype(np.int32),
+                min_bp_match_cutoff=min_bp_match_cutoff,
+                min_mapq=int(math.ceil(min_mapq)),
+                gap_=float(gap_), interpret=interpret)
+            return pi, pj, hit
         cols = {
             "qi_end": table.q_end[pi], "qj_start": table.q_start[pj],
             "chrom_i": table.chrom[pi], "r1_i": table.r1[pi],
@@ -413,7 +437,7 @@ def score_pairs_l(
             min_bp_match_cutoff=min_bp_match_cutoff,
             min_mapq=int(math.ceil(min_mapq)),
             gap_=float(gap_),
-            interpret=jax.default_backend() != "tpu")
+            interpret=interpret)
         return pi, pj, hit
     hits = np.zeros(pi.size, bool)
     fn = _pair_predicates if engine == "jax" else _pair_predicates_numpy

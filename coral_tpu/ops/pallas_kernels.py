@@ -156,35 +156,19 @@ def make_pair_pallas_fn(rows: int, n_int: int,
     return jax.jit(call)
 
 
-def pair_predicates_pallas(
-    cols: dict, int_chrom, int_start, int_end,
-    min_bp_match_cutoff: int = 100, min_mapq: int = 20, gap_: float = 100.0,
-    interpret: bool = False,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Evaluate pair predicates with the Pallas kernel (host convenience
-    wrapper: packs to the 6-column device layout, pads, transfers, calls
-    :func:`make_pair_pallas_fn`).
-
-    ``cols`` holds flat int32 arrays (qi_end, qj_start, chrom_i, r1_i,
-    r2_i, strand_i, mapq_i, chrom_j, r1_j, r2_j, strand_j, mapq_j) —
-    packing here (cheap numpy bit ops) halves the host->device transfer
-    and the kernel's HBM reads.  Returns (hit_mask, io) trimmed to the
-    input length.
-
-    Row counts bucket to powers of two so a pipeline with varying pair
-    counts pays at most ~20 kernel compiles ever (each new shape costs
-    20 s-5 min on a remote backend); zero padding is inert in the packed
-    layout (meta 0 decodes to chrom -1, which matches no interval).
-    """
-    from .scoring import pack_pair_cols
-
-    n = len(cols["qi_end"])
+def _bucket_rows(n: int) -> int:
+    """Row count for n pairs, bucketed to a power of two so a pipeline
+    with varying pair counts pays at most ~20 kernel compiles ever (each
+    new shape costs 20 s-5 min on a remote backend); zero padding is
+    inert in the packed layout (meta 0 decodes to chrom -1, which
+    matches no interval)."""
     rows = max(-(-n // LANES), SUBLANES)
-    rows = 1 << (rows - 1).bit_length()   # pow2 bucket (compile reuse)
-    packed = pack_pair_cols(
-        np, *(np.asarray(cols[k]) for k in PAIR_COL_ORDER))
-    padded = [_pad2d(np.asarray(c, np.int32), rows) for c in packed]
-    # inert sentinel rows: chrom -2 never matches any alignment chrom
+    return 1 << (rows - 1).bit_length()
+
+
+def _interval_rows(int_chrom, int_start, int_end):
+    """(1, n_int) interval rows; pad slots get the inert sentinel chrom
+    -2, which never matches any alignment chrom."""
     n_int = max(len(int_chrom), 1)
     ic = np.full((1, n_int), -2, np.int32)
     is_ = np.zeros((1, n_int), np.int32)
@@ -192,14 +176,61 @@ def pair_predicates_pallas(
     ic[0, : len(int_chrom)] = int_chrom
     is_[0, : len(int_start)] = int_start
     ie[0, : len(int_end)] = int_end
+    return ic, is_, ie
 
-    fn = make_pair_pallas_fn(rows, n_int, min_bp_match_cutoff, min_mapq,
-                             gap_, interpret)
+
+def pair_predicates_pallas_packed(
+    packed, n: int, int_chrom, int_start, int_end,
+    min_bp_match_cutoff: int = 100, min_mapq: int = 20, gap_: float = 100.0,
+    interpret: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pallas pair predicates over pre-packed flat columns.
+
+    ``packed`` is the 6-array ``PACKED_COL_ORDER`` layout, already
+    zero-padded to ``_bucket_rows(n) * LANES`` elements (the native
+    ``bamcore.pack_pairs`` emits exactly this).  Returns (hit_mask, io)
+    trimmed to ``n``.
+    """
+    rows = _bucket_rows(n)
+    assert len(packed[0]) == rows * LANES, \
+        f"packed length {len(packed[0])} != bucketed {rows * LANES}"
+    ic, is_, ie = _interval_rows(int_chrom, int_start, int_end)
+    fn = make_pair_pallas_fn(rows, ic.shape[1], min_bp_match_cutoff,
+                             min_mapq, gap_, interpret)
     hit, io = fn(jnp.asarray(ic), jnp.asarray(is_), jnp.asarray(ie),
-                 *[jnp.asarray(p) for p in padded])
+                 *[jnp.asarray(np.asarray(p).reshape(rows, LANES))
+                   for p in packed])
     hit = np.asarray(hit).reshape(-1)[:n].astype(bool)
     io = np.asarray(io).reshape(-1)[:n]
     return hit, io
+
+
+def pair_predicates_pallas(
+    cols: dict, int_chrom, int_start, int_end,
+    min_bp_match_cutoff: int = 100, min_mapq: int = 20, gap_: float = 100.0,
+    interpret: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Evaluate pair predicates with the Pallas kernel (host convenience
+    wrapper: packs to the 6-column device layout with numpy bit ops,
+    pads, and calls :func:`pair_predicates_pallas_packed`; the product
+    route packs natively in ``ops.pairs.score_pairs_l`` instead).
+
+    ``cols`` holds flat int32 arrays (qi_end, qj_start, chrom_i, r1_i,
+    r2_i, strand_i, mapq_i, chrom_j, r1_j, r2_j, strand_j, mapq_j) —
+    packing halves the host->device transfer and the kernel's HBM
+    reads.  Returns (hit_mask, io) trimmed to the input length.
+    """
+    from .scoring import pack_pair_cols
+
+    n = len(cols["qi_end"])
+    rows = _bucket_rows(n)
+    packed = pack_pair_cols(
+        np, *(np.asarray(cols[k]) for k in PAIR_COL_ORDER))
+    padded = [_pad2d(np.asarray(c, np.int32), rows).reshape(-1)
+              for c in packed]
+    return pair_predicates_pallas_packed(
+        padded, n, int_chrom, int_start, int_end,
+        min_bp_match_cutoff, min_mapq, gap_, interpret)
 
 
 def _bin_kernel(starts, ends, edge_lo, edge_hi, out_ref, *, n_bins: int):

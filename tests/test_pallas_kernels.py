@@ -56,6 +56,50 @@ def test_pair_kernel_matches_numpy():
     assert hit_n.sum() > 5
 
 
+def test_native_pack_pairs_feeds_kernel_identically():
+    """The native one-pass gather+pack (bamcore.bc_pack_pairs) is
+    bit-identical to pack_pair_cols over numpy gathers, zero-pads the
+    bucketed tail, and the kernel run over it matches the numpy-packed
+    run row for row."""
+    from coral_tpu.native.bamcore import pack_pairs
+    from coral_tpu.ops.pallas_kernels import (
+        LANES, _bucket_rows, pair_predicates_pallas_packed)
+    from coral_tpu.ops.scoring import pack_pair_cols
+
+    rng = np.random.default_rng(7)
+    n_aln = 907
+    qs = rng.integers(0, 30_000, n_aln).astype(np.int64)
+    qe = rng.integers(0, 30_000, n_aln).astype(np.int64)
+    r1 = rng.integers(0, 3_000_000, n_aln).astype(np.int64)
+    r2 = rng.integers(0, 3_000_000, n_aln).astype(np.int64)
+    chrom = rng.integers(-1, 4, n_aln).astype(np.int32)
+    strand = rng.choice([-1, 1], n_aln).astype(np.int8)
+    mapq = rng.integers(-2, 300, n_aln).astype(np.int32)  # clamp domain
+    pi = np.flatnonzero(rng.random(n_aln - 1) < 0.8).astype(np.int64)
+    pj = pi + 1
+    n_out = _bucket_rows(pi.size) * LANES
+    native = pack_pairs(pi, qs, qe, r1, r2, chrom, strand, mapq,
+                        n_out=n_out, nthreads=3)
+    ref = pack_pair_cols(
+        np, qe[pi], qs[pj], chrom[pi], r1[pi], r2[pi],
+        strand[pi].astype(np.int32), mapq[pi], chrom[pj], r1[pj], r2[pj],
+        strand[pj].astype(np.int32), mapq[pj])
+    for a, b in zip(ref, native):
+        np.testing.assert_array_equal(np.asarray(a, np.int32), b[:pi.size])
+        assert (b[pi.size:] == 0).all()
+    _, ic, is_, ie = synth()
+    hit, io = pair_predicates_pallas_packed(
+        native, pi.size, ic, is_, ie, interpret=True)
+    cols = dict(qi_end=qe[pi], qj_start=qs[pj], chrom_i=chrom[pi],
+                r1_i=r1[pi], r2_i=r2[pi],
+                strand_i=strand[pi].astype(np.int32), mapq_i=mapq[pi],
+                chrom_j=chrom[pj], r1_j=r1[pj], r2_j=r2[pj],
+                strand_j=strand[pj].astype(np.int32), mapq_j=mapq[pj])
+    hit2, io2 = pair_predicates_pallas(cols, ic, is_, ie, interpret=True)
+    np.testing.assert_array_equal(hit, hit2)
+    np.testing.assert_array_equal(io[hit], io2[hit2])
+
+
 def test_bin_kernel_matches_exact():
     rng = np.random.default_rng(1)
     starts = rng.integers(0, 900_000, 3000).astype(np.int64)
