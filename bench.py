@@ -184,10 +184,11 @@ def e2e_device_vs_host() -> dict:
 
     from coral_tpu.config import DEFAULT_CONFIG
 
+    e2e_reconstruct()          # warm imports/solver state for both arms
     host = e2e_reconstruct()
     cfg = DEFAULT_CONFIG.replace(
         engine=dataclasses.replace(DEFAULT_CONFIG.engine, engine="pallas"))
-    dev_cold = e2e_reconstruct(cfg)
+    dev_cold = e2e_reconstruct(cfg)   # cold = includes the kernel compile
     dev_warm = e2e_reconstruct(cfg)
     identical = host["files"] == dev_warm["files"]
     out = {

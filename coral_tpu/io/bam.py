@@ -305,6 +305,22 @@ class BamFile:
         lo, hi = self.overlap_range(chrom, start, stop)
         return range(lo, hi)
 
+    def region_records(self, chrom: str, start: int, stop: int):
+        """Candidate (pos, end, mapq, name_bytes) rows overlapping
+        [start, stop), in row order (callers still filter ``end > start``).
+
+        The narrow record surface the reconstruct stages consume, so every
+        BAM view can implement it: single file (here), multi-shard
+        concatenation in shard order (``parallel.multihost.MultiShardBam``)
+        and cross-process gather in process order
+        (``parallel.distributed.DistributedShardBam``)."""
+        lo, hi = self.overlap_range(chrom, start, stop)
+        off = self.name_off
+        blob = self.name_blob
+        for i in range(lo, hi):
+            yield (int(self.pos[i]), int(self.end[i]), int(self.mapq[i]),
+                   bytes(blob[int(off[i]):int(off[i + 1])]))
+
     # -- region decode ----------------------------------------------------
 
     def decode_region(self, chrom: str, start: int, stop: int) -> Iterator[DecodedRecord]:

@@ -104,6 +104,173 @@ def _psum_fn(mesh, axis: str):
         mesh=mesh, in_specs=P(axis), out_specs=P()))
 
 
+def allgather_bytes(payload: bytes, mesh=None, axis: str = "dp") -> list:
+    """Gather one bytes payload per process; returns the list in PROCESS
+    ORDER on every process (deterministic).  Built on the same psum
+    primitive as the integer reductions: lengths first, then a
+    zero-padded (nproc, max_len) uint8 matrix where each process fills
+    only its own row (disjoint one-hot rows, so the integer psum IS the
+    gather)."""
+    import jax
+
+    mesh = mesh or global_dp_mesh(axis)
+    nproc = jax.process_count()
+    me = jax.process_index()
+    lens = np.zeros(nproc, np.int64)
+    lens[me] = len(payload)
+    lens = allreduce_sum(lens, mesh, axis)
+    m = max(int(lens.max()), 1)
+    mat = np.zeros((nproc, m), np.uint8)
+    if payload:
+        mat[me, : len(payload)] = np.frombuffer(payload, np.uint8)
+    # the x64 psum promotes uint8 sums; cast back before serializing
+    mat = allreduce_sum(mat, mesh, axis).astype(np.uint8)
+    return [mat[p, : int(lens[p])].tobytes() for p in range(nproc)]
+
+
+def _allgather_obj(obj, mesh=None, axis: str = "dp") -> list:
+    """Pickle-based object gather (process order)."""
+    import pickle
+
+    return [pickle.loads(b)
+            for b in allgather_bytes(pickle.dumps(obj), mesh, axis)]
+
+
+class DistributedShardBam:
+    """BamFile-compatible view for jax.distributed pipelines: each process
+    holds ONE shard; every region query reduces across processes with the
+    same deterministic merge math as ``multihost.MultiShardBam`` —
+    integer psums for coverage/counts, process-order gathers (= shard
+    order, since process p ingests shard p of the contiguous split) for
+    record rows.  Every process must issue the same query sequence (they
+    do: the pipeline host code is replicated after the scan merge).
+    """
+
+    scan_from_cache = False
+
+    def __init__(self, shard_path: str, mesh=None, axis: str = "dp"):
+        from ..io.bam import BamFile
+
+        self.local = BamFile(shard_path)
+        self.mesh = mesh or global_dp_mesh(axis)
+        self.axis = axis
+
+    # integer psum reductions ----------------------------------------------
+
+    def coverage_sum(self, chrom, start, stop, **kw) -> int:
+        local = np.asarray([self.local.coverage_sum(chrom, start, stop, **kw)],
+                           np.int64)
+        return int(allreduce_sum(local, self.mesh, self.axis)[0])
+
+    def coverage_profile(self, chrom, start, stop, **kw) -> np.ndarray:
+        local = np.asarray(
+            self.local.coverage_profile(chrom, start, stop, **kw), np.int64)
+        return allreduce_sum(local, self.mesh, self.axis)
+
+    def read_count(self, chrom, start, stop) -> int:
+        local = np.asarray([self.local.read_count(chrom, start, stop)],
+                           np.int64)
+        return int(allreduce_sum(local, self.mesh, self.axis)[0])
+
+    # process-order gathers (= unsplit row order) ---------------------------
+
+    def names_overlapping(self, chrom, start, stop) -> set:
+        parts = _allgather_obj(
+            sorted(self.local.names_overlapping(chrom, start, stop)),
+            self.mesh, self.axis)
+        out: set = set()
+        for p in parts:
+            out.update(p)
+        return out
+
+    def del_gap_alignments(self, *args, **kw) -> list:
+        parts = _allgather_obj(self.local.del_gap_alignments(*args, **kw),
+                               self.mesh, self.axis)
+        rows: list = []
+        for p in parts:
+            rows.extend(p)
+        return rows
+
+    def region_records(self, chrom, start, stop):
+        parts = _allgather_obj(
+            list(self.local.region_records(chrom, start, stop)),
+            self.mesh, self.axis)
+        for p in parts:
+            yield from p
+
+    def close(self) -> None:
+        self.local.close()
+
+
+def distributed_reconstruct_graphs(
+    shard_paths, cnv_seed: str, cn_seg: str, output_prefix: str,
+    cfg=None, mesh=None, axis: str = "dp", run_cycles: bool = True):
+    """FULL pipeline under an initialized ``jax.distributed`` group: one
+    process per BAM shard.  Stages:
+
+    1. each process scans ITS shard (``multihost.scan_shard``);
+    2. scan products gather across processes in process order — the same
+       merge math as ``multihost.merge_scan_products`` (process p owns
+       shard p of the contiguous split, so process order = shard order);
+       the primary-length rescue runs per-shard and merges first-wins;
+    3. pair scoring runs data-parallel over the GLOBAL device mesh
+       (``sharded.score_pairs_sharded``: inputs sharded over every
+       process's devices, hit mask all_gathered);
+    4. coverage/read-count queries psum across processes
+       (:class:`DistributedShardBam`);
+    5. every process builds the identical graph and writes identical
+       outputs (asserted byte-identical in ``tests/test_distributed.py``).
+
+    Returns the Reconstruction (same object shape as
+    ``reconstruct_graphs``)."""
+    import jax
+
+    from ..config import DEFAULT_CONFIG
+    from ..graph.breakpoint_graph import write_graph_file
+    from ..reconstruct import Reconstruction
+    from .multihost import (_rescue_read_lengths, decode_chimeras,
+                            merge_scan_parts, scan_shard)
+
+    cfg = cfg or DEFAULT_CONFIG
+    mesh = mesh or global_dp_mesh(axis)
+    pid = jax.process_index()
+    shard = shard_paths[pid]
+
+    local_part = scan_shard(shard)
+    parts = _allgather_obj(local_part, mesh, axis)
+    read_length, sa_buckets, nm_stats = merge_scan_parts(parts)
+    # distributed rescue: each process screens ITS shard; first process
+    # (= first shard) wins, matching the sequential multi-shard scan
+    missing = [rn for rn in sa_buckets if rn not in read_length]
+    bam = DistributedShardBam(shard, mesh, axis)
+    local_rescued = _rescue_read_lengths([bam.local], missing)
+    for rescued in _allgather_obj(local_rescued, mesh, axis):
+        for rn, ql in rescued.items():
+            if rn not in read_length:
+                read_length[rn] = ql
+    chimeras = decode_chimeras(read_length, sa_buckets)
+
+    rec = Reconstruction(bam, cnv_seed, cfg)
+    rec.read_cns(cn_seg)
+    rec.read_length = read_length
+    rec.chimeras = chimeras
+    rec.nm_stats = nm_stats
+    rec.hash_to_segments()
+    rec.find_amplicon_intervals()
+    rec.find_smalldel_breakpoints()
+    rec.find_breakpoints(mesh=mesh)
+    rec.build_graph()
+    rec.assign_cov()
+    rec.compute_cn()
+    for gi, g in enumerate(rec.graphs):
+        write_graph_file(g, f"{output_prefix}_amplicon{gi + 1}_graph.txt")
+    if run_cycles:
+        from ..reconstruct import reconstruct_cycles
+
+        reconstruct_cycles(rec, output_prefix)
+    return rec
+
+
 def shard_bin_histogram(shard_path: str, chrom: str, origin: int,
                         bin_size: int, n_bins: int) -> np.ndarray:
     """Per-process ingest step: scan one BAM shard and produce the
@@ -138,5 +305,28 @@ def _selftest_main(argv) -> None:
     print(f"proc {pid}/{nproc}: bins_total={int(hist.sum())}")
 
 
+def _pipeline_main(argv) -> None:
+    """Full-pipeline worker (one per shard):
+
+        python -m coral_tpu.parallel.distributed pipeline <pid> <nproc>
+            <port> <cnv_seed> <cn_seg> <output_prefix> <shard0> ...
+
+    Each process reconstructs graphs AND cycles, writing to
+    ``<output_prefix>.p<pid>_...`` — the test asserts every process's
+    outputs are byte-identical to the single-process run."""
+    pid, nproc, port = int(argv[0]), int(argv[1]), argv[2]
+    cnv_seed, cn_seg, prefix = argv[3], argv[4], argv[5]
+    shards = argv[6:]
+    assert len(shards) == nproc, "one shard per process"
+    initialize(f"localhost:{port}", nproc, pid, platform="cpu")
+    rec = distributed_reconstruct_graphs(
+        shards, cnv_seed, cn_seg, f"{prefix}.p{pid}")
+    rec.bam.close()
+    print(f"proc {pid}/{nproc}: graphs={len(rec.graphs)}")
+
+
 if __name__ == "__main__":
-    _selftest_main(sys.argv[1:])
+    if sys.argv[1:2] == ["pipeline"]:
+        _pipeline_main(sys.argv[2:])
+    else:
+        _selftest_main(sys.argv[1:])

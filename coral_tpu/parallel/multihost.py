@@ -257,21 +257,13 @@ def _rescue_read_lengths(shards, missing) -> Dict[str, int]:
     return found
 
 
-def merge_scan_products(parts: List[dict], shards=None):
-    """Merge per-shard scan products in shard order; decode chimeras.
-
-    Reproduces ``collect_chimeras`` over the unsplit BAM: read lengths
-    keep the first-seen primary, SA buckets append across shards with
-    in-order dedup, and the NM baseline merges moment sums.  ``shards``
-    (open BamFiles over the same shard set) enables the rescue pass for
-    chimeric reads whose primary record carries no SA tag — the
-    single-process paths take the read length from ANY primary of a
-    chimeric name (``bamcore.cpp`` parse_sa primary screen;
-    ``ops/chimera.py`` all-primaries dict), so the merge must too.
-    """
+def merge_scan_parts(parts: List[dict]):
+    """Merge per-shard scan products in shard order (phase 1 of
+    :func:`merge_scan_products`): read lengths keep the first-seen
+    primary, SA buckets append across shards with in-order dedup, the NM
+    baseline merges moment sums.  Returns (read_length, sa_buckets,
+    nm_stats)."""
     import math
-
-    from ..ops.chimera import Chimera, alignment_from_sa
 
     read_length: Dict[str, int] = {}
     sa_buckets: Dict[str, List[str]] = {}
@@ -295,17 +287,44 @@ def merge_scan_products(parts: List[dict], shards=None):
         nm_stats = [mean, math.sqrt(max(s2 / n - mean * mean, 0.0)), n]
     else:
         nm_stats = [0.0, 0.0, 0]
-    if shards is not None:
-        missing = [rn for rn in sa_buckets if rn not in read_length]
-        read_length.update(_rescue_read_lengths(shards, missing))
+    return read_length, sa_buckets, nm_stats
+
+
+def decode_chimeras(read_length: Dict[str, int],
+                    sa_buckets: Dict[str, List[str]]):
+    """Phase 2 of :func:`merge_scan_products`: decode every SA bucket
+    whose read has a known primary length (names without any primary are
+    dropped, matching both single-process paths)."""
+    from ..ops.chimera import Chimera, alignment_from_sa
+
     chimeras: Dict[str, Chimera] = {}
     for rn, entries in sa_buckets.items():
         if rn not in read_length:
-            # no primary alignment anywhere: dropped, matching both
-            # single-process paths
             continue
         chim = alignment_from_sa(entries, read_length[rn])
         chimeras[rn] = chim if chim is not None else Chimera([], [], [], [])
+    return chimeras
+
+
+def merge_scan_products(parts: List[dict], shards=None):
+    """Merge per-shard scan products in shard order; decode chimeras.
+
+    Reproduces ``collect_chimeras`` over the unsplit BAM — see
+    :func:`merge_scan_parts` / :func:`decode_chimeras`.  ``shards``
+    (open BamFiles over the same shard set) enables the rescue pass for
+    chimeric reads whose primary record carries no SA tag — the
+    single-process paths take the read length from ANY primary of a
+    chimeric name (``bamcore.cpp`` parse_sa primary screen;
+    ``ops/chimera.py`` all-primaries dict), so the merge must too.
+    (The jax.distributed pipeline runs the same three phases with the
+    rescue gathered across processes —
+    ``parallel.distributed.distributed_reconstruct_graphs``.)
+    """
+    read_length, sa_buckets, nm_stats = merge_scan_parts(parts)
+    if shards is not None:
+        missing = [rn for rn in sa_buckets if rn not in read_length]
+        read_length.update(_rescue_read_lengths(shards, missing))
+    chimeras = decode_chimeras(read_length, sa_buckets)
     return read_length, chimeras, nm_stats
 
 
@@ -367,6 +386,11 @@ class MultiShardBam:
             lo, hi = s.overlap_range(chrom, start, stop)
             base = int(self._bases[k])
             yield from range(base + lo, base + hi)
+
+    def region_records(self, chrom, start, stop):
+        # shard order == unsplit row order (contiguous record slices)
+        for s in self.shards:
+            yield from s.region_records(chrom, start, stop)
 
     # concatenated flat columns (lazily materialized) ----------------------
 

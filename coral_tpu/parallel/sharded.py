@@ -73,6 +73,14 @@ def score_pairs_sharded(
         nm_i = np.concatenate([nm_i, np.full(pad, np.inf, np.float32)])
         nm_j = np.concatenate([nm_j, np.full(pad, np.inf, np.float32)])
 
+    # multi-process mesh (jax.distributed): inputs become global arrays
+    # (each process contributes its addressable slice of the replicated
+    # host value) and the hit mask all_gathers so every process holds the
+    # full result — the cross-process collective rides Gloo on CPU hosts,
+    # ICI/DCN on a pod
+    multiproc = jax.process_count() > 1 and any(
+        d.process_index != jax.process_index() for d in mesh.devices.flat)
+
     def shard_fn(qi_end, qj_start, chrom_i, r1_i, r2_i, strand_i, mapq_i,
                  chrom_j, r1_j, r2_j, strand_j, mapq_j, nm_i, nm_j):
         # one product predicate implementation (ops.scoring), per shard
@@ -84,10 +92,28 @@ def score_pairs_sharded(
             int_chrom, int_start, int_end,
             min_bp_match_cutoff, min_mapq, jnp.float32(gap_),
             jnp.float32(max_nm))
+        if multiproc:
+            hit = jax.lax.all_gather(hit, axis, tiled=True)
         return hit
 
+    smap_kw = {}
+    if multiproc:
+        # the all_gathered hit mask IS replicated, but the static
+        # replication checker cannot infer it through all_gather
+        smap_kw["check_vma"] = False
     fn = jax.jit(shard_map(
         shard_fn, mesh=mesh,
-        in_specs=tuple([P(axis)] * 14), out_specs=P(axis)))
-    hits = np.asarray(fn(*cols, nm_i, nm_j))[:n]
+        in_specs=tuple([P(axis)] * 14),
+        out_specs=P() if multiproc else P(axis), **smap_kw))
+    args = list(cols) + [nm_i, nm_j]
+    if multiproc:
+        from jax.sharding import NamedSharding
+
+        sh = NamedSharding(mesh, P(axis))
+        # every process holds the full (replicated) host columns; build
+        # global arrays by slicing out each device's addressable shard
+        args = [jax.make_array_from_callback(a.shape, sh,
+                                             lambda idx, a=a: a[idx])
+                for a in args]
+    hits = np.asarray(fn(*args))[:n]
     return pi, pj, hits

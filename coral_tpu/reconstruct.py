@@ -1144,22 +1144,22 @@ class Reconstruction:
             # concordant-read set: decoding every record name is the single
             # largest cost at whole-genome scale
             conc_names_b = {rn.encode() for rn in concordant_reads}
-            name_blob = self.bam.name_blob
-            name_off = self.bam.name_off
             for aint in self.amplicon_intervals:
                 if amplicon_idx != self.ccid2id[aint[3]] - 1:
                     continue
-                for i in self.bam.overlap_rows(aint[0], aint[1], aint[2] + 1):
-                    if self.bam.end[i] <= aint[1]:
+                # region_records is the narrow record surface every BAM
+                # view implements (single file, multi-shard concat, and
+                # the jax.distributed cross-process gather)
+                for (rpos, rend, rmapq, rname) in self.bam.region_records(
+                        aint[0], aint[1], aint[2] + 1):
+                    if rend <= aint[1]:
                         continue
-                    if self.bam.mapq[i] < 20:
+                    if rmapq < 20:
                         continue
-                    if bytes(name_blob[name_off[i]:name_off[i + 1]]) \
-                            not in conc_names_b:
+                    if rname not in conc_names_b:
                         continue
                     path = alignment_to_path(
-                        g, [aint[0], int(self.bam.pos[i]), int(self.bam.end[i])],
-                        self.cfg.pc.min_overlap)
+                        g, [aint[0], rpos, rend], self.cfg.pc.min_overlap)
                     _record([path])
             logger.info("amplicon %d: %d total subpaths",
                         amplicon_idx + 1, len(pcs[0]))

@@ -39,12 +39,12 @@ def sample(tmp_path_factory):
         np.int64)
     whole.close()
     assert expect.sum() > 0
-    return out, bam, expect
+    return bam, cns, seeds, expect
 
 
 @pytest.mark.parametrize("nproc", [2, 3])
 def test_distributed_allreduce_matches_single_process(sample, tmp_path, nproc):
-    out, bam, expect = sample
+    bam, _, _, expect = sample
     shards = split_bam(
         bam, [str(tmp_path / f"s{i}.bam") for i in range(nproc)])
     port = _free_port()
@@ -73,3 +73,56 @@ def test_distributed_allreduce_matches_single_process(sample, tmp_path, nproc):
     for npy in outs:
         hist = np.load(npy)
         np.testing.assert_array_equal(hist, expect)
+
+
+@pytest.mark.parametrize("nproc", [2, 3])
+def test_distributed_full_pipeline_byte_identical(sample, tmp_path, nproc):
+    """FULL reconstruct (graphs + cycles) under jax.distributed: N real
+    processes, one shard each, pair scoring all_gathered over the global
+    mesh, coverage psum-merged — every process's graph.txt/cycles.txt
+    must be byte-identical to the single-process run on the unsplit
+    BAM."""
+    bam, cns, seeds, _ = sample
+    from coral_tpu.reconstruct import reconstruct_cycles, reconstruct_graphs
+
+    single_prefix = str(tmp_path / "single")
+    rec = reconstruct_graphs(bam, seeds, cns, single_prefix)
+    reconstruct_cycles(rec, single_prefix)
+    rec.bam.close()
+    single = {
+        f[len("single"):]: (tmp_path / f).read_text()
+        for f in os.listdir(tmp_path)
+        if f.startswith("single") and f.endswith((".txt",))
+    }
+    assert any(k.endswith("_graph.txt") for k in single)
+    assert any(k.endswith("_cycles.txt") for k in single)
+
+    shards = split_bam(
+        bam, [str(tmp_path / f"ps{i}.bam") for i in range(nproc)])
+    port = _free_port()
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env.pop("JAX_PLATFORMS", None)
+    prefix = str(tmp_path / "dist")
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "coral_tpu.parallel.distributed", "pipeline",
+         str(pid), str(nproc), str(port), seeds, cns, prefix] + shards,
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for pid in range(nproc)]
+    for p in procs:
+        try:
+            sout, serr = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{sout}\n{serr}"
+    for pid in range(nproc):
+        got = {
+            f[len(f"dist.p{pid}"):]: (tmp_path / f).read_text()
+            for f in os.listdir(tmp_path)
+            if f.startswith(f"dist.p{pid}_") and f.endswith(".txt")
+        }
+        assert got == single, (
+            f"proc {pid} outputs differ from single-process: "
+            f"{sorted(set(single) ^ set(got)) or 'content diff'}")
