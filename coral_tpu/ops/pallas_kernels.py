@@ -233,6 +233,145 @@ def pair_predicates_pallas(
         min_bp_match_cutoff, min_mapq, gap_, interpret)
 
 
+# --- packed-v2 kernels (interval gate resolved at pack time) --------------
+#
+# The v2 layout (``ops.scoring.PACKED2_COL_ORDER``: qgap, r2_i, r1_j,
+# meta) carries the combined interval gate in the meta word, so these
+# kernels run ZERO interval-scan ops per pair and stream 16 B/pair —
+# round 2's 6-column kernel spent ~80% of its VPU work on the in-kernel
+# 16-wide scan (hbm_roofline_frac 0.182; A/B table in
+# docs/ARCHITECTURE.md).  The predicate formula is still the ONE product
+# implementation (``scoring.pair_predicate`` via
+# ``scoring.pair_predicate_packed2``).
+
+
+def _pair2_kernel(qgap, r2_i, r1_j, meta, hit_out, io_out, *,
+                  min_bp_match_cutoff: int, min_mapq: int, gap_: float):
+    from .scoring import pair_predicate_packed2
+
+    hit, iog = pair_predicate_packed2(
+        jnp, qgap[:], r2_i[:], r1_j[:], meta[:],
+        min_bp_match_cutoff, min_mapq, gap_)
+    hit_out[:] = hit.astype(jnp.int32)
+    io_out[:] = iog
+
+
+@functools.lru_cache(maxsize=64)
+def make_pair2_pallas_fn(rows: int, min_bp_match_cutoff: int = 100,
+                         min_mapq: int = 20, gap_: float = 100.0,
+                         interpret: bool = False):
+    """Compiled pair-predicate evaluator over the resolved 4-column
+    layout: fn(*4 packed cols) over pre-padded (rows, 128) int32 blocks
+    -> (hit, iog) blocks."""
+    kernel = functools.partial(
+        _pair2_kernel, min_bp_match_cutoff=min_bp_match_cutoff,
+        min_mapq=min_mapq, gap_=float(gap_))
+    if rows % SUBLANES:
+        raise ValueError(
+            f"make_pair2_pallas_fn: rows={rows} must be a multiple of "
+            f"{SUBLANES} or trailing rows fall outside the grid")
+    bs = SUBLANES
+    while bs < 128 and rows % (bs * 2) == 0:
+        bs *= 2
+    block = pl.BlockSpec((bs, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(rows // bs,),
+        in_specs=[block] * 4,
+        out_specs=(block, block),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        ),
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
+def _pair_hist2_kernel(qgap, r2_i, r1_j, meta, out_ref, *, n_int: int,
+                       min_bp_match_cutoff: int, min_mapq: int,
+                       gap_: float):
+    """v2 pair predicate fused with the per-interval support histogram
+    (same VMEM accumulation as :func:`_pair_hist_kernel`, binning by the
+    precomputed gate)."""
+    from .scoring import pair_predicate_packed2
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    hit, iog = pair_predicate_packed2(
+        jnp, qgap[:], r2_i[:], r1_j[:], meta[:],
+        min_bp_match_cutoff, min_mapq, gap_)
+    # hits bin by iog; fold the hit gate into ONE select so the k-loop
+    # below is a bare compare+reduce per bin
+    binned = jnp.where(hit, iog, -1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_int), 1)
+    acc = jnp.zeros((1, n_int), jnp.int32)
+    for k in range(n_int):
+        cnt = jnp.sum((binned == k).astype(jnp.int32))
+        acc = acc + jnp.where(lane == k, cnt, 0)
+    out_ref[:] += acc
+
+
+@functools.lru_cache(maxsize=64)
+def make_pair_hist2_pallas_fn(rows: int, n_int: int,
+                              min_bp_match_cutoff: int = 100,
+                              min_mapq: int = 20, gap_: float = 100.0,
+                              interpret: bool = False):
+    """Compiled fused predicate+histogram over the resolved 4-column
+    layout: fn(*4 packed cols) over pre-padded (rows, 128) blocks
+    (``PACKED2_COL_ORDER``) -> (1, n_int) support counts."""
+    kernel = functools.partial(
+        _pair_hist2_kernel, n_int=n_int,
+        min_bp_match_cutoff=min_bp_match_cutoff, min_mapq=min_mapq,
+        gap_=float(gap_))
+    if rows % SUBLANES:
+        raise ValueError(
+            f"make_pair_hist2_pallas_fn: rows={rows} must be a multiple "
+            f"of {SUBLANES} or trailing rows fall outside the grid")
+    bs = SUBLANES
+    while bs < 128 and rows % (bs * 2) == 0:
+        bs *= 2
+    block = pl.BlockSpec((bs, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(rows // bs,),
+        in_specs=[block] * 4,
+        out_specs=pl.BlockSpec((1, n_int), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_int), jnp.int32),
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
+def pair_predicates_pallas_packed2(
+    packed, n: int,
+    min_bp_match_cutoff: int = 100, min_mapq: int = 20, gap_: float = 100.0,
+    interpret: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pallas pair predicates over the pre-packed resolved 4-column
+    layout (``PACKED2_COL_ORDER``, zero-padded to ``_bucket_rows(n) *
+    LANES`` — native ``bamcore.pack_pairs2`` / host
+    ``scoring.pack_pairs2_host`` emit exactly this).  Returns (hit_mask,
+    iog) trimmed to ``n``."""
+    rows = _bucket_rows(n)
+    assert len(packed[0]) == rows * LANES, \
+        f"packed length {len(packed[0])} != bucketed {rows * LANES}"
+    fn = make_pair2_pallas_fn(rows, min_bp_match_cutoff, min_mapq, gap_,
+                              interpret)
+    hit, io = fn(*[jnp.asarray(np.asarray(p).reshape(rows, LANES))
+                   for p in packed])
+    hit = np.asarray(hit).reshape(-1)[:n].astype(bool)
+    io = np.asarray(io).reshape(-1)[:n]
+    return hit, io
+
+
 def _bin_kernel(starts, ends, edge_lo, edge_hi, out_ref, *, n_bins: int):
     """Per-block partial bin histogram: each grid step owns an (8, 128)
     block of reads and accumulates exact overlap into all bins.

@@ -26,7 +26,7 @@ the common subset so both engines are literally the same code.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -154,6 +154,120 @@ def unpack_pair_meta(xp, meta):
     ci, si, mi = side(meta >> META_SIDE_BITS)
     cj, sj, mj = side(meta & ((1 << META_SIDE_BITS) - 1))
     return ci, si, mi, cj, sj, mj
+
+
+# --- packed-v2: the interval-RESOLVED pair layout ------------------------
+#
+# The interval membership io = first_overlap(chrom, r1, r2) depends only
+# on the ALIGNMENT, never on the pair — so the packer computes it once
+# per alignment (n_aln << n_pairs rows, and n_aln*n_int host/native ops
+# amortize over every pair the alignment appears in) and stores the
+# pair's combined interval gate
+#
+#     iog = io_i  if io_i >= 0 and io_i == io_j  else  -1
+#
+# in the meta word.  Substituting io_i = io_j = iog into the predicate
+# is exact: ``(io_i >= 0) & (io_i == io_j)`` becomes ``iog >= 0`` and the
+# support histogram bins by io_i = iog (hits only exist where they agree).
+# With the search resolved, chrom / r1_i / r2_j drop out of the predicate
+# entirely: 4 int32 columns = 16 B/pair (vs 24 packed / 56 unpacked), and
+# the device kernel runs ZERO interval-scan ops per pair — round 2
+# measured the in-kernel 16-wide scan as ~80% of the kernel's VPU work
+# (hbm_roofline_frac 0.182, docs/ARCHITECTURE.md).
+#
+# meta2 word (bit 31 kept zero so the word stays non-negative):
+#   [ 0 : 1 | iog+1 : 13 | mapq_i : 8 | strand_i>0 : 1
+#           | mapq_j : 8 | strand_j>0 : 1 ]
+
+META2_IOG_SHIFT = 18
+META2_MAPQ_I_SHIFT = 10
+META2_STRAND_I_SHIFT = 9
+META2_MAPQ_J_SHIFT = 1
+PACKED2_COL_ORDER = ("qgap", "r2_i", "r1_j", "meta")
+MAX_PACKED2_INTERVALS = (1 << 13) - 2  # iog+1 must fit 13 bits
+
+
+def combine_interval_gate(xp, io_i, io_j):
+    """The pair's combined interval gate (see layout comment above)."""
+    return xp.where((io_i >= 0) & (io_i == io_j), io_i,
+                    xp.full_like(io_i, -1))
+
+
+def pack_pair_cols2(xp, qi_end, qj_start, r2_i, strand_i, mapq_i,
+                    r1_j, strand_j, mapq_j, iog):
+    """Pack the interval-resolved pair columns into the 4-column v2
+    layout (:data:`PACKED2_COL_ORDER`).  ``iog`` is the combined gate
+    from :func:`combine_interval_gate`; MAPQ clamps to the BAM uint8
+    domain exactly as :func:`pack_pair_cols` does."""
+    i32 = xp.int32
+    mi = xp.clip(mapq_i.astype(i32), 0, 255)
+    mj = xp.clip(mapq_j.astype(i32), 0, 255)
+    qgap = (qj_start - qi_end).astype(i32)
+    meta = ((iog.astype(i32) + 1) << META2_IOG_SHIFT) \
+        | (mi << META2_MAPQ_I_SHIFT) \
+        | ((strand_i > 0).astype(i32) << META2_STRAND_I_SHIFT) \
+        | (mj << META2_MAPQ_J_SHIFT) \
+        | (strand_j > 0).astype(i32)
+    return qgap, r2_i.astype(i32), r1_j.astype(i32), meta
+
+
+def unpack_pair_meta2(xp, meta):
+    """Inverse of the meta2 word: -> (iog, strand_i, mapq_i, strand_j,
+    mapq_j), strands as +1/-1 int32."""
+    iog = ((meta >> META2_IOG_SHIFT) & 0x1FFF) - 1
+    mapq_i = (meta >> META2_MAPQ_I_SHIFT) & 0xFF
+    strand_i = xp.where((meta >> META2_STRAND_I_SHIFT) & 1 > 0, 1, -1
+                        ).astype(xp.int32)
+    mapq_j = (meta >> META2_MAPQ_J_SHIFT) & 0xFF
+    strand_j = xp.where((meta & 1) > 0, 1, -1).astype(xp.int32)
+    return iog, strand_i, mapq_i, strand_j, mapq_j
+
+
+def pair_predicate_packed2(xp, qgap, r2_i, r1_j, meta,
+                           min_bp_match_cutoff, min_mapq, gap_):
+    """:func:`pair_predicate` over the resolved 4-column layout.
+
+    Unpacks and delegates to the ONE predicate implementation: the
+    precomputed gate is injected as ``first_overlap_fn`` returning
+    ``iog`` for BOTH sides (exact — see the layout comment), the unused
+    chrom / r1_i / r2_j slots are fed zeros, and the NM gate its gate-off
+    contract.  Returns (hit, iog)."""
+    iog, si, mi, sj, mj = unpack_pair_meta2(xp, meta)
+    zero_i = xp.zeros_like(qgap)
+    zero_f = xp.zeros(qgap.shape, xp.float32)
+    dummy = zero_i[:1]
+    return pair_predicate(
+        xp, zero_i, qgap, zero_i, zero_i, r2_i, si, mi, zero_f,
+        zero_i, r1_j, zero_i, sj, mj, zero_f,
+        dummy, dummy, dummy,
+        min_bp_match_cutoff, min_mapq, gap_, np.inf,
+        first_overlap_fn=lambda *_: iog)
+
+
+def pack_pairs2_host(pi, q_start, q_end, r1, r2, chrom, strand, mapq,
+                     int_chrom, int_start, int_end,
+                     n_out: Optional[int] = None):
+    """Host (numpy) emission of the v2 layout from flat ALIGNMENT columns
+    for pairs (pi[p], pi[p]+1) — the fallback twin of the native
+    ``bamcore.pack_pairs2``; bit-identical by test.  Rows [n_pairs,
+    n_out) zero-pad (meta 0 decodes to iog -1: inert)."""
+    io = first_overlap(np, np.asarray(chrom), np.asarray(r1),
+                       np.asarray(r2), np.asarray(int_chrom),
+                       np.asarray(int_start), np.asarray(int_end))
+    pj = pi + 1
+    iog = combine_interval_gate(np, io[pi], io[pj])
+    packed = pack_pair_cols2(
+        np, q_end[pi], q_start[pj], r2[pi],
+        np.asarray(strand)[pi].astype(np.int32), mapq[pi],
+        r1[pj], np.asarray(strand)[pj].astype(np.int32), mapq[pj], iog)
+    if n_out is None or n_out == len(pi):
+        return list(packed)
+    out = []
+    for c in packed:
+        padded = np.zeros(n_out, np.int32)
+        padded[: len(pi)] = c
+        out.append(padded)
+    return out
 
 
 def pair_predicate_packed(xp, qgap, r1_i, r2_i, r1_j, r2_j, meta,
@@ -326,23 +440,24 @@ def make_batch_scorer_jax(int_chrom, int_start, int_end, engine: str = "xla",
     the per-dispatch step is pure predicate + histogram + table lookups.
 
     ``engine='pallas'`` evaluates the pair predicate with the one-pass
-    Mosaic kernel (the engine ``score_pairs_l`` routes TPU dispatches to
-    when the NM gate is off): the XLA broadcast search materializes
-    (n, n_int) masks — ~1 GB of HBM traffic per 2M-pair dispatch at 16
-    intervals — while the Pallas kernel streams the PACKED 6-column
-    layout (:func:`pack_pair_cols`, 24 B/pair, half the 14-column
-    layout's HBM traffic) once with the interval table VMEM-resident.
-    Requires max_nm=inf (the packed layout has no NM slot) and n
-    divisible by 1024.
+    Mosaic kernel over the interval-RESOLVED 4-column layout
+    (:data:`PACKED2_COL_ORDER`, 16 B/pair, zero in-kernel interval-scan
+    ops — the packer resolves the gate per ALIGNMENT; see the layout
+    comment above :func:`pack_pair_cols2`).  ``engine='pallas6'`` keeps
+    the round-2 6-column kernel (in-kernel 16-wide interval scan) for
+    A/B measurement.  Both require max_nm=inf (no NM slot) and n
+    divisible by 1024; the XLA broadcast search materializes (n, n_int)
+    masks — ~1 GB of HBM traffic per 2M-pair dispatch at 16 intervals.
 
     Returns (build_tables, score):
       build_tables(starts, ends) -> device table tuple (jitted)
       score(tables, *cols)       -> (support, cov_res, cov_est) (jitted)
-    ``score`` takes the 14 unpacked columns for the XLA engine, or the 6
-    :data:`PACKED_COL_ORDER` columns (pre-packed with
-    :func:`pack_pair_cols`, so the packing cost stays off the dispatch)
-    for the Pallas engine.  Combine cov pairs with
-    :func:`combine_coverage`.
+    ``score`` takes the 14 unpacked columns for the XLA engine, the 4
+    :data:`PACKED2_COL_ORDER` columns (``bamcore.pack_pairs2`` /
+    :func:`pack_pairs2_host`) for the Pallas engine, or the 6
+    :data:`PACKED_COL_ORDER` columns (:func:`pack_pair_cols`) for
+    ``pallas6`` — pre-packed either way, so the packing cost stays off
+    the dispatch.  Combine cov pairs with :func:`combine_coverage`.
     """
     import jax
     import jax.numpy as jnp
@@ -361,6 +476,32 @@ def make_batch_scorer_jax(int_chrom, int_start, int_end, engine: str = "xla",
     if engine == "pallas":
         if not np.isinf(params["max_nm"]):
             raise ValueError("engine='pallas' has no NM gate")
+        from .pallas_kernels import LANES, make_pair_hist2_pallas_fn
+
+        n_int = int(ic.shape[0])
+
+        @jax.jit
+        def score(tables, qgap, r2_i, r1_j, meta):
+            n = qgap.shape[0]
+            rows = n // LANES
+            # fused predicate+histogram over the resolved layout: the
+            # support counts accumulate in VMEM inside the kernel, so
+            # the dispatch only READS the 4 packed input columns
+            pair_fn = make_pair_hist2_pallas_fn(
+                rows, n_int, params["min_bp_match_cutoff"],
+                params["min_mapq"], params["gap_"], interpret)
+            blocks = [c.reshape(rows, LANES) for c in
+                      (qgap, r2_i, r1_j, meta)]
+            support = pair_fn(*blocks).reshape(-1)
+            res_e, est_e = coverage_prefix_eval(jnp, tables, ie)
+            res_s, est_s = coverage_prefix_eval(jnp, tables, is_)
+            return support, res_e - res_s, est_e - est_s
+
+        return build_tables, score
+
+    if engine == "pallas6":
+        if not np.isinf(params["max_nm"]):
+            raise ValueError("engine='pallas6' has no NM gate")
         from .pallas_kernels import LANES, make_pair_hist_pallas_fn
 
         n_int = int(ic.shape[0])
