@@ -71,20 +71,18 @@ from coral_tpu.ops.scoring import COL_ORDER  # canonical order
 
 
 def roofline_utilization(n_reads: int, t_dev: float,
-                         bytes_per_read: int = 24) -> float:
+                         bytes_per_read: int = 16) -> float:
     """Fraction of v5e HBM speed-of-light the scoring dispatch achieves.
 
-    The fused Pallas route streams the 6 PACKED int32 predicate columns
-    exactly once (24 B/pair — ``ops.scoring.pack_pair_cols`` bit-packs
-    chrom/mapq/strand of both sides into one word and pre-computes qgap;
-    the support histogram accumulates in VMEM, nothing pair-sized is
-    written back); the XLA route reads the 14 unpacked columns (56 B).
-    v5e HBM BW ~ 819 GB/s.  NOTE: at 16 intervals the fused kernel is
-    VPU-bound, not HBM-bound (~250 int ops/pair; measured A/B in
-    docs/ARCHITECTURE.md), so this fraction reads ~0.2 — it is a
-    bytes-moved account, not a claim the dispatch saturates HBM.
-    (Table builds are timed separately — they amortize across the
-    pipeline's many queries per read batch.)
+    The fused Pallas route streams the 4 interval-RESOLVED packed int32
+    columns exactly once (16 B/pair — ``ops.scoring.PACKED2_COL_ORDER``:
+    the packer computes the interval gate per ALIGNMENT so the kernel
+    runs zero interval-scan ops per pair; the support histogram
+    accumulates in VMEM, nothing pair-sized is written back).  The
+    round-2 6-column layout (in-kernel 16-wide interval scan) moves
+    24 B/pair; the XLA route reads the 14 unpacked columns (56 B).
+    v5e HBM BW ~ 819 GB/s.  (Table builds are timed separately — they
+    amortize across the pipeline's many queries per read batch.)
     """
     hbm_bw = 819e9
     t_light = n_reads * bytes_per_read / hbm_bw
@@ -217,28 +215,32 @@ def main() -> None:
     starts, ends, cols, ic, is_, ie = synth_scoring_batch(n_reads)
     from coral_tpu.ops.scoring import make_batch_scorer_jax
 
-    # headline: the fused Pallas route (the engine score_pairs_l uses for
-    # TPU dispatches); XLA engine reported as a secondary
+    # headline: the fused Pallas route over the interval-RESOLVED v2
+    # layout (the engine score_pairs_l uses for TPU dispatches); the
+    # round-2 6-column kernel and the XLA engine reported as secondaries
     build, score = make_batch_scorer_jax(ic, is_, ie, engine="pallas")
+    _, score_p6 = make_batch_scorer_jax(ic, is_, ie, engine="pallas6")
     _, score_xla = make_batch_scorer_jax(ic, is_, ie, engine="xla")
     d_starts = jax.device_put(starts)
     d_ends = jax.device_put(ends)
     d_cols = [jax.device_put(cols[k]) for k in COL_ORDER]
-    # the pallas engine takes the packed 6-column device layout; the
-    # product route emits it with ONE native gather+pack pass straight
-    # from the flat alignment columns (bamcore.bc_pack_pairs — round 2's
-    # numpy pack cost 500x the dispatch it fed), timed here through the
-    # same product-shaped path (min-of-3; first-touch paging varies)
-    from coral_tpu.native.bamcore import pack_pairs
+    # the pallas engine takes the interval-resolved 4-column v2 layout;
+    # the product route emits it with ONE native first_overlap+gather+
+    # pack pass straight from the flat alignment columns
+    # (bamcore.bc_pack_pairs2 — round 2's numpy pack cost 500x the
+    # dispatch it fed), timed here through the same product-shaped path
+    # (min-of-3; first-touch paging varies)
+    from coral_tpu.native.bamcore import pack_pairs, pack_pairs2
 
     aln = synth_alignment_table(cols)
     pack_times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        packed = pack_pairs(*aln)
+        packed = pack_pairs2(*aln, ic, is_, ie)
         pack_times.append(time.perf_counter() - t0)
     t_pack = min(pack_times)
     d_packed = [jax.device_put(p) for p in packed]
+    d_packed6 = [jax.device_put(p) for p in pack_pairs(*aln)]
     tables = build(d_starts, d_ends)  # compile + build
     jax.block_until_ready(tables)
 
@@ -246,6 +248,7 @@ def main() -> None:
     t_build = slope_time_ms(build, d_starts, d_ends, n1=4, n2=32) / 1e3
     # scoring dispatch (the headline) — slope-timed, see module docstring
     t_dev = slope_time_ms(lambda *c: score(tables, *c), *d_packed) / 1e3
+    t_p6 = slope_time_ms(lambda *c: score_p6(tables, *c), *d_packed6) / 1e3
     t_xla = slope_time_ms(lambda *c: score_xla(tables, *c), *d_cols) / 1e3
 
     # ALL-IN pipeline time per batch: native pack + host->device transfer
@@ -253,7 +256,7 @@ def main() -> None:
     # headline excludes pack/transfer; this one cannot be misread).
     # Transfers chain with the dispatches they feed; alternating buffers
     # prevent any put coalescing.
-    copies = [packed, pack_pairs(*aln)]
+    copies = [packed, pack_pairs2(*aln, ic, is_, ie)]
     state = [0]
 
     def put_and_score():
@@ -289,8 +292,9 @@ def main() -> None:
         "unit": "reads/s",
         "vs_baseline": round(t_np / t_dev, 2),
         "hbm_roofline_frac": round(
-            roofline_utilization(n_reads, t_dev, 24), 3),
-        "engine": "pallas-fused-packed",
+            roofline_utilization(n_reads, t_dev, 16), 3),
+        "engine": "pallas-fused-packed2",
+        "pallas6_engine_reads_per_s": round(n_reads / t_p6),
         "xla_engine_reads_per_s": round(n_reads / t_xla),
         "coverage_table_build_ms": round(t_build * 1e3, 3),
         "host_pack_ms": round(t_pack * 1e3, 3),

@@ -148,12 +148,52 @@ def test_batch_scorer_matches_fused_step():
                                   np.asarray(cov_ref, np.int64))
 
 
+def _packed2_from_pair_cols(cols, ic, is_, ie):
+    """Emit the interval-resolved 4-column v2 layout from unpacked pair
+    columns (the test-side twin of bamcore.pack_pairs2, which packs from
+    flat ALIGNMENT columns)."""
+    from coral_tpu.ops.scoring import (combine_interval_gate, first_overlap,
+                                       pack_pair_cols2)
+
+    io_i = first_overlap(np, cols["chrom_i"], cols["r1_i"], cols["r2_i"],
+                         ic, is_, ie)
+    io_j = first_overlap(np, cols["chrom_j"], cols["r1_j"], cols["r2_j"],
+                         ic, is_, ie)
+    iog = combine_interval_gate(np, io_i, io_j)
+    return pack_pair_cols2(
+        np, cols["qi_end"], cols["qj_start"], cols["r2_i"],
+        cols["strand_i"], cols["mapq_i"], cols["r1_j"], cols["strand_j"],
+        cols["mapq_j"], iog)
+
+
 def test_batch_scorer_pallas_engine_matches_xla():
     """make_batch_scorer_jax(engine='pallas') (the TPU dispatch engine,
-    packed 6-column layout) must produce identical support/coverage to
-    the XLA engine on the unpacked columns."""
+    interval-resolved 4-column v2 layout) must produce identical
+    support/coverage to the XLA engine on the unpacked columns."""
     import jax.numpy as jnp
-    import numpy as np
+
+    from bench import COL_ORDER, synth_scoring_batch
+    from coral_tpu.ops.scoring import make_batch_scorer_jax
+
+    n = 4096
+    starts, ends, cols, ic, is_, ie = synth_scoring_batch(n, seed=5)
+    bx, sx = make_batch_scorer_jax(ic, is_, ie)
+    bp, sp = make_batch_scorer_jax(ic, is_, ie, engine="pallas",
+                                   interpret=True)
+    tx = bx(jnp.asarray(starts), jnp.asarray(ends))
+    args = [jnp.asarray(cols[k]) for k in COL_ORDER]
+    packed2 = _packed2_from_pair_cols(cols, ic, is_, ie)
+    out_x = sx(tx, *args)
+    out_p = sp(tx, *[jnp.asarray(p) for p in packed2])
+    for a, b in zip(out_x, out_p):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batch_scorer_pallas6_engine_matches_xla():
+    """make_batch_scorer_jax(engine='pallas6') (the round-2 6-column
+    kernel kept for A/B measurement, in-kernel interval scan) must
+    produce identical support/coverage to the XLA engine."""
+    import jax.numpy as jnp
 
     from bench import COL_ORDER, synth_scoring_batch
     from coral_tpu.ops.scoring import make_batch_scorer_jax, pack_pair_cols
@@ -161,7 +201,7 @@ def test_batch_scorer_pallas_engine_matches_xla():
     n = 4096
     starts, ends, cols, ic, is_, ie = synth_scoring_batch(n, seed=5)
     bx, sx = make_batch_scorer_jax(ic, is_, ie)
-    bp, sp = make_batch_scorer_jax(ic, is_, ie, engine="pallas",
+    bp, sp = make_batch_scorer_jax(ic, is_, ie, engine="pallas6",
                                    interpret=True)
     tx = bx(jnp.asarray(starts), jnp.asarray(ends))
     args = [jnp.asarray(cols[k]) for k in COL_ORDER]
