@@ -97,6 +97,14 @@ class CycleConfig:
     # ub-10 search admits (found by the gurobipy-facade differential on
     # a dense uniform-CN graph: reference 1 decomposition, narrow pool 2)
     pool_verify_wide: bool = True
+    # column generation over walks (cycles/colgen.py) when the walk
+    # space was not provably exhausted: price walks against the master
+    # LP duals, extend the pool, re-solve, and record a numeric
+    # optimality_gap_upper_bound in *_model.json (reference contrast:
+    # Gurobi's implicit edge-multiset search + MIPGap)
+    colgen: bool = True
+    colgen_rounds: int = 8
+    colgen_pricing_states: int = 200_000
 
 
 @dataclass(frozen=True)

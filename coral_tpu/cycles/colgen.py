@@ -1,0 +1,613 @@
+"""Column generation over walks for truncated candidate pools.
+
+The reference's Gurobi MIQP searches edge multisets implicitly (spanning-
+tree ordering inside the solver, no enumeration —
+``/root/reference/src/cycle_decomposition.py:179-332``), so it never
+truncates.  Our explicit pool (``candidates.enumerate_candidates``) can:
+on pathological dense graphs the walk space outgrows any state budget and
+the escalation ladder alone cannot certify optimality.  This module
+closes that gap with classic column generation:
+
+1. Solve the **LP relaxation** of the selection model over the current
+   pool (sparse; HiGHS via ``scipy.optimize.linprog``) and read the row
+   duals.
+2. **Price** the full walk space: every feasible walk's reduced cost
+   decomposes additively over its edge uses (the coverage, CN-cap and
+   discordant-floor duals price weight; the cardinality and subpath
+   duals price selection), so a bounded branch-and-bound over the
+   breakpoint graph — the same DFS structure as enumeration, plus an
+   admissible optimistic bound — finds the minimum-reduced-cost walk
+   without enumerating.
+3. Add negative-reduced-cost walks to the pool and repeat until none
+   exists (the LP is then optimal over ALL walks, not just the pool) or
+   a budget is hit.
+
+Either way the run produces a **valid Lagrangian bound** on the full
+model's LP value: ``z_full >= z_pool + k * min(0, F_min)`` where
+``F_min`` lower-bounds the reduced cost of any walk (exact when the
+pricing search completed, an admissible bound otherwise).  The driver
+turns that into the numeric ``optimality_gap_upper_bound`` recorded in
+``*_model.json`` — the reference contrast is Gurobi's own MIPGap.
+
+Sign conventions follow ``scipy.optimize.linprog``: ``min c@x`` s.t.
+``A_ub x <= b_ub``; inequality duals ``y <= 0``; reduced cost
+``c - A_ub^T y >= 0`` at optimality for variables at lower bound.
+"""
+from __future__ import annotations
+
+import heapq
+import logging
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+from scipy import sparse
+from scipy.optimize import linprog
+
+from .candidates import (Candidate, CandidatePool, _bp_edges_at,
+                         _other_bp_end, _seq_at, _seq_other_end,
+                         cycle_has_reference_root)
+
+logger = logging.getLogger(__name__)
+
+EPS_EDGE = 1e-6   # the selection MILP's per-edge objective epsilon
+RC_TOL = 1e-7     # negative-reduced-cost acceptance tolerance
+
+
+def _cn_keys(edges: Dict[tuple, int]) -> Dict[tuple, int]:
+    out: Dict[tuple, int] = {}
+    for (t, i), c in edges.items():
+        if t == "e":
+            out[("s", i)] = out.get(("s", i), 0) + c
+        elif t in ("c", "d"):
+            out[(t, i)] = out.get((t, i), 0) + c
+        elif t in ("s", "t"):
+            out[("src", i)] = out.get(("src", i), 0) + c
+    return out
+
+
+def _pc_edge_key(edge: tuple) -> tuple:
+    return ("e", edge[1]) if edge[0] == "s" else edge
+
+
+def _candidate_satisfies(cand_edges: Dict[tuple, int],
+                         pc: Dict[tuple, int]) -> bool:
+    return all(cand_edges.get(_pc_edge_key(e), 0) >= c for e, c in pc.items())
+
+
+BIG_M = 1e4   # per-unit cost of the phase-1 row slacks (see below)
+
+
+@dataclass
+class LpRelaxation:
+    """LP solution + duals of the pool selection model."""
+    status: int
+    objective: float
+    z: np.ndarray
+    w: np.ndarray
+    y_link: np.ndarray            # per-candidate link row duals (<= 0)
+    y_k: float                    # cardinality row dual (<= 0)
+    y_cov: float                  # coverage row dual (<= 0)
+    y_cap: Dict[tuple, float]     # CN cap duals per edge key (<= 0)
+    y_disc: Dict[int, float]      # discordant floor duals (<= 0)
+    y_pc: np.ndarray              # subpath-constraint duals (<= 0)
+    slack_total: float = 0.0      # active phase-1 slack mass (0 = feasible)
+
+
+def solve_lp_relaxation(
+    g, candidates: List[Candidate], total_weights: float,
+    pc_list: List[Dict[tuple, int]], k: int,
+    p_total_weight: float, p_bp_cn: Optional[float],
+) -> Optional[LpRelaxation]:
+    """Sparse Dantzig-Wolfe master LP over the pool.
+
+    Each candidate's (z, w) polytope {z in [0,1], 0 <= w <= max_cn z}
+    is represented by its two extreme rays as PURE columns — ``a_i`` =
+    (z=1, w=0) and ``b_i`` = (z=1, w=max_cn) — with the z <= 1 bound
+    RELAXED (the cardinality row sum z <= k still binds).  This is a
+    slightly weaker relaxation than the direct LP, chosen because it
+    makes the Lagrangian pricing bound textbook-valid: there are no
+    candidate-private rows, so at optimality every pool column's reduced
+    cost is >= 0 and ``z_full >= z_master + k * min(0, F_min)`` with
+    ``F = rc_a`` / ``rc_b`` exactly the pricing functional
+    (:func:`reduced_cost`).
+
+    Restricted-master feasibility: a sparse seed pool can miss every
+    walk covering some >=-row (coverage, discordant floors, subpath
+    constraints).  Each such row gets a phase-1 slack in [0, 1] with
+    coefficient |rhs| (slack = 1 fully relaxes the row) at cost
+    ``BIG_M`` — the slack's dual pressure is what drives pricing toward
+    the missing walks, and the slacked model is a relaxation of the
+    original, so the Lagrangian bound stays valid either way.
+    """
+    m = len(candidates)
+    npc = len(pc_list)
+    nslack = 1 + (len(g.discordant_edges) if p_bp_cn is not None else 0) \
+        + npc
+    nvar = 2 * m + nslack
+    info = []
+    for c in candidates:
+        edges = c.edge_dict()
+        info.append((c, _cn_keys(edges),
+                     [pi for pi, pc in enumerate(pc_list)
+                      if _candidate_satisfies(edges, pc)],
+                     sum(edges.values())))
+
+    rows_i: List[int] = []
+    cols_i: List[int] = []
+    vals: List[float] = []
+    b_ub: List[float] = []
+    row = 0
+    mc = float(g.max_cn)
+
+    def add(r, c_, v):
+        rows_i.append(r)
+        cols_i.append(c_)
+        vals.append(v)
+
+    # cardinality: sum (a_i + b_i) <= k
+    k_row = row
+    for i in range(m):
+        add(row, i, 1.0)
+        add(row, m + i, 1.0)
+    b_ub.append(float(k))
+    row += 1
+    slack_base = 2 * m
+    next_slack = [0]
+
+    def add_slack(r, rhs_mag):
+        add(r, slack_base + next_slack[0], -max(rhs_mag, 1e-9))
+        next_slack[0] += 1
+
+    # coverage: -sum seq_w * max_cn * b <= -p_total * total
+    cov_row = row
+    for i, (c, _, _, _) in enumerate(info):
+        add(row, m + i, -c.seq_weight * mc)
+    add_slack(row, p_total_weight * total_weights)
+    b_ub.append(-p_total_weight * total_weights)
+    row += 1
+    # CN caps: sum cnk * max_cn * b <= cn
+    cn_of = {}
+    for i, e in enumerate(g.sequence_edges):
+        cn_of[("s", i)] = e.cn
+    for i, e in enumerate(g.concordant_edges):
+        cn_of[("c", i)] = e.cn
+    for i, e in enumerate(g.discordant_edges):
+        cn_of[("d", i)] = e.cn
+    for i, e in enumerate(g.source_edges):
+        cn_of[("src", i)] = e.cn
+    all_keys = sorted({key for (_, cnk, _, _) in info for key in cnk},
+                      key=repr)
+    cap_rows = {}
+    for key in all_keys:
+        for i, (_, cnk, _, _) in enumerate(info):
+            if key in cnk:
+                add(row, m + i, float(cnk[key]) * mc)
+        b_ub.append(float(cn_of[key]))
+        cap_rows[key] = row
+        row += 1
+    # discordant floors: -sum dcnt * max_cn * b <= -p_bp * cn_d
+    disc_rows = {}
+    if p_bp_cn is not None:
+        for d in range(len(g.discordant_edges)):
+            for i, (_, cnk, _, _) in enumerate(info):
+                if ("d", d) in cnk:
+                    add(row, m + i, -float(cnk[("d", d)]) * mc)
+            add_slack(row, p_bp_cn * g.discordant_edges[d].cn)
+            b_ub.append(-p_bp_cn * g.discordant_edges[d].cn)
+            disc_rows[d] = row
+            row += 1
+    # subpath constraints: -sum_{i sat p} (a_i + b_i) <= -1
+    pc_rows = []
+    for p in range(npc):
+        for i, (_, _, sat, _) in enumerate(info):
+            if p in sat:
+                add(row, i, -1.0)
+                add(row, m + i, -1.0)
+        add_slack(row, 1.0)
+        b_ub.append(-1.0)
+        pc_rows.append(row)
+        row += 1
+    assert next_slack[0] == nslack
+
+    c_vec = np.zeros(nvar)
+    for i, (c, _, _, n_edges) in enumerate(info):
+        zc = 1.0 + EPS_EDGE * n_edges
+        c_vec[i] = zc
+        c_vec[m + i] = zc - mc * c.seq_weight / total_weights
+    c_vec[slack_base:] = BIG_M
+    A = sparse.csr_matrix(
+        (vals, (rows_i, cols_i)), shape=(row, nvar))
+    bounds = [(0.0, float(k))] * (2 * m) + [(0.0, 1.0)] * nslack
+    res = linprog(c_vec, A_ub=A, b_ub=np.asarray(b_ub), bounds=bounds,
+                  method="highs")
+    if res.status != 0 or res.x is None:
+        return None
+    y = np.asarray(res.ineqlin.marginals)
+    a = res.x[:m]
+    b = res.x[m: 2 * m]
+    return LpRelaxation(
+        status=res.status, objective=float(res.fun),
+        z=a + b, w=mc * b,
+        y_link=np.zeros(m),
+        y_k=float(y[k_row]), y_cov=float(y[cov_row]),
+        y_cap={key: float(y[r]) for key, r in cap_rows.items()},
+        y_disc={d: float(y[r]) for d, r in disc_rows.items()},
+        y_pc=y[pc_rows] if pc_rows else np.zeros(0),
+        slack_total=float(np.sum(res.x[slack_base:])),
+    )
+
+
+def _edge_prices(g, lp: LpRelaxation, total_weights: float):
+    """Per-use additive contribution of each edge key to a candidate's
+    weight reduced cost rc_w = -W/total + y_cov*W - sum y_cap*cnk
+    + sum y_disc*dcnt (see module docstring for sign conventions)."""
+    price: Dict[tuple, float] = {}
+    for i, e in enumerate(g.sequence_edges):
+        price[("e", i)] = e.size * (-1.0 / total_weights + lp.y_cov) \
+            - lp.y_cap.get(("s", i), 0.0)
+    for i in range(len(g.concordant_edges)):
+        price[("c", i)] = -lp.y_cap.get(("c", i), 0.0)
+    for i in range(len(g.discordant_edges)):
+        price[("d", i)] = -lp.y_cap.get(("d", i), 0.0) \
+            + lp.y_disc.get(i, 0.0)
+    for i in range(len(g.source_edges)):
+        src = -lp.y_cap.get(("src", i), 0.0)
+        price[("s", i)] = src
+        price[("t", i)] = src
+    # endnode terminals enter no CN row
+    for i in range(len(g.endnodes)):
+        price[("ns", i)] = 0.0
+        price[("nt", i)] = 0.0
+    return price
+
+
+def reduced_cost(cand_edges: Dict[tuple, int], is_cycle: bool,
+                 g, lp: LpRelaxation, price: Dict[tuple, float],
+                 pc_list: List[Dict[tuple, int]]) -> float:
+    """F = rc_z + max_cn * min(0, rc_w) for a candidate NOT in the pool
+    (link-row dual 0): the minimum of the candidate pair's reduced cost
+    over its own (z, w) polytope vertex set {(1,0), (1,max_cn)} — the
+    entering condition is F < -tol."""
+    n_edges = sum(cand_edges.values())
+    rc_z = 1.0 + EPS_EDGE * n_edges - lp.y_k
+    for p, pc in enumerate(pc_list):
+        if lp.y_pc[p] < 0 and _candidate_satisfies(cand_edges, pc):
+            rc_z += lp.y_pc[p]
+    rc_w = sum(price[key] * cnt for key, cnt in cand_edges.items())
+    return rc_z + g.max_cn * min(0.0, rc_w)
+
+
+@dataclass
+class PricingResult:
+    best: List[Tuple[float, Dict[tuple, int], bool]]  # (F, edges, is_cycle)
+    complete: bool          # search space exhausted (F_min is exact)
+    f_min_bound: float      # valid lower bound on F over ALL walks
+    states: int
+
+
+def price_walks(
+    g, lp: LpRelaxation, total_weights: float,
+    pc_list: List[Dict[tuple, int]],
+    caps: Dict[tuple, int], max_multiplicity: int, max_bp_steps: int,
+    max_states: int = 200_000, keep: int = 20,
+    skip: Optional[Set[tuple]] = None,
+) -> PricingResult:
+    """Branch-and-bound search for minimum-reduced-cost walks.
+
+    Mirrors the enumeration DFS (``candidates.enumerate_candidates``)
+    over the same feasibility rules — cycles avoid endnodes and need a
+    reference root, paths run terminal-to-terminal, per-edge caps — but
+    prunes with an admissible optimistic bound instead of enumerating:
+    from any partial walk, the best reachable F is at least
+
+        rc_z_const + max_cn * (rc_w_sofar + all remaining negative
+                               per-edge price capacity) + pc_potential
+
+    (``EPS_EDGE`` growth only increases F and is dropped from the
+    bound).  When the search exhausts the space, ``f_min_bound`` equals
+    the true minimum reduced cost; when the state budget trips, it falls
+    back to the root bound, still valid for the Lagrangian gap."""
+    price = _edge_prices(g, lp, total_weights)
+    # remaining negative price mass: per edge key, cap * min(0, price)
+    neg_capacity = sum(caps.get(key, max_multiplicity) * min(0.0, p)
+                       for key, p in price.items()
+                       if key[0] in ("e", "c", "d"))
+    # seq edges are capped by max_multiplicity
+    pc_potential = float(np.sum(lp.y_pc[lp.y_pc < 0])) if len(lp.y_pc) \
+        else 0.0
+    root_bound = (1.0 - lp.y_k) + g.max_cn * neg_capacity + pc_potential
+
+    best: List[Tuple[float, tuple, bool]] = []   # max-heap by -F
+    seen: Set[frozenset] = set()
+    states = [0]
+    truncated = [False]
+    # min admissible bound over regions the budget left unexplored: a
+    # valid lower bound on any F in those regions, so
+    # min(found, frontier) bounds F over ALL walks even when truncated
+    frontier_bound = [math.inf]
+
+    def consider(used: Dict[tuple, int], is_cycle: bool):
+        if is_cycle and not cycle_has_reference_root(g, used):
+            return
+        key = frozenset(used.items())
+        if key in seen:
+            return
+        seen.add(key)
+        sort_key = tuple(sorted(used.items(), key=repr))
+        if skip is not None and sort_key in skip:
+            # already a master column: its reduced cost is known to the
+            # LP; re-emitting it would stall generation
+            return
+        f = reduced_cost(used, is_cycle, g, lp, price, pc_list)
+        if f < -RC_TOL:
+            item = (-f, sort_key, is_cycle)
+            if len(best) < keep:
+                heapq.heappush(best, item)
+            elif item[0] > best[0][0]:
+                heapq.heapreplace(best, item)
+
+    def w_bound(rc_w_sofar: float, used: Dict[tuple, int]) -> float:
+        """Admissible lower bound on F from this partial walk: assume
+        every remaining unit of negative-price capacity is taken and
+        every pc with negative dual gets satisfied."""
+        rem = 0.0
+        for key, p in price.items():
+            if p < 0 and key[0] in ("e", "c", "d"):
+                cap = caps.get(key, max_multiplicity)
+                rem += (cap - used.get(key, 0)) * p
+        return (1.0 - lp.y_k) + pc_potential \
+            + g.max_cn * min(0.0, rc_w_sofar + rem)
+
+    def prune(rc_w_sofar: float, used: Dict[tuple, int]) -> bool:
+        cutoff = -RC_TOL if len(best) < keep else -best[0][0]
+        return w_bound(rc_w_sofar, used) >= cutoff
+
+    seq_price = {i: price[("e", i)] for i in range(len(g.sequence_edges))}
+    depth_cap = [0]
+
+    def _ordered_bp(node):
+        # most profitable (most negative price) breakpoint edges first:
+        # the DFS walks toward negative-reduced-cost regions, so the
+        # heap cutoff tightens early and the bound prunes the rest
+        return sorted(_bp_edges_at(g, node), key=lambda bp: price[bp])
+
+    def dfs_cycle(start_entry, node, used, rc_w, steps):
+        if states[0] >= max_states:
+            truncated[0] = True
+            frontier_bound[0] = min(frontier_bound[0], w_bound(rc_w, used))
+            return
+        states[0] += 1
+        if prune(rc_w, used):
+            return
+        for bp in _ordered_bp(node):
+            if used.get(bp, 0) >= caps.get(bp, 0):
+                continue
+            v = _other_bp_end(g, bp, node)
+            if v in g.endnodes:
+                continue
+            used[bp] = used.get(bp, 0) + 1
+            rc_w2 = rc_w + price[bp]
+            if v == start_entry:
+                consider(used, True)
+            seqi = _seq_at(g, v)
+            if used.get(("e", seqi), 0) < max_multiplicity \
+                    and steps < depth_cap[0]:
+                w = _seq_other_end(g, seqi, v)
+                if w not in g.endnodes:
+                    used[("e", seqi)] = used.get(("e", seqi), 0) + 1
+                    dfs_cycle(start_entry, w, used,
+                              rc_w2 + seq_price[seqi], steps + 1)
+                    used[("e", seqi)] -= 1
+                    if used[("e", seqi)] == 0:
+                        del used[("e", seqi)]
+            used[bp] -= 1
+            if used[bp] == 0:
+                del used[bp]
+
+    endnode_list = list(g.endnodes.keys())
+    terminals: List[tuple] = [("n", i, n) for i, n in enumerate(endnode_list)]
+    terminals += [("src", i, s.node()) for i, s in enumerate(g.source_edges)]
+    exits_at: Dict[tuple, List[tuple]] = {}
+    for (kind, idx, tn) in terminals:
+        exits_at.setdefault(tn, []).append((kind, idx))
+
+    def dfs_path(node, used, rc_w, steps):
+        if states[0] >= max_states:
+            truncated[0] = True
+            frontier_bound[0] = min(frontier_bound[0], w_bound(rc_w, used))
+            return
+        states[0] += 1
+        if prune(rc_w, used):
+            return
+        for (kind, idx) in exits_at.get(node, ()):
+            tkey = ("nt", idx) if kind == "n" else ("t", idx)
+            if tkey in used:
+                continue
+            used[tkey] = 1
+            consider(used, False)
+            del used[tkey]
+        if node in g.endnodes:
+            return
+        for bp in _ordered_bp(node):
+            if used.get(bp, 0) >= caps.get(bp, 0):
+                continue
+            v = _other_bp_end(g, bp, node)
+            if v in g.endnodes:
+                continue
+            seqi = _seq_at(g, v)
+            if used.get(("e", seqi), 0) >= max_multiplicity \
+                    or steps >= depth_cap[0]:
+                continue
+            w = _seq_other_end(g, seqi, v)
+            used[bp] = used.get(bp, 0) + 1
+            used[("e", seqi)] = used.get(("e", seqi), 0) + 1
+            dfs_path(w, used,
+                     rc_w + price[bp] + seq_price[seqi], steps + 1)
+            used[bp] -= 1
+            if used[bp] == 0:
+                del used[bp]
+            used[("e", seqi)] -= 1
+            if used[("e", seqi)] == 0:
+                del used[("e", seqi)]
+
+    # Iterative deepening on breakpoint-edge count: shallow passes find
+    # diverse near-LP columns first (pure depth-first stalls in one deep
+    # region under big-M duals), the heap cutoff tightens, and the FINAL
+    # full-depth pass — the only one whose completion certifies the
+    # search — re-explores everything with strong pruning.  Budget trips
+    # during the final pass record admissible frontier bounds; a trip in
+    # an earlier pass leaves unvisited depth with no bound, so only the
+    # root bound remains valid then.
+    final_pass = [False]
+    depth = min(4, max_bp_steps)
+    while True:
+        depth_cap[0] = depth
+        final_pass[0] = depth >= max_bp_steps
+        for seqi, e in enumerate(g.sequence_edges):
+            left = (e.chrom, e.start, "-")
+            right = (e.chrom, e.end, "+")
+            if left in g.endnodes or right in g.endnodes:
+                continue
+            dfs_cycle(left, right, {("e", seqi): 1}, seq_price[seqi], 0)
+        for (kind, idx, node) in terminals:
+            skey = ("ns", idx) if kind == "n" else ("s", idx)
+            seqi = _seq_at(g, node)
+            other = _seq_other_end(g, seqi, node)
+            dfs_path(other, {skey: 1, ("e", seqi): 1},
+                     price[skey] + seq_price[seqi], 0)
+        if depth >= max_bp_steps or truncated[0] or states[0] >= max_states:
+            if states[0] >= max_states and depth < max_bp_steps:
+                truncated[0] = True
+            break
+        depth = min(depth * 2, max_bp_steps)
+
+    found = sorted(((-negf, dict(edges), isc)
+                    for (negf, edges, isc) in best),
+                   key=lambda t: t[0])
+    found_min = found[0][0] if found else 0.0
+    if truncated[0]:
+        fb = frontier_bound[0] \
+            if final_pass[0] and math.isfinite(frontier_bound[0]) \
+            else root_bound
+        f_min_bound = min(found_min, fb)
+        complete = False
+    else:
+        f_min_bound = found_min
+        complete = True
+    return PricingResult(best=found, complete=complete,
+                         f_min_bound=min(f_min_bound, 0.0),
+                         states=states[0])
+
+
+@dataclass
+class ColGenResult:
+    pool: CandidatePool
+    lp_bound: Optional[float]     # valid lower bound on the FULL model LP
+    lp_pool_obj: Optional[float]
+    certified: bool               # pricing converged: LP optimal over all walks
+    rounds: int
+    columns_added: int
+    pricing_states: int
+    infeasible: bool = False
+    slack_total: float = 0.0      # residual phase-1 slack at the last LP
+
+
+def column_generate(
+    g, pool: CandidatePool, total_weights: float,
+    pc_list: List[Dict[tuple, int]], k: int, cfg,
+    max_rounds: int = 8, pricing_states: int = 200_000,
+    keep_per_round: int = 50,
+) -> ColGenResult:
+    """Iterate LP-relax -> price -> add columns until no negative-
+    reduced-cost walk exists or budgets run out.  The returned pool is
+    the input pool extended with priced-in walks; ``lp_bound`` is a
+    valid lower bound on the FULL selection model's LP value (hence on
+    its MILP optimum), usable for a numeric optimality gap."""
+    caps: Dict[tuple, int] = {}
+    for ci in range(len(g.concordant_edges)):
+        caps[("c", ci)] = cfg.max_edge_multiplicity
+    for di, mult in enumerate(g.infer_discordant_edge_multiplicities()):
+        caps[("d", di)] = min(mult, cfg.max_edge_multiplicity)
+    for si in range(len(g.sequence_edges)):
+        caps[("e", si)] = cfg.max_edge_multiplicity
+    max_bp_steps = min(
+        sum(v for key, v in caps.items() if key[0] in ("c", "d")),
+        4 * (len(g.concordant_edges) + len(g.discordant_edges)) + 2, 40)
+
+    work = list(pool)
+    existing = {c.edges for c in work}
+    added = 0
+    states_total = 0
+    lp = None
+    f_min = 0.0
+    certified = False
+    rounds = 0
+    pushed = False
+    for rounds in range(1, max_rounds + 1):
+        lp = solve_lp_relaxation(
+            g, work, total_weights, pc_list, k,
+            cfg.p_total_weight, cfg.p_bp_cn)
+        if lp is None:
+            # pool LP infeasible (e.g. a discordant floor no pool walk
+            # covers): nothing to price against — report uncertified
+            return ColGenResult(
+                pool=CandidatePool(work, truncated=pool.truncated,
+                                   max_states=pool.max_states,
+                                   conc_cap=pool.conc_cap),
+                lp_bound=None, lp_pool_obj=None, certified=False,
+                rounds=rounds, columns_added=added,
+                pricing_states=states_total, infeasible=True)
+        pricing = price_walks(
+            g, lp, total_weights, pc_list, caps,
+            cfg.max_edge_multiplicity, max_bp_steps,
+            max_states=pricing_states, keep=keep_per_round,
+            skip=existing)
+        if not pricing.best and not pricing.complete and not pushed:
+            # converged pool but uncertified search: ONE push at 10x the
+            # budget — completing it upgrades the Lagrangian gap to an
+            # exact LP-optimality certificate over ALL walks
+            pushed = True
+            pricing = price_walks(
+                g, lp, total_weights, pc_list, caps,
+                cfg.max_edge_multiplicity, max_bp_steps,
+                max_states=10 * pricing_states, keep=keep_per_round,
+                skip=existing)
+        states_total += pricing.states
+        f_min = pricing.f_min_bound
+        new = []
+        for (f, edges, is_cycle) in pricing.best:
+            key = tuple(sorted(edges.items(), key=repr))
+            if key in existing:
+                continue
+            existing.add(key)
+            w = float(sum(g.sequence_edges[i].size * c
+                          for (t, i), c in edges.items() if t == "e"))
+            new.append(Candidate(key, is_cycle, w))
+        logger.info(
+            "colgen round %d: lp=%.6f f_min=%.3g new_columns=%d "
+            "(pricing %s, %d states)", rounds, lp.objective, f_min,
+            len(new), "complete" if pricing.complete else "truncated",
+            pricing.states)
+        if not new:
+            # LP-optimal over ALL walks only when the pricing search
+            # exhausted the space AND no phase-1 slack is active
+            certified = pricing.complete and lp.slack_total < 1e-6
+            break
+        work.extend(new)
+        added += len(new)
+    lp_bound = lp.objective + k * min(0.0, f_min) if lp is not None else None
+    # the extended pool keeps the enumeration-completeness flag of its
+    # seed; LP-level optimality certification is the separate
+    # ``certified`` field (branch-and-price would be needed to certify
+    # the INTEGER optimum when the gap is nonzero)
+    return ColGenResult(
+        pool=CandidatePool(work, truncated=pool.truncated,
+                           max_states=pool.max_states,
+                           conc_cap=pool.conc_cap),
+        lp_bound=lp_bound,
+        lp_pool_obj=lp.objective if lp is not None else None,
+        certified=certified, rounds=rounds, columns_added=added,
+        pricing_states=states_total,
+        slack_total=lp.slack_total if lp is not None else 0.0)

@@ -422,6 +422,28 @@ def _should_adopt(stats: tuple, best: tuple, cov_target: float) -> bool:
         (stats[0] >= cov_target or best[0] < cov_target)
 
 
+def _selection_objective(rec, g, amplicon_idx,
+                         total_weights: float) -> Optional[float]:
+    """The recorded solution's value under the selection-MILP objective
+    (min Σ(1+ε·n_edges)·z − Σ w·seq_w/total — the same cvec as
+    ``_solve_selection_milp``), used against the column-generation LP
+    bound to report a numeric optimality gap."""
+    cycles = rec.cycles.get(amplicon_idx)
+    weights = rec.cycle_weights.get(amplicon_idx)
+    if not cycles or not weights or total_weights <= 0:
+        return None
+    obj = 0.0
+    n_entries = 0
+    for slot in (0, 1):
+        for edges, w in zip(cycles[slot], weights[slot]):
+            n_edges = sum(edges.values())
+            seq_w = sum(g.sequence_edges[i].size * c
+                        for (t, i), c in edges.items() if t == "e")
+            obj += (1.0 + 1e-6 * n_edges) - w * seq_w / total_weights
+            n_entries += 1
+    return obj if n_entries else None
+
+
 def _current_stats(rec, g, amplicon_idx) -> tuple:
     """(coverage, n_pc_satisfied, -num_decomps) of the recorded solution —
     the lexicographic quality order used by the escalation fallback."""
@@ -571,6 +593,7 @@ def cycle_decomposition(rec, cfg: CycleConfig, model_prefix: str = "") -> None:
         # completed narrow-cap pool still prunes candidates the reference
         # model admits, so it cannot clear a coverage-miss degradation
         space_exhausted_wide = False
+        widest_pool = None
         verify_only = not candidates.truncated and coverage_met()
         if candidates.truncated or not coverage_met() or \
                 (cfg.pool_verify_wide and verify_only):
@@ -595,6 +618,8 @@ def cycle_decomposition(rec, cfg: CycleConfig, model_prefix: str = "") -> None:
                 attempt = {"caps": cap_mode, "budget": budget,
                            "pool": len(wide),
                            "truncated": wide.truncated, "solver": None}
+                if widest_pool is None or len(wide) > len(widest_pool):
+                    widest_pool = wide
                 sol = None
                 if len(wide) <= cfg.joint_milp_pool_limit:
                     attempt["solver"] = "joint_milp"
@@ -634,11 +659,74 @@ def cycle_decomposition(rec, cfg: CycleConfig, model_prefix: str = "") -> None:
                     rec.path_constraints_satisfied[amplicon_idx] = sol[4]
                 if not wide.truncated and coverage_met():
                     break
+        # Column generation over walks (round-4; reference contrast: the
+        # Gurobi model prices edge multisets implicitly inside its
+        # branch-and-bound).  When the walk space was NOT provably
+        # exhausted at full caps, seed a restricted master with the best
+        # enumerated pool, price walks against the LP duals, re-solve
+        # the joint MILP over the extended pool, and record a VALID
+        # numeric bound on how far the recorded solution can be from the
+        # full model's optimum (``optimality_gap_upper_bound``).
+        colgen_info = None
+        lp_bound = None
+        if candidates.truncated or escalations or not coverage_met():
+            if not space_exhausted_wide and cfg.colgen:
+                from .colgen import column_generate
+
+                seed = candidates if widest_pool is None else widest_pool
+                seed_list = list(seed)[: cfg.joint_milp_pool_limit]
+                seed_pool = type(seed)(
+                    seed_list, truncated=seed.truncated,
+                    max_states=seed.max_states, conc_cap=seed.conc_cap)
+                k_cg = max(k, nedges)
+                cg = column_generate(
+                    g, seed_pool, total_weights, pc_list, k_cg, cfg,
+                    max_rounds=cfg.colgen_rounds,
+                    pricing_states=cfg.colgen_pricing_states)
+                colgen_info = {
+                    "rounds": cg.rounds,
+                    "columns_added": cg.columns_added,
+                    "lp_pool_objective": cg.lp_pool_obj,
+                    "lp_bound_full_model": cg.lp_bound,
+                    "lp_certified_over_all_walks": cg.certified,
+                    "pricing_states": cg.pricing_states,
+                    "master_infeasible": cg.infeasible,
+                }
+                lp_bound = cg.lp_bound
+                if cg.columns_added and \
+                        len(cg.pool) <= cfg.joint_milp_pool_limit + 1024:
+                    status, total, n_sat, cycles, weights, sat_lists = \
+                        joint_minimize(g, cg.pool, k_cg, total_weights,
+                                       pc_list, cfg)
+                    if status != STATUS_INFEASIBLE:
+                        stats = (total, n_sat,
+                                 -(len(weights[0]) + len(weights[1])))
+                        best = _current_stats(rec, g, amplicon_idx)
+                        cov_target = cfg.p_total_weight * total_weights \
+                            - 1e-6
+                        colgen_info["milp_resolved"] = True
+                        if _should_adopt(stats, best, cov_target):
+                            model_info["solver"] = \
+                                f"{model_info['solver']}+colgen"
+                            rec.cycles[amplicon_idx] = cycles
+                            rec.cycle_weights[amplicon_idx] = weights
+                            rec.path_constraints_satisfied[amplicon_idx] = \
+                                sat_lists
+        # the recorded solution's value under the selection objective,
+        # against the colgen LP bound (valid for the FULL model) — the
+        # analog of Gurobi's MIPGap for this architecture
+        inc_obj = _selection_objective(rec, g, amplicon_idx, total_weights)
+        gap = None
+        if lp_bound is not None and inc_obj is not None:
+            gap = max(0.0, inc_obj - lp_bound)
         model_info["truncation"] = {
             "initial_truncated": candidates.truncated,
             "escalations": escalations,
             "space_exhausted_wide": space_exhausted_wide,
             "coverage_met": coverage_met(),
+            "colgen": colgen_info,
+            "incumbent_objective": inc_obj,
+            "optimality_gap_upper_bound": gap,
         }
         if not coverage_met() and not space_exhausted_wide:
             note = ("coverage target missed and the candidate walk space "

@@ -1402,4 +1402,79 @@ void bc_pack_pairs2(int64_t n_pairs, const int64_t* pi,
   run(pack_work, n_out);
 }
 
+// v3: fully RESOLVED pack (ops/scoring.py PACKED3_COL_ORDER: qgap, grr,
+// meta; bit layout per META3_* constants there).  Beyond v2's per-
+// alignment interval resolution this folds the per-side MAPQ gate into
+// the combined gate (iogm = iog only when both sides pass min_mapq) and
+// pre-derives the same-strand clause's reference jump
+// grr = (strand_j > 0) ? r1_j - r2_i : r2_i - r1_j — one subtract+select
+// per pair, the same class of pack-time arithmetic as qgap.  The device
+// kernel then runs only the junction decision chain + histogram over
+// 12 B/pair.  Bit-identical to scoring.pack_pairs3_host by test.  Pads
+// [n_pairs, n_out) zero (meta 0 decodes to iogm -1: inert).
+void bc_pack_pairs3(int64_t n_pairs, const int64_t* pi,
+                    const int64_t* qs, const int64_t* qe,
+                    const int64_t* r1, const int64_t* r2,
+                    const int32_t* chrom, const int8_t* strand,
+                    const int32_t* mapq, int64_t n_aln,
+                    int32_t n_int, const int32_t* ic, const int64_t* is,
+                    const int64_t* ie, int32_t min_mapq,
+                    int64_t n_out, int nthreads,
+                    int32_t* out_qgap, int32_t* out_grr,
+                    int32_t* out_meta) {
+  int nt = nthreads < 1 ? 1 : (nthreads > 64 ? 64 : nthreads);
+  std::vector<int32_t> io(static_cast<size_t>(n_aln > 0 ? n_aln : 1), -1);
+  auto io_work = [&](int64_t lo, int64_t hi) {
+    for (int64_t k = lo; k < hi; k++) {
+      int32_t found = -1;
+      for (int32_t l = 0; l < n_int; l++) {
+        if (chrom[k] == ic[l] && r1[k] <= ie[l] && is[l] <= r2[k]) {
+          found = l;
+          break;
+        }
+      }
+      io[k] = found;
+    }
+  };
+  auto pack_work = [&](int64_t lo, int64_t hi) {
+    int64_t body = hi < n_pairs ? hi : n_pairs;
+    for (int64_t p = lo; p < body; p++) {
+      int64_t i = pi[p], j = i + 1;
+      int32_t iog = (io[i] >= 0 && io[i] == io[j]) ? io[i] : -1;
+      if (mapq[i] < min_mapq || mapq[j] < min_mapq) iog = -1;
+      int32_t r2i = static_cast<int32_t>(r2[i]);
+      int32_t r1j = static_cast<int32_t>(r1[j]);
+      out_qgap[p] = static_cast<int32_t>(qs[j] - qe[i]);
+      out_grr[p] = strand[j] > 0 ? r1j - r2i : r2i - r1j;
+      out_meta[p] = ((iog + 1) << 1) |
+                    (strand[i] != strand[j] ? 1 : 0);
+    }
+    for (int64_t p = body > lo ? body : lo; p < hi; p++) {
+      out_qgap[p] = 0;
+      out_grr[p] = 0;
+      out_meta[p] = 0;
+    }
+  };
+  auto run = [&](auto& fn, int64_t n) {
+    if (n <= 0) return;
+    int t_here = nt;
+    if (static_cast<int64_t>(t_here) > n) t_here = static_cast<int>(n);
+    if (t_here <= 1) {
+      fn(0, n);
+      return;
+    }
+    std::vector<std::thread> threads;
+    int64_t chunk = (n + t_here - 1) / t_here;
+    for (int t = 0; t < t_here; t++) {
+      int64_t lo = t * chunk;
+      int64_t hi = lo + chunk < n ? lo + chunk : n;
+      if (lo >= hi) break;
+      threads.emplace_back(fn, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+  };
+  run(io_work, n_aln);
+  run(pack_work, n_out);
+}
+
 }  // extern "C"

@@ -76,6 +76,14 @@ def _load():
         + [C.POINTER(C.c_int64)] * 2
         + [C.c_int64, C.c_int] + [C.POINTER(C.c_int32)] * 4
     )
+    lib.bc_pack_pairs3.restype = None
+    lib.bc_pack_pairs3.argtypes = (
+        [C.c_int64] + [C.POINTER(C.c_int64)] * 5
+        + [C.POINTER(C.c_int32), C.POINTER(C.c_int8), C.POINTER(C.c_int32)]
+        + [C.c_int64, C.c_int32, C.POINTER(C.c_int32)]
+        + [C.POINTER(C.c_int64)] * 2
+        + [C.c_int32, C.c_int64, C.c_int] + [C.POINTER(C.c_int32)] * 3
+    )
     for fn, ty in [
         ("bc_chim_rec", C.c_int64), ("bc_chim_off", C.c_int64),
         ("bc_chim_rl", C.c_int32),
@@ -266,6 +274,56 @@ def pack_pairs2(pi, qs, qe, r1, r2, chrom, strand, mapq,
         n_aln, len(ic), ic.ctypes.data_as(i32p),
         is_.ctypes.data_as(i64p), ie.ctypes.data_as(i64p),
         n_out, nthreads,
+        *[o.ctypes.data_as(i32p) for o in outs])
+    return outs
+
+
+def pack_pairs3(pi, qs, qe, r1, r2, chrom, strand, mapq,
+                int_chrom, int_start, int_end, min_mapq: int = 20,
+                n_out: int | None = None, nthreads: int = 0):
+    """Native fully-RESOLVED pair packing (v3): per-alignment
+    first_overlap search, the per-side MAPQ gate folded into the
+    combined gate, and the same-strand reference jump pre-derived —
+    emitting the 3-column v3 device layout
+    (``ops.scoring.PACKED3_COL_ORDER``), bit-identical to
+    ``ops.scoring.pack_pairs3_host`` by test, rows [n_pairs, n_out)
+    zero-padded (inert: meta 0 decodes to iogm -1).
+
+    Returns a list of 3 int32 arrays of length ``n_out`` (default:
+    n_pairs).  Raises OSError when the native library is unavailable
+    (callers fall back to the host path)."""
+    lib = _load()
+    pi = np.ascontiguousarray(pi, np.int64)
+    qs = np.ascontiguousarray(qs, np.int64)
+    qe = np.ascontiguousarray(qe, np.int64)
+    r1 = np.ascontiguousarray(r1, np.int64)
+    r2 = np.ascontiguousarray(r2, np.int64)
+    chrom = np.ascontiguousarray(chrom, np.int32)
+    strand = np.ascontiguousarray(strand, np.int8)
+    mapq = np.ascontiguousarray(mapq, np.int32)
+    ic = np.ascontiguousarray(int_chrom, np.int32)
+    is_ = np.ascontiguousarray(int_start, np.int64)
+    ie = np.ascontiguousarray(int_end, np.int64)
+    n_pairs = len(pi)
+    n_aln = len(r1)
+    if n_out is None:
+        n_out = n_pairs
+    if nthreads <= 0:
+        nthreads = min(os.cpu_count() or 1, 8)
+    # np.empty, not zeros: the native pass writes every byte exactly once
+    outs = [np.empty(n_out, np.int32) for _ in range(3)]
+    i64p = C.POINTER(C.c_int64)
+    i32p = C.POINTER(C.c_int32)
+    lib.bc_pack_pairs3(
+        n_pairs, pi.ctypes.data_as(i64p),
+        qs.ctypes.data_as(i64p), qe.ctypes.data_as(i64p),
+        r1.ctypes.data_as(i64p), r2.ctypes.data_as(i64p),
+        chrom.ctypes.data_as(i32p),
+        strand.ctypes.data_as(C.POINTER(C.c_int8)),
+        mapq.ctypes.data_as(i32p),
+        n_aln, len(ic), ic.ctypes.data_as(i32p),
+        is_.ctypes.data_as(i64p), ie.ctypes.data_as(i64p),
+        int(min_mapq), n_out, nthreads,
         *[o.ctypes.data_as(i32p) for o in outs])
     return outs
 

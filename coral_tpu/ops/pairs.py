@@ -399,33 +399,35 @@ def score_pairs_l(
         from .pallas_kernels import (LANES, _bucket_rows,
                                      pair_predicates_pallas,
                                      pair_predicates_pallas_packed,
-                                     pair_predicates_pallas_packed2)
-        from .scoring import MAX_PACKED2_INTERVALS, pack_pairs2_host
+                                     pair_predicates_pallas_packed3)
+        from .scoring import MAX_PACKED2_INTERVALS, pack_pairs3_host
 
         interpret = jax.default_backend() != "tpu"
         n_out = _bucket_rows(pi.size) * LANES
         if len(int_chrom) <= MAX_PACKED2_INTERVALS:
-            # interval-resolved 4-column layout: the gate is computed at
-            # pack time (per ALIGNMENT, not per pair), so the kernel
-            # streams 16 B/pair with zero interval-scan ops — native
-            # one-pass emission straight from the flat columns, host
-            # numpy twin when the library is unavailable
+            # fully resolved 3-column v3 layout: the interval AND MAPQ
+            # gates are computed at pack time and the reference jump is
+            # pre-derived, so the kernel streams 12 B/pair and runs only
+            # the junction decision chain — native one-pass emission
+            # straight from the flat columns, host numpy twin when the
+            # library is unavailable
             try:
-                from ..native.bamcore import pack_pairs2
+                from ..native.bamcore import pack_pairs3
 
-                packed2 = pack_pairs2(
+                packed3 = pack_pairs3(
                     pi, table.q_start, table.q_end, table.r1, table.r2,
                     table.chrom, table.strand, table.mapq,
-                    int_chrom, int_start, int_end, n_out=n_out)
+                    int_chrom, int_start, int_end,
+                    min_mapq=int(math.ceil(min_mapq)), n_out=n_out)
             except OSError:
-                packed2 = pack_pairs2_host(
+                packed3 = pack_pairs3_host(
                     pi, table.q_start, table.q_end, table.r1, table.r2,
                     table.chrom, table.strand, table.mapq,
-                    int_chrom, int_start, int_end, n_out=n_out)
-            hit, _ = pair_predicates_pallas_packed2(
-                packed2, pi.size,
+                    int_chrom, int_start, int_end,
+                    min_mapq=int(math.ceil(min_mapq)), n_out=n_out)
+            hit = pair_predicates_pallas_packed3(
+                packed3, pi.size,
                 min_bp_match_cutoff=min_bp_match_cutoff,
-                min_mapq=int(math.ceil(min_mapq)),
                 gap_=float(gap_), interpret=interpret)
             return pi, pj, hit
         # > 8190 intervals: fall back to the 6-column kernel (in-kernel

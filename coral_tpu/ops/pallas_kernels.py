@@ -372,6 +372,147 @@ def pair_predicates_pallas_packed2(
     return hit, io
 
 
+# --- packed-v3 kernels (fully resolved layout, 12 B/pair) ----------------
+#
+# The v3 layout (``ops.scoring.PACKED3_COL_ORDER``: qgap, grr, meta)
+# folds the MAPQ gate into the pack-time interval gate and pre-derives
+# the same-strand reference jump, so these kernels run ONLY the junction
+# decision chain (~12 VPU ops/pair vs v2's ~27 — op model in
+# docs/ARCHITECTURE.md) plus, for the fused variant, the support
+# histogram (structurally ~2-3 ops per interval per pair on a
+# compare-select VPU; see the round-4 roofline analysis).  The predicate
+# formula is still the ONE product implementation
+# (``scoring.pair_predicate`` via ``scoring.pair_predicate_packed3``).
+
+
+def _pair3_kernel(qgap, grr, meta, hit_out, *,
+                  min_bp_match_cutoff: int, gap_: float):
+    """Hit-mask-only v3 kernel: the product route (``score_pairs_l``)
+    consumes only the hit mask, so nothing else returns to HBM —
+    12 B/pair read + 4 B/pair written."""
+    from .scoring import pair_predicate_packed3
+
+    hit, _ = pair_predicate_packed3(
+        jnp, qgap[:], grr[:], meta[:], min_bp_match_cutoff, gap_)
+    hit_out[:] = hit.astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=64)
+def make_pair3_pallas_fn(rows: int, min_bp_match_cutoff: int = 100,
+                         gap_: float = 100.0, interpret: bool = False):
+    """Compiled hit-mask evaluator over the resolved 3-column v3 layout:
+    fn(*3 packed cols) over pre-padded (rows, 128) int32 blocks -> hit
+    blocks.  No min_mapq parameter — the gate folded into the pack."""
+    kernel = functools.partial(
+        _pair3_kernel, min_bp_match_cutoff=min_bp_match_cutoff,
+        gap_=float(gap_))
+    if rows % SUBLANES:
+        raise ValueError(
+            f"make_pair3_pallas_fn: rows={rows} must be a multiple of "
+            f"{SUBLANES} or trailing rows fall outside the grid")
+    bs = SUBLANES
+    while bs < 128 and rows % (bs * 2) == 0:
+        bs *= 2
+    block = pl.BlockSpec((bs, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(rows // bs,),
+        in_specs=[block] * 3,
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
+def pair_predicates_pallas_packed3(
+    packed, n: int,
+    min_bp_match_cutoff: int = 100, gap_: float = 100.0,
+    interpret: bool = False,
+) -> np.ndarray:
+    """Pallas pair predicates over the pre-packed resolved 3-column v3
+    layout (``PACKED3_COL_ORDER``, zero-padded to ``_bucket_rows(n) *
+    LANES`` — native ``bamcore.pack_pairs3`` / host
+    ``scoring.pack_pairs3_host`` emit exactly this).  Returns the hit
+    mask trimmed to ``n``."""
+    rows = _bucket_rows(n)
+    assert len(packed[0]) == rows * LANES, \
+        f"packed length {len(packed[0])} != bucketed {rows * LANES}"
+    fn = make_pair3_pallas_fn(rows, min_bp_match_cutoff, gap_, interpret)
+    hit = fn(*[jnp.asarray(np.asarray(p).reshape(rows, LANES))
+               for p in packed])
+    return np.asarray(hit).reshape(-1)[:n].astype(bool)
+
+
+def _pair_hist3_kernel(qgap, grr, meta, out_ref, acc_ref, *, n_int: int,
+                       min_bp_match_cutoff: int, gap_: float):
+    """v3 pair predicate fused with the per-interval support histogram.
+
+    Histogram restructure vs v2: per-bin counts accumulate into a
+    block-shaped VMEM scratch (one compare + one masked add per bin per
+    element, the structural floor on a compare-select VPU) and the
+    cross-element reduction runs ONCE, at the last grid step, instead of
+    per block — v2 paid a full block->scalar reduce for every bin at
+    every grid step."""
+    from .scoring import pair_predicate_packed3
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    hit, iogm = pair_predicate_packed3(
+        jnp, qgap[:], grr[:], meta[:], min_bp_match_cutoff, gap_)
+    binned = jnp.where(hit, iogm, -1)
+    bs = qgap.shape[0]
+    for k in range(n_int):
+        acc_ref[k * bs:(k + 1) * bs, :] += (binned == k).astype(jnp.int32)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_int), 1)
+        out = jnp.zeros((1, n_int), jnp.int32)
+        for k in range(n_int):
+            cnt = jnp.sum(acc_ref[k * bs:(k + 1) * bs, :])
+            out = out + jnp.where(lane == k, cnt, 0)
+        out_ref[:] = out
+
+
+@functools.lru_cache(maxsize=64)
+def make_pair_hist3_pallas_fn(rows: int, n_int: int,
+                              min_bp_match_cutoff: int = 100,
+                              gap_: float = 100.0,
+                              interpret: bool = False):
+    """Compiled fused predicate+histogram over the resolved 3-column v3
+    layout: fn(*3 packed cols) over pre-padded (rows, 128) blocks
+    (``PACKED3_COL_ORDER``) -> (1, n_int) support counts."""
+    kernel = functools.partial(
+        _pair_hist3_kernel, n_int=n_int,
+        min_bp_match_cutoff=min_bp_match_cutoff, gap_=float(gap_))
+    if rows % SUBLANES:
+        raise ValueError(
+            f"make_pair_hist3_pallas_fn: rows={rows} must be a multiple "
+            f"of {SUBLANES} or trailing rows fall outside the grid")
+    bs = SUBLANES
+    while bs < 128 and rows % (bs * 2) == 0:
+        bs *= 2
+    block = pl.BlockSpec((bs, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(rows // bs,),
+        in_specs=[block] * 3,
+        out_specs=pl.BlockSpec((1, n_int), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_int), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((bs * n_int, LANES), jnp.int32)],
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
 def _bin_kernel(starts, ends, edge_lo, edge_hi, out_ref, *, n_bins: int):
     """Per-block partial bin histogram: each grid step owns an (8, 128)
     block of reads and accumulates exact overlap into all bins.

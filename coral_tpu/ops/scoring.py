@@ -270,6 +270,105 @@ def pack_pairs2_host(pi, q_start, q_end, r1, r2, chrom, strand, mapq,
     return out
 
 
+# --- packed-v3: the fully RESOLVED pair layout ---------------------------
+#
+# Round-4 roofline work (docs/ARCHITECTURE.md "v3"): the v2 kernel is
+# VPU-bound, and about half its per-pair ops decode and re-derive values
+# that are fixed at pack time.  v3 folds them into the pack the same way
+# v2 folded the interval search:
+#
+#   * the MAPQ gate is per-SIDE: the packer computes
+#     ``iogm = iog if (mapq_i >= min_mapq and mapq_j >= min_mapq) else -1``.
+#     Substitution is exact: ``hit = base(io) & mq_ok & ...`` equals
+#     ``base(iogm) & ...`` (both false when mq fails, identical when it
+#     passes), and the histogram bins by ``where(hit, iogm, -1)`` which
+#     equals ``where(hit, iog, -1)`` since hit implies mq passed.
+#   * the reference jump ``grr = r1_j - r2_i if strand_j=='+' else
+#     r2_i - r1_j`` (the same-strand clause's only use of r-coordinates)
+#     is one subtract+select per pair — the same class of pack-time
+#     arithmetic as the existing ``qgap = qj_start - qi_end`` column.
+#   * ``strand_i != strand_j`` collapses to one bit.
+#
+# What remains on device is the junction DECISION chain itself (query-gap
+# tolerance, interval gate, strand-flip / gap-discrepancy resolution) and
+# the support histogram: 3 int32 columns = 12 B/pair, ~2.5x fewer VPU ops
+# than v2.  ``min_mapq`` becomes a PACK parameter and leaves the kernel.
+#
+# meta3 word: [ iogm+1 : 13 bits | strand_diff : 1 ]   (non-negative)
+
+META3_IOG_SHIFT = 1
+PACKED3_COL_ORDER = ("qgap", "grr", "meta")
+
+
+def pack_pairs3_host(pi, q_start, q_end, r1, r2, chrom, strand, mapq,
+                     int_chrom, int_start, int_end, min_mapq: int = 20,
+                     n_out: Optional[int] = None):
+    """Host (numpy) emission of the v3 layout from flat ALIGNMENT columns
+    for pairs (pi[p], pi[p]+1) — the fallback twin of the native
+    ``bamcore.pack_pairs3``; bit-identical by test.  Rows [n_pairs,
+    n_out) zero-pad (meta 0 decodes to iogm -1: inert)."""
+    io = first_overlap(np, np.asarray(chrom), np.asarray(r1),
+                       np.asarray(r2), np.asarray(int_chrom),
+                       np.asarray(int_start), np.asarray(int_end))
+    pj = pi + 1
+    iog = combine_interval_gate(np, io[pi], io[pj])
+    mq = np.asarray(mapq)
+    mq_ok = (mq[pi] >= min_mapq) & (mq[pj] >= min_mapq)
+    iogm = np.where(mq_ok, iog, -1).astype(np.int32)
+    st = np.asarray(strand)
+    sj_pos = st[pj] > 0
+    r2i = np.asarray(r2)[pi].astype(np.int32)
+    r1j = np.asarray(r1)[pj].astype(np.int32)
+    grr = np.where(sj_pos, r1j - r2i, r2i - r1j).astype(np.int32)
+    qgap = (np.asarray(q_start)[pj] - np.asarray(q_end)[pi]).astype(np.int32)
+    sdiff = (st[pi] != st[pj]).astype(np.int32)
+    meta = ((iogm + 1) << META3_IOG_SHIFT) | sdiff
+    packed = (qgap, grr, meta.astype(np.int32))
+    if n_out is None or n_out == len(pi):
+        return list(packed)
+    out = []
+    for c in packed:
+        padded = np.zeros(n_out, np.int32)
+        padded[: len(pi)] = c
+        out.append(padded)
+    return out
+
+
+def unpack_pair_meta3(xp, meta):
+    """Inverse of the meta3 word: -> (iogm, strand_diff)."""
+    iogm = (meta >> META3_IOG_SHIFT) - 1
+    sdiff = meta & 1
+    return iogm, sdiff
+
+
+def pair_predicate_packed3(xp, qgap, grr, meta,
+                           min_bp_match_cutoff, gap_):
+    """:func:`pair_predicate` over the resolved 3-column v3 layout.
+
+    Unpacks and delegates to the ONE predicate implementation with exact
+    substitutions (see the layout comment): the precomputed gate is
+    injected as ``first_overlap_fn``, the strand columns are fed
+    ``(where(sdiff, -1, +1), +1)`` so ``strand_i != strand_j`` equals the
+    packed bit, ``r1_j = grr, r2_i = 0, strand_j = +1`` so the
+    same-strand clause's reference jump evaluates to the packed ``grr``,
+    and the MAPQ gate (folded into ``iogm`` at pack time) its pass-
+    through contract (255 / min_mapq 0 — constant-folds away).
+    Returns (hit, iogm)."""
+    iogm, sdiff = unpack_pair_meta3(xp, meta)
+    zero_i = xp.zeros_like(qgap)
+    zero_f = xp.zeros(qgap.shape, xp.float32)
+    one_i = xp.ones_like(qgap)
+    strand_i = xp.where(sdiff > 0, -one_i, one_i)
+    mq = 255
+    dummy = zero_i[:1]
+    return pair_predicate(
+        xp, zero_i, qgap, zero_i, zero_i, zero_i, strand_i, mq, zero_f,
+        zero_i, grr, zero_i, one_i, mq, zero_f,
+        dummy, dummy, dummy,
+        min_bp_match_cutoff, 0, gap_, np.inf,
+        first_overlap_fn=lambda *_: iogm)
+
+
 def pair_predicate_packed(xp, qgap, r1_i, r2_i, r1_j, r2_j, meta,
                           int_chrom, int_start, int_end,
                           min_bp_match_cutoff, min_mapq, gap_):
@@ -440,21 +539,23 @@ def make_batch_scorer_jax(int_chrom, int_start, int_end, engine: str = "xla",
     the per-dispatch step is pure predicate + histogram + table lookups.
 
     ``engine='pallas'`` evaluates the pair predicate with the one-pass
-    Mosaic kernel over the interval-RESOLVED 4-column layout
-    (:data:`PACKED2_COL_ORDER`, 16 B/pair, zero in-kernel interval-scan
-    ops — the packer resolves the gate per ALIGNMENT; see the layout
-    comment above :func:`pack_pair_cols2`).  ``engine='pallas6'`` keeps
-    the round-2 6-column kernel (in-kernel 16-wide interval scan) for
-    A/B measurement.  Both require max_nm=inf (no NM slot) and n
-    divisible by 1024; the XLA broadcast search materializes (n, n_int)
-    masks — ~1 GB of HBM traffic per 2M-pair dispatch at 16 intervals.
+    Mosaic kernel over the fully RESOLVED 3-column v3 layout
+    (:data:`PACKED3_COL_ORDER`, 12 B/pair — the packer resolves the
+    interval AND MAPQ gates and pre-derives the reference jump; see the
+    v3 layout comment).  ``engine='pallas2'`` keeps the round-3
+    4-column kernel (:data:`PACKED2_COL_ORDER`) and ``'pallas6'`` the
+    round-2 6-column kernel (in-kernel interval scan), both for A/B
+    measurement.  All require max_nm=inf (no NM slot) and n divisible
+    by 1024; the XLA broadcast search materializes (n, n_int) masks —
+    ~1 GB of HBM traffic per 2M-pair dispatch at 16 intervals.
 
     Returns (build_tables, score):
       build_tables(starts, ends) -> device table tuple (jitted)
       score(tables, *cols)       -> (support, cov_res, cov_est) (jitted)
-    ``score`` takes the 14 unpacked columns for the XLA engine, the 4
-    :data:`PACKED2_COL_ORDER` columns (``bamcore.pack_pairs2`` /
-    :func:`pack_pairs2_host`) for the Pallas engine, or the 6
+    ``score`` takes the 14 unpacked columns for the XLA engine, the 3
+    :data:`PACKED3_COL_ORDER` columns (``bamcore.pack_pairs3`` /
+    :func:`pack_pairs3_host`) for the Pallas engine, the 4
+    :data:`PACKED2_COL_ORDER` columns for ``pallas2``, or the 6
     :data:`PACKED_COL_ORDER` columns (:func:`pack_pair_cols`) for
     ``pallas6`` — pre-packed either way, so the packing cost stays off
     the dispatch.  Combine cov pairs with :func:`combine_coverage`.
@@ -476,6 +577,31 @@ def make_batch_scorer_jax(int_chrom, int_start, int_end, engine: str = "xla",
     if engine == "pallas":
         if not np.isinf(params["max_nm"]):
             raise ValueError("engine='pallas' has no NM gate")
+        from .pallas_kernels import LANES, make_pair_hist3_pallas_fn
+
+        n_int = int(ic.shape[0])
+
+        @jax.jit
+        def score(tables, qgap, grr, meta):
+            n = qgap.shape[0]
+            rows = n // LANES
+            # fused predicate+histogram over the v3 layout: support
+            # accumulates in VMEM scratch (deferred final reduce), so
+            # the dispatch only READS the 3 packed input columns
+            pair_fn = make_pair_hist3_pallas_fn(
+                rows, n_int, params["min_bp_match_cutoff"],
+                params["gap_"], interpret)
+            blocks = [c.reshape(rows, LANES) for c in (qgap, grr, meta)]
+            support = pair_fn(*blocks).reshape(-1)
+            res_e, est_e = coverage_prefix_eval(jnp, tables, ie)
+            res_s, est_s = coverage_prefix_eval(jnp, tables, is_)
+            return support, res_e - res_s, est_e - est_s
+
+        return build_tables, score
+
+    if engine == "pallas2":
+        if not np.isinf(params["max_nm"]):
+            raise ValueError("engine='pallas2' has no NM gate")
         from .pallas_kernels import LANES, make_pair_hist2_pallas_fn
 
         n_int = int(ic.shape[0])
@@ -545,6 +671,82 @@ def make_batch_scorer_jax(int_chrom, int_start, int_end, engine: str = "xla",
         return support, res_e - res_s, est_e - est_s
 
     return build_tables, score
+
+
+def make_pipelined_scorer_jax(int_chrom, int_start, int_end,
+                              chunk: int = 1 << 18, interpret: bool = False,
+                              **scalars):
+    """Chunked double-buffered v3 scoring (round-4 directive: overlap
+    host->device transfer with device compute).
+
+    The monolithic route ships the whole packed batch, then dispatches —
+    on a tunnel-attached chip the transfer serializes in front of the
+    compute.  Here the batch is cut into ``chunk``-pair slices; the
+    ``jax.device_put`` of slice k+1 is issued (async) BEFORE slice k's
+    histogram dispatch, so the runtime can stream the next transfer
+    while the chip executes.  Support counts accumulate on device
+    (integer adds — exact, order-free); coverage tables are per-READ
+    state and evaluate once per batch as usual.
+
+    Returns (build_tables, score_stream):
+      build_tables(starts, ends)        -> device table tuple (jitted)
+      score_stream(tables, packed3)     -> (support, cov_res, cov_est)
+    ``packed3`` is the host-side 3-column v3 layout
+    (:data:`PACKED3_COL_ORDER`), length a multiple of ``chunk`` (the
+    packers' bucket padding is inert, so pad to a multiple).  Results
+    are bit-identical to the monolithic ``engine='pallas'`` scorer.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .pallas_kernels import LANES, make_pair_hist3_pallas_fn
+
+    ic = jnp.asarray(int_chrom)
+    is_ = jnp.asarray(int_start)
+    ie = jnp.asarray(int_end)
+    n_int = int(ic.shape[0])
+    params = {**dict(min_bp_match_cutoff=100, gap_=100.0), **scalars}
+    rows = chunk // LANES
+    pair_fn = make_pair_hist3_pallas_fn(
+        rows, n_int, params["min_bp_match_cutoff"], params["gap_"],
+        interpret)
+
+    @jax.jit
+    def build_tables(starts, ends):
+        return coverage_prefix_tables(jnp, starts, ends)
+
+    @jax.jit
+    def add(a, b):
+        return a + b
+
+    @jax.jit
+    def cov(tables):
+        res_e, est_e = coverage_prefix_eval(jnp, tables, ie)
+        res_s, est_s = coverage_prefix_eval(jnp, tables, is_)
+        return res_e - res_s, est_e - est_s
+
+    def score_stream(tables, packed3):
+        n = len(packed3[0])
+        if n % chunk:
+            raise ValueError(f"packed length {n} not a multiple of {chunk}")
+        n_chunks = n // chunk
+
+        def slice_k(k):
+            return [np.asarray(c[k * chunk:(k + 1) * chunk])
+                    .reshape(rows, LANES) for c in packed3]
+
+        support = None
+        d = [jax.device_put(b) for b in slice_k(0)]
+        for k in range(n_chunks):
+            d_next = ([jax.device_put(b) for b in slice_k(k + 1)]
+                      if k + 1 < n_chunks else None)
+            s = pair_fn(*d)          # async dispatch; overlaps the put
+            support = s if support is None else add(support, s)
+            d = d_next
+        res, est = cov(tables)
+        return support.reshape(-1), res, est
+
+    return build_tables, score_stream
 
 
 def make_fused_step_numpy(int_chrom, int_start, int_end, **scalars):

@@ -144,6 +144,60 @@ def test_native_pack_pairs2_matches_host_and_kernel():
     assert hit.sum() > 0
 
 
+def test_native_pack_pairs3_matches_host_and_kernel():
+    """The native fully-resolved pack (bamcore.bc_pack_pairs3: interval
+    AND MAPQ gates folded, reference jump pre-derived, 3-column v3
+    layout) is bit-identical to the host twin pack_pairs3_host,
+    zero-pads the bucketed tail, and BOTH v3 kernels (hit-mask and fused
+    histogram) over it match the unpacked Pallas predicate row for
+    row."""
+    import jax.numpy as jnp
+
+    from coral_tpu.native.bamcore import pack_pairs3
+    from coral_tpu.ops.pallas_kernels import (
+        LANES, _bucket_rows, make_pair_hist3_pallas_fn,
+        pair_predicates_pallas_packed3)
+    from coral_tpu.ops.scoring import pack_pairs3_host
+
+    rng = np.random.default_rng(23)
+    n_aln = 907
+    qs = rng.integers(0, 30_000, n_aln).astype(np.int64)
+    qe = rng.integers(0, 30_000, n_aln).astype(np.int64)
+    r1 = rng.integers(0, 3_000_000, n_aln).astype(np.int64)
+    r2 = rng.integers(0, 3_000_000, n_aln).astype(np.int64)
+    chrom = rng.integers(-1, 4, n_aln).astype(np.int32)
+    strand = rng.choice([-1, 1], n_aln).astype(np.int8)
+    mapq = rng.integers(-2, 300, n_aln).astype(np.int32)  # clamp domain
+    pi = np.flatnonzero(rng.random(n_aln - 1) < 0.8).astype(np.int64)
+    pj = pi + 1
+    _, ic, is_, ie = synth()
+    n_out = _bucket_rows(pi.size) * LANES
+    native = pack_pairs3(pi, qs, qe, r1, r2, chrom, strand, mapq,
+                         ic, is_, ie, min_mapq=20, n_out=n_out, nthreads=3)
+    host = pack_pairs3_host(pi, qs, qe, r1, r2, chrom, strand, mapq,
+                            ic, is_, ie, min_mapq=20, n_out=n_out)
+    for a, b in zip(host, native):
+        np.testing.assert_array_equal(np.asarray(a, np.int32), b)
+    assert all((b[pi.size:] == 0).all() for b in native)
+    hit = pair_predicates_pallas_packed3(native, pi.size, interpret=True)
+    cols = dict(qi_end=qe[pi], qj_start=qs[pj], chrom_i=chrom[pi],
+                r1_i=r1[pi], r2_i=r2[pi],
+                strand_i=strand[pi].astype(np.int32), mapq_i=mapq[pi],
+                chrom_j=chrom[pj], r1_j=r1[pj], r2_j=r2[pj],
+                strand_j=strand[pj].astype(np.int32), mapq_j=mapq[pj])
+    hit2, io2 = pair_predicates_pallas(cols, ic, is_, ie, interpret=True)
+    np.testing.assert_array_equal(hit, hit2)
+    assert hit.sum() > 0
+    # fused histogram kernel: support counts == binned hit counts
+    rows = n_out // LANES
+    fn = make_pair_hist3_pallas_fn(rows, len(ic), 100, 100.0, True)
+    support = np.asarray(
+        fn(*[jnp.asarray(p.reshape(rows, LANES)) for p in native])
+    ).reshape(-1)
+    expect = np.bincount(io2[hit2], minlength=len(ic))
+    np.testing.assert_array_equal(support, expect)
+
+
 def test_bin_kernel_matches_exact():
     rng = np.random.default_rng(1)
     starts = rng.integers(0, 900_000, 3000).astype(np.int64)

@@ -142,8 +142,11 @@ def test_residual_truncation_reported_in_outputs(tmp_path):
     target stays missed, the degradation is recorded in the model
     artifact and the cycles.txt header."""
     # much denser graph + hard-capped escalation: stays truncated
+    # (colgen off: this test pins the degradation-REPORTING machinery;
+    # the recovery path has its own tests below)
     g = dense_graph(n_segs=10, cross_span=8)
-    cfg = CycleConfig(max_walk_candidates=2, pool_escalation=(("same", 2),))
+    cfg = CycleConfig(max_walk_candidates=2, pool_escalation=(("same", 2),),
+                      colgen=False)
     rec = _rec_for(g)
     cycle_decomposition(rec, cfg, model_prefix=str(tmp_path / "m"))
     info = json.loads((tmp_path / "m_amplicon1_model.json").read_text())
@@ -221,3 +224,80 @@ def test_adoption_never_demotes_coverage_target():
     # and when the incumbent itself misses, any improvement is adoptable
     low = (50.0, 0, -1)
     assert _should_adopt((60.0, 0, -2), low, target)
+
+
+# --- column generation (round 4) ------------------------------------------
+
+
+def test_colgen_certifies_small_truncated_graph():
+    """On a graph whose initial enumeration truncates but whose walk
+    space is searchable, column generation must converge with a
+    COMPLETE pricing round — the LP is then provably optimal over ALL
+    walks, and the Lagrangian bound equals the master LP value."""
+    from coral_tpu.cycles.colgen import column_generate
+
+    g = dense_graph(n_segs=5, cross_span=2)
+    total = total_graph_weight(g)
+    cfg = CycleConfig()
+    seed = enumerate_candidates(g, max_states=60)
+    assert seed.truncated
+    cg = column_generate(g, seed, total, [], 20, cfg)
+    assert cg.certified
+    assert cg.columns_added > 0
+    assert cg.slack_total < 1e-9
+    assert cg.lp_bound == pytest.approx(cg.lp_pool_obj)
+
+
+def test_colgen_beats_capped_enumeration():
+    """The pricing search runs at the FULL reference multiplicity caps,
+    so colgen can reach fewer-decomposition optima that even a complete
+    narrow-cap enumeration misses (here: 1 decomposition vs 2) — and its
+    Lagrangian bound must lower-bound every master LP it seeds."""
+    from coral_tpu.cycles.colgen import column_generate, solve_lp_relaxation
+
+    g = dense_graph()
+    total = total_graph_weight(g)
+    cfg = CycleConfig()
+    seed = enumerate_candidates(g, max_states=100)
+    assert seed.truncated
+    full = enumerate_candidates(g, max_states=2_000_000)
+    assert not full.truncated
+    cg = column_generate(g, seed, total, [], 30, cfg)
+    assert cg.columns_added > 0
+    # bound validity: the enumerated-pool master LP can never beat it
+    lp_full = solve_lp_relaxation(g, list(full), total, [], 30,
+                                  cfg.p_total_weight, cfg.p_bp_cn)
+    assert lp_full.objective >= cg.lp_bound - 1e-6
+    st, cov, _, cyc, wts, _ = joint_minimize(g, cg.pool, 30, total, [], cfg)
+    st2, cov2, _, cyc2, wts2, _ = joint_minimize(g, full, 30, total, [], cfg)
+    assert st == 2 and st2 == 2
+    n = len(wts[0]) + len(wts[1])
+    n2 = len(wts2[0]) + len(wts2[1])
+    obj = sum((1 + 1e-6 * sum(dict(e).values()))
+              for slot in cyc for e in slot) - cov / total
+    obj2 = sum((1 + 1e-6 * sum(dict(e).values()))
+               for slot in cyc2 for e in slot) - cov2 / total
+    assert obj <= obj2 + 1e-9
+    assert n < n2  # the capped pool's optimum needs 2 walks; colgen's 1
+    assert cov >= cfg.p_total_weight * total
+
+
+def test_driver_reports_numeric_optimality_gap(tmp_path):
+    """Round-4 directive: when the pool truncates, *_model.json must
+    carry a NUMERIC optimality_gap_upper_bound (incumbent objective vs
+    the colgen Lagrangian bound), not just truncated: true."""
+    g = dense_graph(n_segs=5, cross_span=2)
+    cfg = CycleConfig(max_walk_candidates=3,
+                      pool_escalation=(("same", 2),))
+    rec = _rec_for(g)
+    cycle_decomposition(rec, cfg, model_prefix=str(tmp_path / "m"))
+    info = json.loads((tmp_path / "m_amplicon1_model.json").read_text())
+    trunc = info["truncation"]
+    assert trunc["initial_truncated"] is True
+    assert trunc["colgen"] is not None
+    assert trunc["colgen"]["columns_added"] > 0
+    assert trunc["incumbent_objective"] is not None
+    assert trunc["optimality_gap_upper_bound"] is not None
+    assert trunc["optimality_gap_upper_bound"] >= 0.0
+    # the solution itself meets the coverage target (colgen recovered it)
+    assert trunc["coverage_met"] is True

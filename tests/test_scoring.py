@@ -166,9 +166,32 @@ def _packed2_from_pair_cols(cols, ic, is_, ie):
         cols["mapq_j"], iog)
 
 
+def _packed3_from_pair_cols(cols, ic, is_, ie, min_mapq=20):
+    """Emit the fully-resolved 3-column v3 layout from unpacked pair
+    columns (the test-side twin of bamcore.pack_pairs3, which packs from
+    flat ALIGNMENT columns)."""
+    from coral_tpu.ops.scoring import (META3_IOG_SHIFT, combine_interval_gate,
+                                       first_overlap)
+
+    io_i = first_overlap(np, cols["chrom_i"], cols["r1_i"], cols["r2_i"],
+                         ic, is_, ie)
+    io_j = first_overlap(np, cols["chrom_j"], cols["r1_j"], cols["r2_j"],
+                         ic, is_, ie)
+    iog = combine_interval_gate(np, io_i, io_j)
+    mq_ok = (cols["mapq_i"] >= min_mapq) & (cols["mapq_j"] >= min_mapq)
+    iogm = np.where(mq_ok, iog, -1).astype(np.int32)
+    qgap = (cols["qj_start"] - cols["qi_end"]).astype(np.int32)
+    grr = np.where(cols["strand_j"] > 0,
+                   cols["r1_j"] - cols["r2_i"],
+                   cols["r2_i"] - cols["r1_j"]).astype(np.int32)
+    sdiff = (cols["strand_i"] != cols["strand_j"]).astype(np.int32)
+    meta = ((iogm + 1) << META3_IOG_SHIFT) | sdiff
+    return qgap, grr, meta.astype(np.int32)
+
+
 def test_batch_scorer_pallas_engine_matches_xla():
     """make_batch_scorer_jax(engine='pallas') (the TPU dispatch engine,
-    interval-resolved 4-column v2 layout) must produce identical
+    fully-resolved 3-column v3 layout) must produce identical
     support/coverage to the XLA engine on the unpacked columns."""
     import jax.numpy as jnp
 
@@ -179,6 +202,29 @@ def test_batch_scorer_pallas_engine_matches_xla():
     starts, ends, cols, ic, is_, ie = synth_scoring_batch(n, seed=5)
     bx, sx = make_batch_scorer_jax(ic, is_, ie)
     bp, sp = make_batch_scorer_jax(ic, is_, ie, engine="pallas",
+                                   interpret=True)
+    tx = bx(jnp.asarray(starts), jnp.asarray(ends))
+    args = [jnp.asarray(cols[k]) for k in COL_ORDER]
+    packed3 = _packed3_from_pair_cols(cols, ic, is_, ie)
+    out_x = sx(tx, *args)
+    out_p = sp(tx, *[jnp.asarray(p) for p in packed3])
+    for a, b in zip(out_x, out_p):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batch_scorer_pallas2_engine_matches_xla():
+    """make_batch_scorer_jax(engine='pallas2') (the round-3
+    interval-resolved 4-column kernel kept for A/B measurement) must
+    produce identical support/coverage to the XLA engine."""
+    import jax.numpy as jnp
+
+    from bench import COL_ORDER, synth_scoring_batch
+    from coral_tpu.ops.scoring import make_batch_scorer_jax
+
+    n = 4096
+    starts, ends, cols, ic, is_, ie = synth_scoring_batch(n, seed=5)
+    bx, sx = make_batch_scorer_jax(ic, is_, ie)
+    bp, sp = make_batch_scorer_jax(ic, is_, ie, engine="pallas2",
                                    interpret=True)
     tx = bx(jnp.asarray(starts), jnp.asarray(ends))
     args = [jnp.asarray(cols[k]) for k in COL_ORDER]
