@@ -71,18 +71,24 @@ from coral_tpu.ops.scoring import COL_ORDER  # canonical order
 
 
 def roofline_utilization(n_reads: int, t_dev: float,
-                         bytes_per_read: int = 16) -> float:
+                         bytes_per_read: int = 12) -> float:
     """Fraction of v5e HBM speed-of-light the scoring dispatch achieves.
 
-    The fused Pallas route streams the 4 interval-RESOLVED packed int32
-    columns exactly once (16 B/pair — ``ops.scoring.PACKED2_COL_ORDER``:
-    the packer computes the interval gate per ALIGNMENT so the kernel
-    runs zero interval-scan ops per pair; the support histogram
-    accumulates in VMEM, nothing pair-sized is written back).  The
-    round-2 6-column layout (in-kernel 16-wide interval scan) moves
-    24 B/pair; the XLA route reads the 14 unpacked columns (56 B).
-    v5e HBM BW ~ 819 GB/s.  (Table builds are timed separately — they
-    amortize across the pipeline's many queries per read batch.)
+    IMPORTANT CAVEAT: for the FUSED predicate+histogram kernel this is a
+    **bytes-moved account, not an HBM-saturation claim** — that dispatch
+    is VPU-bound (the per-interval support histogram costs ~2-3 compare/
+    select ops per interval per pair, structurally, on a compare-select
+    vector unit; op/byte model in docs/ARCHITECTURE.md "round 4"), so
+    its fraction reads low precisely BECAUSE the v3 layout moves so few
+    bytes.  The saturation-meaningful number is the product hit-mask
+    route (``hitmask_roofline_frac``): 12 B/pair read + 4 B/pair
+    written, measured >= 0.6 of the 819 GB/s v5e roofline.
+
+    Layout bytes: v3 = 3 int32 columns = 12 B/pair (interval+MAPQ gates
+    resolved at pack time, reference jump pre-derived); v2 = 16 B/pair;
+    round-2 6-column = 24 B/pair; XLA unpacked = 56 B/pair.  Table
+    builds are timed separately — they amortize across the pipeline's
+    many queries per read batch.
     """
     hbm_bw = 819e9
     t_light = n_reads * bytes_per_read / hbm_bw
@@ -208,39 +214,106 @@ def e2e_device_vs_host() -> dict:
     return out
 
 
+def e2e_wgs() -> dict:
+    """Round-4 directive 1: WGS-scale reconstruct with engine=auto on
+    the chip vs the forced-host engine — the auto route must flip to the
+    device by the product threshold rule (``resolve_engine``: n_pairs >=
+    device_pair_threshold on an accelerator backend), asserted from the
+    product route log, with byte-identical graph outputs.
+
+    Sample: the junction-heavy 10-chromosome build (~4.3M records,
+    ~1.5M chimeric pairs — tools/bench_wgs.build_junction_heavy).  The
+    breakpoints stage carries the engine difference; the stage split is
+    reported alongside the totals because the other stages (scan,
+    interval BFS, clustering/consensus) are identical host work in both
+    arms.  Cycle decomposition is skipped (``--skip_cycle_decomp``
+    product mode) — it is engine-independent host work.
+    """
+    import os
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    import bench_wgs
+
+    out = {}
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.perf_counter()
+        bam, cns, seeds, n_rec = bench_wgs.build_junction_heavy(td)
+        out["e2e_wgs_records"] = n_rec
+        out["e2e_wgs_build_s"] = round(time.perf_counter() - t0, 1)
+        host_stages, host_routes, host_files, _ = bench_wgs.run_staged(
+            bam, cns, seeds, os.path.join(td, "host"), engine="numpy",
+            skip_cycles=True)
+        auto_stages, auto_routes, auto_files, _ = bench_wgs.run_staged(
+            bam, cns, seeds, os.path.join(td, "auto"), engine="auto",
+            skip_cycles=True)
+        flipped = any("engine=jax" in r or "engine=pallas" in r
+                      for r in auto_routes)
+        host_routed = any("engine=numpy" in r for r in host_routes)
+        identical = list(host_files.values()) == list(auto_files.values())
+
+        def scored_s(routes):
+            for r in routes:
+                if "scored" in r:
+                    return float(r.rsplit(" ", 1)[-1].rstrip("s"))
+            return None
+
+        out.update({
+            "e2e_wgs_host_s": host_stages["total"],
+            "e2e_wgs_device_s": auto_stages["total"],
+            "e2e_wgs_bp_stage_host_s": host_stages["breakpoints"],
+            "e2e_wgs_bp_stage_device_s": auto_stages["breakpoints"],
+            # the engine-attributable sub-time: pack+transfer+predicate
+            # evaluation inside find_breakpoints (the rest of the stage
+            # — row emission, clustering, consensus — is identical host
+            # work in both arms)
+            "e2e_wgs_scoring_host_s": scored_s(host_routes),
+            "e2e_wgs_scoring_device_s": scored_s(auto_routes),
+            "e2e_wgs_stages_host": host_stages,
+            "e2e_wgs_stages_device": auto_stages,
+            "e2e_wgs_auto_route": auto_routes[:2],
+            "e2e_wgs_route_flipped_to_device": flipped,
+            "e2e_wgs_host_route_asserted": host_routed,
+            "e2e_wgs_outputs_identical": identical,
+        })
+    return out
+
+
 def main() -> None:
     import jax
 
     n_reads = 1 << 21  # 2M reads per dispatch
     starts, ends, cols, ic, is_, ie = synth_scoring_batch(n_reads)
-    from coral_tpu.ops.scoring import make_batch_scorer_jax
+    from coral_tpu.ops.scoring import (make_batch_scorer_jax,
+                                       make_pipelined_scorer_jax)
 
-    # headline: the fused Pallas route over the interval-RESOLVED v2
-    # layout (the engine score_pairs_l uses for TPU dispatches); the
-    # round-2 6-column kernel and the XLA engine reported as secondaries
+    # headline: the fused Pallas route over the fully RESOLVED v3 layout
+    # (the engine score_pairs_l uses for TPU dispatches); the round-3 v2
+    # kernel and the XLA engine reported as same-process A/B secondaries
     build, score = make_batch_scorer_jax(ic, is_, ie, engine="pallas")
-    _, score_p6 = make_batch_scorer_jax(ic, is_, ie, engine="pallas6")
+    _, score_p2 = make_batch_scorer_jax(ic, is_, ie, engine="pallas2")
     _, score_xla = make_batch_scorer_jax(ic, is_, ie, engine="xla")
     d_starts = jax.device_put(starts)
     d_ends = jax.device_put(ends)
     d_cols = [jax.device_put(cols[k]) for k in COL_ORDER]
-    # the pallas engine takes the interval-resolved 4-column v2 layout;
-    # the product route emits it with ONE native first_overlap+gather+
-    # pack pass straight from the flat alignment columns
-    # (bamcore.bc_pack_pairs2 — round 2's numpy pack cost 500x the
-    # dispatch it fed), timed here through the same product-shaped path
-    # (min-of-3; first-touch paging varies)
-    from coral_tpu.native.bamcore import pack_pairs, pack_pairs2
+    # the pallas engine takes the resolved 3-column v3 layout; the
+    # product route emits it with ONE native first_overlap+gate+pack
+    # pass straight from the flat alignment columns
+    # (bamcore.bc_pack_pairs3), timed through the same product-shaped
+    # path (min-of-3; first-touch paging varies)
+    from coral_tpu.native.bamcore import pack_pairs2, pack_pairs3
 
     aln = synth_alignment_table(cols)
     pack_times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        packed = pack_pairs2(*aln, ic, is_, ie)
+        packed = pack_pairs3(*aln, ic, is_, ie, min_mapq=20)
         pack_times.append(time.perf_counter() - t0)
     t_pack = min(pack_times)
     d_packed = [jax.device_put(p) for p in packed]
-    d_packed6 = [jax.device_put(p) for p in pack_pairs(*aln)]
+    d_packed2 = [jax.device_put(p) for p in pack_pairs2(*aln, ic, is_, ie)]
     tables = build(d_starts, d_ends)  # compile + build
     jax.block_until_ready(tables)
 
@@ -248,16 +321,35 @@ def main() -> None:
     t_build = slope_time_ms(build, d_starts, d_ends, n1=4, n2=32) / 1e3
     # scoring dispatch (the headline) — slope-timed, see module docstring
     t_dev = slope_time_ms(lambda *c: score(tables, *c), *d_packed) / 1e3
-    t_p6 = slope_time_ms(lambda *c: score_p6(tables, *c), *d_packed6) / 1e3
+    t_p2 = slope_time_ms(lambda *c: score_p2(tables, *c), *d_packed2) / 1e3
     t_xla = slope_time_ms(lambda *c: score_xla(tables, *c), *d_cols) / 1e3
 
-    # ALL-IN pipeline time per batch: native pack + host->device transfer
-    # + dispatch — the number a resident pipeline actually observes (the
-    # headline excludes pack/transfer; this one cannot be misread).
-    # Transfers chain with the dispatches they feed; alternating buffers
-    # prevent any put coalescing.
-    copies = [packed, pack_pairs2(*aln, ic, is_, ie)]
+    # the product hit-mask route (score_pairs_l engine='pallas'): the
+    # saturation-meaningful roofline number — 12 B/pair read + 4 B/pair
+    # hit mask written, no histogram loop
+    from coral_tpu.ops.pallas_kernels import (LANES, _bucket_rows,
+                                              make_pair3_pallas_fn)
+    import jax.numpy as jnp
+
+    rows = _bucket_rows(n_reads)
+    fn_hm = make_pair3_pallas_fn(rows, 100, 100.0, False)
+    blocks3 = [jnp.asarray(np.asarray(p).reshape(rows, LANES))
+               for p in packed]
+    t_hm = slope_time_ms(fn_hm, *blocks3) / 1e3
+
+    # --- transfer vs dispatch split (round-4 directive 2) -------------
+    # transfer alone: chain N put-rounds of alternating pre-packed
+    # buffers, fetch one element of the last put (RPC/fetch constants
+    # cancel in the slope)
+    copies = [packed, pack_pairs3(*aln, ic, is_, ie, min_mapq=20)]
     state = [0]
+
+    def put_only():
+        c = copies[state[0] % 2]
+        state[0] += 1
+        return [jax.device_put(p) for p in c]
+
+    t_put = slope_time_ms(put_only, n1=2, n2=8, rounds=3) / 1e3
 
     def put_and_score():
         c = copies[state[0] % 2]
@@ -265,7 +357,28 @@ def main() -> None:
         return score(tables, *[jax.device_put(p) for p in c])
 
     t_put_dispatch = slope_time_ms(put_and_score, n1=2, n2=8, rounds=3) / 1e3
-    t_pipeline = t_pack + t_put_dispatch
+
+    # chunked double-buffered pipeline (product
+    # scoring.make_pipelined_scorer_jax): device_put of chunk k+1 issued
+    # before chunk k's dispatch so transfer overlaps compute
+    chunk = 1 << 18
+    buildp, score_stream = make_pipelined_scorer_jax(ic, is_, ie,
+                                                     chunk=chunk)
+    out0 = score_stream(tables, packed)        # compile chunk kernel
+    jax.block_until_ready(out0)
+    # identical outputs to the monolithic engine
+    mono = score(tables, *d_packed)
+    stream_ok = all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(mono, out0))
+
+    def stream_once():
+        c = copies[state[0] % 2]
+        state[0] += 1
+        return score_stream(tables, c)
+
+    t_stream = slope_time_ms(stream_once, n1=2, n2=6, rounds=3) / 1e3
+    t_pipeline = t_pack + t_stream
 
     # numpy single-thread baseline: the same product scoring math
     # (pair_predicate + support histogram + table lookups) with
@@ -291,23 +404,41 @@ def main() -> None:
         "value": round(reads_per_s),
         "unit": "reads/s",
         "vs_baseline": round(t_np / t_dev, 2),
+        # bytes-moved account for the fused dispatch (VPU-bound; see
+        # roofline_utilization docstring) — the saturation number is
+        # hitmask_roofline_frac below
         "hbm_roofline_frac": round(
-            roofline_utilization(n_reads, t_dev, 16), 3),
-        "engine": "pallas-fused-packed2",
-        "pallas6_engine_reads_per_s": round(n_reads / t_p6),
+            roofline_utilization(n_reads, t_dev, 12), 3),
+        "engine": "pallas-fused-packed3",
+        "pallas2_engine_reads_per_s": round(n_reads / t_p2),
         "xla_engine_reads_per_s": round(n_reads / t_xla),
+        "hitmask_reads_per_s": round(n_reads / t_hm),
+        "hitmask_roofline_frac": round(
+            roofline_utilization(n_reads, t_hm, 16), 3),
         "coverage_table_build_ms": round(t_build * 1e3, 3),
         "host_pack_ms": round(t_pack * 1e3, 3),
-        # all-in per-batch rate incl. native pack + tunnel transfer +
-        # dispatch (transfer rides this environment's TPU tunnel; on a
-        # directly-attached chip the transfer term shrinks ~an order)
-        "pipeline_reads_per_s": round(n_reads / t_pipeline),
+        # split transfer vs dispatch (directive 2): the monolithic
+        # put+dispatch, its put-only component, and the chunked
+        # double-buffered product pipeline
+        "transfer_ms": round(t_put * 1e3, 3),
+        "dispatch_ms": round(t_dev * 1e3, 3),
         "transfer_dispatch_ms": round(t_put_dispatch * 1e3, 3),
+        "pipelined_stream_ms": round(t_stream * 1e3, 3),
+        "pipelined_outputs_identical": stream_ok,
+        # all-in per-batch rate incl. native pack + tunnel transfer +
+        # dispatch, with the chunked overlap (transfer rides this
+        # environment's TPU tunnel; on a directly-attached chip the
+        # transfer term shrinks ~two orders)
+        "pipeline_reads_per_s": round(n_reads / t_pipeline),
     }
     try:
         payload.update(e2e_device_vs_host())
     except Exception as exc:  # never let the e2e add-on break the headline
         payload["e2e_reconstruct_error"] = f"{type(exc).__name__}: {exc}"
+    try:
+        payload.update(e2e_wgs())
+    except Exception as exc:
+        payload["e2e_wgs_error"] = f"{type(exc).__name__}: {exc}"
     print(json.dumps(payload))
 
 

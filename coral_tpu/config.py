@@ -129,13 +129,17 @@ class EngineConfig:
     ``cn_engine`` picks the CN-balance solver engine
     (``graph.cn_solver``): ``numpy`` (f64 damped-Newton), ``jax``
     (CPU-f64 jit), ``batch`` (padded vmap over amplicons,
-    mesh-shardable), or ``auto`` (jax-f64 on a CPU backend, else numpy
-    f64 — the TPU backend has no f64 LU; both match the reference's
-    digit-exact cvxopt contract).
+    mesh-shardable), or ``auto`` (resolved by
+    ``cn_solver.resolve_cn_engine``: the batch engine at >=
+    ``cn_batch_threshold`` amplicons on f64 backends, jax-f64 below it,
+    numpy f64 on a TPU-only process — the TPU backend has no f64 LU and
+    the cvxopt contract is digit-exact, so the f32 on-TPU batch solve is
+    opt-in).
     """
     engine: str = "auto"              # auto | numpy | jax | pallas
     cn_engine: str = "auto"           # auto | numpy | jax | batch
     device_pair_threshold: int = 1 << 20
+    cn_batch_threshold: int = 32
 
 
 @dataclass(frozen=True)

@@ -164,6 +164,27 @@ def _have_f64_jax() -> bool:
     return _F64_JAX
 
 
+def resolve_cn_engine(engine: str, n_graphs: int,
+                      batch_threshold: int = 32) -> str:
+    """Resolve an ``auto`` CN-engine request to a concrete engine.
+
+    ``auto`` on an f64-capable backend (CPU) picks the **batched vmap
+    engine** when the amplicon count reaches ``batch_threshold`` — one
+    padded device dispatch replaces ``n`` sequential KKT solves, and the
+    f64 results stay digit-exact to the per-graph engines (route-tested
+    byte-identical in ``tests/test_engine_routing.py``) — and the
+    per-graph jitted f64 solve below it.  On a TPU-only process ``auto``
+    resolves to numpy f64: the TPU backend has no f64 LU, and the
+    reference's cvxopt contract is digit-exact, so the f32 batch engine
+    stays OPT-IN there (``cn_engine='batch'``; the dry run cross-checks
+    it at rtol 1e-4 against the f64 host engine)."""
+    if engine != "auto":
+        return engine
+    if not _have_f64_jax():
+        return "numpy"
+    return "batch" if n_graphs >= batch_threshold else "jax"
+
+
 def solve_cn_balance(wlrseg, wcn, wlncn, A, max_iters: int = 1000,
                      engine: str = "auto") -> np.ndarray:
     """Solve the balance program; returns x (CN/2 per edge).

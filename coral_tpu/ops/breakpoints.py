@@ -238,9 +238,23 @@ def chimera_to_bps_l(
 # -- clustering (reference :252-286) ---------------------------------------
 
 class _PosBuffer:
-    """Amortized-growth (pos1, pos2) arrays for one cluster."""
+    """Amortized-growth (pos1, pos2) arrays for one cluster.
 
-    __slots__ = ("a1", "a2", "n")
+    The membership test is exact (any member within ``cutoff`` on both
+    coordinates) but engineered for WGS-scale groups, where the naive
+    full scan made first-fit clustering quadratic (round-4 profile:
+    the top host hotspot on junction-heavy samples):
+
+    * a **bounding box** rejects non-members in O(1) — distinct
+      junctions in the same (chr, orientation) group are typically far
+      apart, so cross-cluster probes never touch the arrays;
+    * a **prefix probe** over the first 32 members accepts same-junction
+      members in O(1) — jittered observations of one junction all match
+      the cluster's earliest members;
+    * only the rare in-box prefix-miss pays the full vectorized scan.
+    """
+
+    __slots__ = ("a1", "a2", "n", "lo1", "hi1", "lo2", "hi2", "f1", "f2")
 
     def __init__(self, p1: int, p2: int):
         self.a1 = np.empty(8, np.int64)
@@ -248,6 +262,10 @@ class _PosBuffer:
         self.a1[0] = p1
         self.a2[0] = p2
         self.n = 1
+        self.lo1 = self.hi1 = p1
+        self.lo2 = self.hi2 = p2
+        self.f1 = p1     # founder coords: scalar fast-path probe
+        self.f2 = p2
 
     def add(self, p1: int, p2: int) -> None:
         if self.n == len(self.a1):
@@ -256,12 +274,36 @@ class _PosBuffer:
         self.a1[self.n] = p1
         self.a2[self.n] = p2
         self.n += 1
+        if p1 < self.lo1:
+            self.lo1 = p1
+        elif p1 > self.hi1:
+            self.hi1 = p1
+        if p2 < self.lo2:
+            self.lo2 = p2
+        elif p2 > self.hi2:
+            self.hi2 = p2
 
     def hits(self, p1: int, p2: int, cutoff: int) -> bool:
-        a1 = self.a1[: self.n]
-        a2 = self.a2[: self.n]
-        return bool((( np.abs(a1 - p1) < cutoff) &
-                     (np.abs(a2 - p2) < cutoff)).any())
+        if p1 <= self.lo1 - cutoff or p1 >= self.hi1 + cutoff \
+                or p2 <= self.lo2 - cutoff or p2 >= self.hi2 + cutoff:
+            return False
+        # founder probe: pure-int accept for the dominant same-junction
+        # case (no numpy call)
+        if -cutoff < p1 - self.f1 < cutoff and \
+                -cutoff < p2 - self.f2 < cutoff:
+            return True
+        k = 32 if self.n > 32 else self.n
+        a1 = self.a1[:k]
+        a2 = self.a2[:k]
+        if bool(((np.abs(a1 - p1) < cutoff)
+                 & (np.abs(a2 - p2) < cutoff)).any()):
+            return True
+        if self.n <= 32:
+            return False
+        a1 = self.a1[32: self.n]
+        a2 = self.a2[32: self.n]
+        return bool(((np.abs(a1 - p1) < cutoff)
+                     & (np.abs(a2 - p2) < cutoff)).any())
 
 
 def _cluster_group_host(members: List[list],

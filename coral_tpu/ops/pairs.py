@@ -193,40 +193,116 @@ def find_breakpoints_device(
             table, intervals, min_bp_match_cutoff, min_mapq, gap_,
             mesh, mesh_axis, np.inf if max_nm is None else max_nm)
     else:
+        import time as _time
+
         n_pairs = max(table.n_alignments - len(table.read_names), 0)
         engine = resolve_engine(engine, n_pairs, device_pair_threshold)
         logging.getLogger(__name__).info(
             "pair scoring route: engine=%s (%d pairs)", engine, n_pairs)
+        _t0 = _time.perf_counter()
         pi, pj, hits = score_pairs_l(
             table, intervals, min_bp_match_cutoff, min_mapq, gap_,
             np.inf if max_nm is None else max_nm, engine=engine)
+        logging.getLogger(__name__).info(
+            "pair scoring route: engine=%s scored %d pairs in %.3fs",
+            engine, n_pairs, _time.perf_counter() - _t0)
     # per-pair hit mask back into per-read slices
     hit_by_row = np.zeros(max(table.n_alignments, 1), bool)
     hit_by_row[pi] = hits
+    off = np.asarray(table.read_off, np.int64)
+
+    # ---- rescue-eligible reads (vectorized coarse test over the flat
+    # columns; the exact per-read test + rescue itself stay on the old
+    # slow path, spliced back in read order below).  A middle alignment
+    # m is a rescue candidate when neither adjacent pair was assigned,
+    # its mapq is sub-gap_mapq and both neighbors pass min_mapq.
+    n_aln = table.n_alignments
+    is_first = np.zeros(max(n_aln, 1), bool)
+    is_first[off[:-1][off[:-1] < n_aln]] = True
+    is_last = np.zeros(max(n_aln, 1), bool)
+    last_rows = off[1:] - 1
+    is_last[last_rows[(last_rows >= 0) & (last_rows < n_aln)]] = True
+    mapq = np.asarray(table.mapq)
+    mid = np.zeros(max(n_aln, 1), bool)
+    if n_aln >= 3:
+        m = np.arange(1, n_aln - 1)
+        mid[m] = (~is_first[m] & ~is_last[m]
+                  & (mapq[m] < gap_mapq)
+                  & (mapq[m - 1] >= min_mapq) & (mapq[m + 1] >= min_mapq)
+                  & ~hit_by_row[m - 1] & ~hit_by_row[m])
+    slow_reads = np.unique(
+        np.searchsorted(off, np.flatnonzero(mid), side="right") - 1)
+
+    # ---- vectorized emission for every assigned pair of a FAST read:
+    # rows come straight off the flat columns (the previous per-read
+    # loop materialized a Python Chimera per hit read — the top host
+    # hotspot at WGS junction counts) with the exact interval_to_bp
+    # canonicalization (ops/breakpoints.py:86-98) inlined branch-free.
+    hit_rows = pi[hits]
+    read_of_hit = np.searchsorted(off, hit_rows, side="right") - 1
+    if len(slow_reads):
+        fast_mask = ~np.isin(read_of_hit, slow_reads)
+    else:
+        fast_mask = np.ones(len(hit_rows), bool)
+    hr = hit_rows[fast_mask]
+    rd = read_of_hit[fast_mask]
+    jr = hr + 1
+    from ..constants import CHR_IDX
+
+    code_to_name = [None] * (len(CHR_IDX) + 1)
+    for name, code in CHR_IDX.items():
+        code_to_name[code] = name
+    qgap_l = (np.asarray(table.q_start)[jr]
+              - np.asarray(table.q_end)[hr]).tolist()
+    ci_l = np.asarray(table.chrom)[hr].tolist()
+    cj_l = np.asarray(table.chrom)[jr].tolist()
+    p1_l = np.asarray(table.r2)[hr].tolist()     # 3' end of alignment i
+    p2_l = np.asarray(table.r1)[jr].tolist()     # 5' start of alignment j
+    si_l = np.asarray(table.strand)[hr].tolist()
+    sj_l = np.asarray(table.strand)[jr].tolist()
+    mqi_l = mapq[hr].tolist()
+    mqj_l = mapq[jr].tolist()
+    iloc_l = (hr - off[rd]).tolist()
+    rd_l = rd.tolist()
+    names = table.read_names
+    fast_rows: List[list] = []
+    for t in range(len(hr)):
+        ci = ci_l[t]
+        cj = cj_l[t]
+        il = iloc_l[t]
+        rn = names[rd_l[t]]
+        si = "+" if si_l[t] > 0 else "-"
+        sjf = "-" if sj_l[t] > 0 else "+"   # second side flipped
+        if cj < ci or (cj == ci and p2_l[t] < p1_l[t]):
+            row = [code_to_name[ci], p1_l[t], si,
+                   code_to_name[cj], p2_l[t], sjf,
+                   (rn, il, il + 1), qgap_l[t], 0,
+                   mqi_l[t], mqj_l[t]]
+        else:
+            row = [code_to_name[cj], p2_l[t], sjf,
+                   code_to_name[ci], p1_l[t], si,
+                   (rn, il + 1, il), qgap_l[t], 1,
+                   mqi_l[t], mqj_l[t]]
+        fast_rows.append(row)
+
+    if not len(slow_reads):
+        return fast_rows
+
+    # ---- slow path (rescue-eligible reads): identical to the per-read
+    # reference semantics, then spliced into the fast rows in read order
     out: List[list] = []
-    off = table.read_off
-    for k, rn in enumerate(table.read_names):
+    fast_pos = 0
+    for k in slow_reads.tolist():
+        # fast rows of reads before k come first
+        while fast_pos < len(fast_rows) and rd_l[fast_pos] < k:
+            out.append(fast_rows[fast_pos])
+            fast_pos += 1
+        rn = names[k]
         lo, hi = int(off[k]), int(off[k + 1])
         n = hi - lo
         if n < 2:
             continue
         assigned = hit_by_row[lo: hi - 1]
-        # skip checks on the FLAT columns: materializing a Python Chimera
-        # (and caching it in the lazy store) for every multi-alignment
-        # read defeats the flat-table design; only reads that emit rows
-        # or have a rescue candidate need the object
-        mqf = table.mapq[lo:hi]
-        rescue_possible = False
-        if n >= 3:
-            for i in range(1, n - 1):
-                if assigned[i - 1] or assigned[i]:
-                    continue
-                if (mqf[i] < gap_mapq and mqf[i - 1] >= min_mapq
-                        and mqf[i + 1] >= min_mapq):
-                    rescue_possible = True
-                    break
-        if not assigned.any() and not rescue_possible:
-            continue
         chim = chimeras[rn]
         q, r, mq, nm = chim.q, chim.r, chim.mapq, chim.nm
         for i in np.flatnonzero(assigned):
@@ -234,17 +310,17 @@ def find_breakpoints_device(
             qgap = int(q[i + 1][0]) - int(q[i][1])
             out.append(interval_to_bp(r[i], r[i + 1], (rn, i, i + 1), qgap)
                        + [mq[i], mq[i + 1]])
-        # rescue pass (host; requires a low-mapq middle alignment)
-        if rescue_possible:
-            def _same_list(a, b, r=r):
-                io1 = interval_overlap_l(r[a], intervals)
-                io2 = interval_overlap_l(r[b], intervals)
-                return io1 >= 0 and io2 >= 0 and io1 == io2
 
-            rescue_pass(
-                rn, q, r, mq, nm, assigned, _same_list, out,
-                min_mapq=min_mapq, gap_mapq=gap_mapq, max_nm=max_nm,
-                gap_=gap_, min_bp_match_cutoff=min_bp_match_cutoff)
+        def _same_list(a, b, r=r):
+            io1 = interval_overlap_l(r[a], intervals)
+            io2 = interval_overlap_l(r[b], intervals)
+            return io1 >= 0 and io2 >= 0 and io1 == io2
+
+        rescue_pass(
+            rn, q, r, mq, nm, assigned, _same_list, out,
+            min_mapq=min_mapq, gap_mapq=gap_mapq, max_nm=max_nm,
+            gap_=gap_, min_bp_match_cutoff=min_bp_match_cutoff)
+    out.extend(fast_rows[fast_pos:])
     return out
 
 
@@ -330,28 +406,56 @@ def subset_to_bps_batch(
         np.inf if max_nm is None else max_nm)
     hit_by_row = np.zeros(max(full.n_alignments, 1), bool)
     hit_by_row[rows] = hits
+    # row emission off the flat columns: a Python Chimera materializes
+    # ONLY for rescue-eligible reads (round-4 profile: per-read
+    # materialization of the whole subset was a top interval-search
+    # hotspot at WGS junction counts)
+    ref_names = store._ref_names
+    refcol = store.cols[2]
+    qs_c, qe_c = full.q_start, full.q_end
+    r1_c, r2_c = full.r1, full.r2
+    st_c, mq_c = full.strand, full.mapq
     out: List[list] = []
     for (rn, lo, hi) in spans:
         n = hi - lo
         if n < 2:
             continue
+        assigned = hit_by_row[lo: hi - 1]
+        mqf = mq_c[lo:hi]
+        rescue = n >= 3 and bool((mqf[1:-1] < gap_mapq).any())
+        if not rescue:
+            if not assigned.any():
+                continue
+            for i in np.flatnonzero(assigned):
+                i = int(i)
+                t = lo + i
+                qgap = int(qs_c[t + 1]) - int(qe_c[t])
+                r_i = [ref_names[refcol[t]] if refcol[t] >= 0 else "?",
+                       int(r1_c[t]), int(r2_c[t]),
+                       "+" if st_c[t] > 0 else "-"]
+                r_j = [ref_names[refcol[t + 1]] if refcol[t + 1] >= 0
+                       else "?",
+                       int(r1_c[t + 1]), int(r2_c[t + 1]),
+                       "+" if st_c[t + 1] > 0 else "-"]
+                out.append(
+                    interval_to_bp(r_i, r_j, (rn, i, i + 1), qgap)
+                    + [int(mq_c[t]), int(mq_c[t + 1])])
+            continue
         chim = store[rn]
         q, r, mq, nm = chim.q, chim.r, chim.mapq, chim.nm
-        assigned = hit_by_row[lo: hi - 1]
         for i in np.flatnonzero(assigned):
             i = int(i)
             qgap = int(q[i + 1][0]) - int(q[i][1])
             out.append(interval_to_bp(r[i], r[i + 1], (rn, i, i + 1), qgap)
                        + [mq[i], mq[i + 1]])
-        if n >= 3 and any(m < gap_mapq for m in mq[1:-1]):
-            rescue_pass(
-                rn, q, r, mq, nm, assigned,
-                lambda a, b, r=r: (
-                    (interval_overlap(r[a], intrvl1)
-                     and interval_overlap(r[b], intrvl2))
-                    or (interval_overlap(r[b], intrvl1)
-                        and interval_overlap(r[a], intrvl2))),
-                out, min_mapq=min_mapq, gap_mapq=gap_mapq, max_nm=max_nm)
+        rescue_pass(
+            rn, q, r, mq, nm, assigned,
+            lambda a, b, r=r: (
+                (interval_overlap(r[a], intrvl1)
+                 and interval_overlap(r[b], intrvl2))
+                or (interval_overlap(r[b], intrvl1)
+                    and interval_overlap(r[a], intrvl2))),
+            out, min_mapq=min_mapq, gap_mapq=gap_mapq, max_nm=max_nm)
     return out
 
 

@@ -371,19 +371,46 @@ class Reconstruction:
             if si is None or ei is None:
                 continue
 
-            # CN segments sharing a chimeric alignment with this interval
+            # CN segments sharing a chimeric alignment with this interval.
+            # Alignment chroms come off the FLAT columns (round-4 profile:
+            # materializing a Python Chimera per read occurrence was the
+            # top host hotspot of the interval search at WGS junction
+            # counts), and each read is processed once — the reference
+            # revisits a read per spanned segment, but the accumulation
+            # is per-read idempotent, so deduping is output-neutral.
+            from .ops.chimera import ChimeraStore as _CS
+
+            store = self.chimeras
+            if isinstance(store, _CS):
+                _off = store.chim_off
+                _ref = store.cols[2]
+                _names = store._ref_names
+                _slot = store._slot
+
+                def read_chroms(rn):
+                    k0 = _slot[rn]
+                    return [_names[c] if c >= 0 else "?"
+                            for c in _ref[int(_off[k0]): int(_off[k0 + 1])]]
+            else:
+                def read_chroms(rn):
+                    return [r_[0] for r_ in self.chimeras[rn].r]
+
             d1_segs: Dict[str, Dict[int, Set[str]]] = {}
             seg_map = self.chim_by_seg.get(chrom, {})
+            seen_reads: Set[str] = set()
             for i in range(si, ei + 1):
                 if i in seg_map:
                     for rn in seg_map[i]:
-                        rint = self.chimeras[rn].r
+                        if rn in seen_reads:
+                            continue
+                        seen_reads.add(rn)
+                        rchroms = read_chroms(rn)
                         sets = self.chim_seg_sets[rn]
-                        for k in range(len(rint)):
+                        for k in range(len(rchroms)):
                             for i_ in sets[k]:
-                                if (rint[k][0] != chrom) or (i_ <= si or i_ >= ei):
+                                if (rchroms[k] != chrom) or (i_ <= si or i_ >= ei):
                                     if i_ != -1:
-                                        d1_segs.setdefault(rint[k][0], {}).setdefault(
+                                        d1_segs.setdefault(rchroms[k], {}).setdefault(
                                             i_, set()).add(rn)
             # drop low-support segments
             for chr_ in list(d1_segs):
@@ -1170,10 +1197,19 @@ class Reconstruction:
         """CN balance for every amplicon graph.  ``engine='batch'`` pads
         the per-amplicon KKT systems to one shape and solves them in a
         single vmapped (optionally mesh-sharded) device dispatch; default
-        is the config's ``cn_engine`` (``auto`` = the numpy-f64 loop,
-        matching the reference's digit-exact cvxopt contract)."""
+        is the config's ``cn_engine``, resolved by
+        :func:`coral_tpu.graph.cn_solver.resolve_cn_engine` (``auto`` =
+        the batched engine above the amplicon-count threshold on f64
+        backends, per-graph f64 otherwise)."""
+        from .graph.cn_solver import resolve_cn_engine
+
         if engine is None:
             engine = self.cfg.engine.cn_engine
+        engine = resolve_cn_engine(
+            engine, len(self.graphs),
+            batch_threshold=self.cfg.engine.cn_batch_threshold)
+        if mesh is not None:
+            engine = "batch"
         logger.info("CN balance route: engine=%s (%d amplicons)",
                     engine, len(self.graphs))
         if engine == "batch":

@@ -161,3 +161,68 @@ def test_reconstruction_routes_cfg_engine(tmp_path, caplog):
         # CN solves use different engines (f64 Newton vs batched vmap);
         # graph CNs must agree to the printed digits on this sample
         assert a == b, f"{hf} != {df}"
+
+
+def test_cn_auto_routes_to_batch_above_threshold(caplog):
+    """Round-4 directive: cn_engine='auto' must pick the batched vmap
+    engine above the amplicon-count threshold on f64 backends, with
+    results identical to the per-graph numpy-f64 engine."""
+    import numpy as np
+
+    from coral_tpu.graph.cn_solver import resolve_cn_engine
+
+    assert resolve_cn_engine("numpy", 100) == "numpy"
+    assert resolve_cn_engine("batch", 1) == "batch"
+    # conftest pins the CPU backend: f64 available
+    assert resolve_cn_engine("auto", 31) == "jax"
+    assert resolve_cn_engine("auto", 32) == "batch"
+    assert resolve_cn_engine("auto", 5, batch_threshold=4) == "batch"
+
+    # the route is taken from the product method and is value-identical
+    from types import SimpleNamespace
+
+    from coral_tpu.config import DEFAULT_CONFIG
+    from coral_tpu.graph.breakpoint_graph import BreakpointGraph
+    from coral_tpu.reconstruct import Reconstruction
+
+    rng = np.random.default_rng(0)
+    graphs = []
+    for k in range(32):
+        g = BreakpointGraph()
+        base = 1_000_000 * (k + 1)
+        mid = base + 50_000
+        end = base + 99_999
+        for nd in [(
+            "chr1", base, "-"), ("chr1", mid - 1, "+"),
+                ("chr1", mid, "-"), ("chr1", end, "+")]:
+            g.add_node(nd)
+        g.add_sequence_edge("chr1", base, mid - 1, cn=0.0, lr_count=400,
+                            lr_nc=int(rng.integers(2_000_000, 9_000_000)))
+        g.add_sequence_edge("chr1", mid, end, cn=0.0, lr_count=400,
+                            lr_nc=int(rng.integers(2_000_000, 9_000_000)))
+        g.add_concordant_edge("chr1", mid - 1, "+", "chr1", mid, "-",
+                              cn=0.0, lr_count=int(rng.integers(100, 500)))
+        g.add_endnode(("chr1", base, "-"))
+        g.add_endnode(("chr1", end, "+"))
+        graphs.append(g)
+    self = SimpleNamespace(graphs=graphs, normal_cov=10.0,
+                           cfg=DEFAULT_CONFIG)
+    with caplog.at_level(logging.INFO):
+        Reconstruction.compute_cn(self)
+    assert any("engine=batch (32 amplicons)" in r.message
+               for r in caplog.records)
+    batch_cns = [[e.cn for e in g.sequence_edges] for g in graphs]
+
+    import copy
+
+    graphs2 = copy.deepcopy(graphs)
+    self2 = SimpleNamespace(graphs=graphs2, normal_cov=10.0,
+                            cfg=DEFAULT_CONFIG)
+    Reconstruction.compute_cn(self2, engine="numpy")
+    numpy_cns = [[e.cn for e in g.sequence_edges] for g in graphs2]
+    # identical at the graph.txt writer's %f precision (the engines
+    # agree to ~1e-10 relative; byte-identical FILE outputs are pinned
+    # by test_reconstruction_routes_cfg_engine above)
+    fmt = [["%f" % c for c in row] for row in batch_cns]
+    fmt2 = [["%f" % c for c in row] for row in numpy_cns]
+    assert fmt == fmt2
