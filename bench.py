@@ -243,6 +243,12 @@ def e2e_wgs() -> dict:
         bam, cns, seeds, n_rec = bench_wgs.build_junction_heavy(td)
         out["e2e_wgs_records"] = n_rec
         out["e2e_wgs_build_s"] = round(time.perf_counter() - t0, 1)
+        # throwaway warm-up scan so neither timed arm pays the file-cache
+        # and first-touch-paging cold costs (they differ 3x on this
+        # microVM and would confound the host-vs-device comparison)
+        from coral_tpu.io.bam import BamFile
+
+        BamFile(bam).close()
         host_stages, host_routes, host_files, _ = bench_wgs.run_staged(
             bam, cns, seeds, os.path.join(td, "host"), engine="numpy",
             skip_cycles=True)
@@ -378,7 +384,13 @@ def main() -> None:
         return score_stream(tables, c)
 
     t_stream = slope_time_ms(stream_once, n1=2, n2=6, rounds=3) / 1e3
-    t_pipeline = t_pack + t_stream
+    # the all-in pipeline takes whichever transfer strategy measured
+    # faster THIS run: on the tunnel-attached chip the per-put RPC
+    # latency can make 24 small chunked puts lose to one monolithic put
+    # (chunked overlap only hides the ~0.3 ms dispatch); on a
+    # directly-attached chip the chunked stream wins.  Both are
+    # reported; the e2e analysis lives in docs/ARCHITECTURE.md.
+    t_pipeline = t_pack + min(t_stream, t_put_dispatch)
 
     # numpy single-thread baseline: the same product scoring math
     # (pair_predicate + support histogram + table lookups) with

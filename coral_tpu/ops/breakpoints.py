@@ -465,13 +465,30 @@ def call_consensus_bp(
     # digits depend on the summation order (numpy pairwise sums differ)
     # accumulate in python ints (exact, like the reference's [0,0,0,0]
     # accumulators); the single rounding happens at the division
-    a1 = a2 = q1sum = q2sum = 0
-    for b in cluster:
-        p1, p2 = int(b[1]), int(b[4])   # python ints: no np.int64 wrap
-        a1 += p1
-        q1sum += p1 * p1
-        a2 += p2
-        q2sum += p2 * p2
+    if len(cluster) > 512:
+        # WGS-scale clusters: exact chunked int64 accumulation — per-chunk
+        # sums of p*p (< 2^56 each) stay under 2^63 for chunks <= 127
+        # elements, and the chunk totals sum in python ints (exact, so
+        # the value equals the sequential python-int accumulation above)
+        p1a = np.asarray([int(b[1]) for b in cluster], np.int64)
+        p2a = np.asarray([int(b[4]) for b in cluster], np.int64)
+
+        def _exact_sum(v):
+            return int(sum(int(x) for x in np.add.reduceat(
+                v, range(0, len(v), 127))))
+
+        a1 = _exact_sum(p1a)
+        a2 = _exact_sum(p2a)
+        q1sum = _exact_sum(p1a * p1a)
+        q2sum = _exact_sum(p2a * p2a)
+    else:
+        a1 = a2 = q1sum = q2sum = 0
+        for b in cluster:
+            p1, p2 = int(b[1]), int(b[4])   # python ints: no np.int64 wrap
+            a1 += p1
+            q1sum += p1 * p1
+            a2 += p2
+            q2sum += p2 * p2
     ncl = len(cluster) * 1.0
     m1, m2 = a1 / ncl, a2 / ncl
     e1, e2 = q1sum / ncl, q2sum / ncl

@@ -156,6 +156,27 @@ class ChimeraStore(dict):
     def values(self):
         return (self[rn] for rn in self.names)
 
+    def light_qr(self, rn):
+        """(q, r) alignment lists for one read built straight off the
+        flat columns — no Chimera construction and NO caching.  The
+        path-constraint pass touches every breakpoint-supporting read
+        once; materializing (and caching) a Python Chimera per read was
+        a top profile entry and a ~1 KB/read memory tax at WGS junction
+        counts."""
+        if super().__contains__(rn):
+            chim = super().__getitem__(rn)
+            return chim.q, chim.r
+        k = self._slot[rn]
+        lo, hi = int(self.chim_off[k]), int(self.chim_off[k + 1])
+        qs, qe, ref, r1, r2, strand, mapq, nm = self.cols
+        q, r = [], []
+        for i in range(lo, hi):
+            q.append([int(qs[i]), int(qe[i])])
+            name = self._ref_names[ref[i]] if ref[i] >= 0 else "?"
+            r.append([name, int(r1[i]), int(r2[i]),
+                      "+" if strand[i] > 0 else "-"])
+        return q, r
+
     def __getitem__(self, rn):
         if super().__contains__(rn):
             return super().__getitem__(rn)

@@ -178,6 +178,15 @@ def unpack_pair_meta(xp, meta):
 # meta2 word (bit 31 kept zero so the word stays non-negative):
 #   [ 0 : 1 | iog+1 : 13 | mapq_i : 8 | strand_i>0 : 1
 #           | mapq_j : 8 | strand_j>0 : 1 ]
+#
+# MAINTENANCE NOTE — the interval gate has three implementations that
+# must stay in lockstep: :func:`first_overlap` here (the product
+# formula), the Mosaic loop form (``pallas_kernels._first_overlap_scan``,
+# injected into the ONE predicate), and the C++ pack-time twins
+# (``native/bamcore.cpp`` ``bc_pack_pairs2`` / ``bc_pack_pairs3``).
+# The C++ twins are bit-identity-tested against the host packers
+# (``tests/test_pallas_kernels.py``, quick tier); edit all three or the
+# tests will catch the drift.
 
 META2_IOG_SHIFT = 18
 META2_MAPQ_I_SHIFT = 10
@@ -716,8 +725,11 @@ def make_pipelined_scorer_jax(int_chrom, int_start, int_end,
         return coverage_prefix_tables(jnp, starts, ends)
 
     @jax.jit
-    def add(a, b):
-        return a + b
+    def score_stacked(stacked, acc):
+        # one stacked (3, rows, LANES) array per chunk: a SINGLE
+        # device_put RPC instead of three (per-put latency dominates a
+        # tunnel-attached link — measured in BENCH_r04's transfer split)
+        return acc + pair_fn(stacked[0], stacked[1], stacked[2])
 
     @jax.jit
     def cov(tables):
@@ -732,16 +744,15 @@ def make_pipelined_scorer_jax(int_chrom, int_start, int_end,
         n_chunks = n // chunk
 
         def slice_k(k):
-            return [np.asarray(c[k * chunk:(k + 1) * chunk])
-                    .reshape(rows, LANES) for c in packed3]
+            return np.stack([np.asarray(c[k * chunk:(k + 1) * chunk])
+                             .reshape(rows, LANES) for c in packed3])
 
-        support = None
-        d = [jax.device_put(b) for b in slice_k(0)]
+        support = jnp.zeros((1, n_int), jnp.int32)
+        d = jax.device_put(slice_k(0))
         for k in range(n_chunks):
-            d_next = ([jax.device_put(b) for b in slice_k(k + 1)]
+            d_next = (jax.device_put(slice_k(k + 1))
                       if k + 1 < n_chunks else None)
-            s = pair_fn(*d)          # async dispatch; overlaps the put
-            support = s if support is None else add(support, s)
+            support = score_stacked(d, support)  # async; overlaps the put
             d = d_next
         res, est = cov(tables)
         return support.reshape(-1), res, est

@@ -821,7 +821,16 @@ class AmpliconVisualizer:
         ax.set_yticklabels(cycleticklabels, fontsize=fontsize)
         for side in ("top", "right", "left", "bottom"):
             ax.spines[side].set_visible(False)
-        plt.tight_layout()
+        # the reference calls tight_layout here too (plot_amplicons.py:898)
+        # and on dense cycle pages matplotlib declines it with a
+        # UserWarning on BOTH sides; the no-op is part of the visual
+        # contract (geometry differentials pass), so the warning is noise
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.filterwarnings(
+                "ignore", message="Tight layout not applied")
+            plt.tight_layout()
         ax3.yaxis.set_major_formatter(ticker.NullFormatter())
         ax3.set_ylim(0, 1)
         fig.subplots_adjust(hspace=0)

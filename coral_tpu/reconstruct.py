@@ -997,6 +997,14 @@ class Reconstruction:
             valid_path,
         )
         cutoff = self.cfg.bp.min_bp_match_cutoff
+        from .ops.chimera import ChimeraStore as _CS
+
+        if isinstance(self.chimeras, _CS):
+            _qr = self.chimeras.light_qr
+        else:
+            def _qr(rn):
+                chim = self.chimeras[rn]
+                return chim.q, chim.r
         for amplicon_idx, g in enumerate(self.graphs):
             self.path_constraints[amplicon_idx] = [[], [], []]
             self.longest_path_constraints[amplicon_idx] = [[], [], []]
@@ -1008,15 +1016,22 @@ class Reconstruction:
                     entry[slot].append([r_[1], r_[2], di])
 
             pcs = self.path_constraints[amplicon_idx]
+            # O(1) dedup with the reference's matching order (forward
+            # first, then reversed) — `path in pcs[0]` re-scanned the
+            # whole list per read, quadratic at WGS support counts
+            path_index: Dict[str, int] = {}
 
             def _record(paths):
                 for path in paths:
                     if len(path) > 5 and valid_path(g, path):
-                        if path in pcs[0]:
-                            pcs[1][pcs[0].index(path)] += 1
-                        elif path[::-1] in pcs[0]:
-                            pcs[1][pcs[0].index(path[::-1])] += 1
+                        key = repr(path)
+                        i = path_index.get(key)
+                        if i is None:
+                            i = path_index.get(repr(path[::-1]))
+                        if i is not None:
+                            pcs[1][i] += 1
                         else:
+                            path_index[key] = len(pcs[0])
                             pcs[0].append(path)
                             pcs[1].append(1)
                             pcs[2].append(amplicon_idx)
@@ -1024,7 +1039,7 @@ class Reconstruction:
             for rn, (bp_rn, bp_rn_sdel) in bp_reads.items():
                 paths = []
                 if len(bp_rn) == 1 and len(bp_rn_sdel) == 0:
-                    rints = [r[:4] for r in self.chimeras[rn].r]
+                    rints = [r[:4] for r in _qr(rn)[1]]
                     paths.append(chimeric_alignment_to_path_i(
                         g, rints, bp_rn[0][0], bp_rn[0][1], bp_rn[0][2]))
                 elif len(bp_rn) > 1 and len(bp_rn_sdel) == 0:
@@ -1037,12 +1052,12 @@ class Reconstruction:
                         else:
                             blocks.append([i])
                         last_ai = max(bp_rn[i][0], bp_rn[i][1])
-                    qints = self.chimeras[rn].q
+                    qints = _qr(rn)[0]
                     if any(qints[qi + 1][0] - qints[qi][1] < -cutoff
                            for qi in range(len(qints) - 1)):
                         continue  # overlapping local alignments
                     for blk in blocks:
-                        rints = [r[:4] for r in self.chimeras[rn].r]
+                        rints = [r[:4] for r in _qr(rn)[1]]
                         ai_list = [bp_rn[bi][:2] for bi in blk]
                         bp_list = [bp_rn[bi][2] for bi in blk]
                         if len(set(bp_list)) < len(bp_list):
@@ -1100,7 +1115,7 @@ class Reconstruction:
                             g, rints_, ai_list, bp_list))
                 else:
                     # mixed: chimeric alignments + small-del splits (ref :1203-1278)
-                    rints = [r[:4] for r in self.chimeras[rn].r]
+                    rints = [r[:4] for r in _qr(rn)[1]]
                     entries = self.large_indels[rn]
                     rint_split = []
                     skip = False
@@ -1146,7 +1161,7 @@ class Reconstruction:
                         else:
                             blocks.append([i])
                         last_ai = max(bp_rn[i][0], bp_rn[i][1])
-                    qints = self.chimeras[rn].q
+                    qints = _qr(rn)[0]
                     if any(qints[qi + 1][0] - qints[qi][1] < -cutoff
                            for qi in range(len(qints) - 1)):
                         continue

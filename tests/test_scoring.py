@@ -346,3 +346,34 @@ def test_numpy_coverage_estimate_exact_at_scale():
     x64 = xs.astype(np.int64)
     want = (x64 * ns - sc[ns]) - (x64 * ne - ec[ne])
     assert (got == want).all()
+
+
+def test_pipelined_scorer_matches_monolithic():
+    """make_pipelined_scorer_jax (chunked double-buffered transfer
+    overlap, round 4) must produce bit-identical support/coverage to the
+    monolithic pallas engine — support accumulates on device as integer
+    adds, order-free."""
+    import jax.numpy as jnp
+
+    from bench import synth_scoring_batch
+    from coral_tpu.ops.scoring import (make_batch_scorer_jax,
+                                       make_pipelined_scorer_jax,
+                                       pack_pairs3_host)
+
+    n = 8192
+    starts, ends, cols, ic, is_, ie = synth_scoring_batch(n, seed=9)
+    packed = _packed3_from_pair_cols(cols, ic, is_, ie)
+    padded = []
+    for c in packed:
+        p = np.zeros(8192, np.int32)
+        p[: len(c)] = c
+        padded.append(p)
+    bx, sx = make_batch_scorer_jax(ic, is_, ie, engine="pallas",
+                                   interpret=True)
+    bp_, sp_ = make_pipelined_scorer_jax(ic, is_, ie, chunk=2048,
+                                         interpret=True)
+    t = bx(jnp.asarray(starts), jnp.asarray(ends))
+    out_m = sx(t, *[jnp.asarray(p) for p in padded])
+    out_s = sp_(t, padded)
+    for a, b in zip(out_m, out_s):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
