@@ -95,14 +95,28 @@ def roofline_utilization(n_reads: int, t_dev: float,
     return t_light / t_dev
 
 
-def slope_time_ms(fn, *args, n1=8, n2=96, rounds=7):
+def slope_time_ms(fn, *args, n1=8, n2=96, rounds=7, scalar_fetch=False):
     """Per-dispatch device time via the chain-slope method (see module
     docstring): median over ``rounds`` of a length-N dispatch chain ended
-    by one host fetch, slope between N=n1 and N=n2."""
+    by one host fetch, slope between N=n1 and N=n2.
+
+    ``scalar_fetch`` reduces the chain-end output to one scalar ON
+    DEVICE before fetching (one extra reduce per measurement — constant,
+    cancels in the slope).  Use it when the output is large: fetching an
+    8 MB hit mask per measurement puts ~100 ms of tunnel variance
+    against a few ms of slope signal (observed as a negative-slope
+    artifact on the hit-mask kernel)."""
     import jax
+    import jax.numpy as jnp
 
     out = fn(*args)
     np.asarray(jax.tree_util.tree_leaves(out)[0])  # warm + compile
+
+    def fetch(o):
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        if scalar_fetch:
+            return np.asarray(jnp.sum(leaf))
+        return np.asarray(leaf)
 
     def run(N):
         ts = []
@@ -111,7 +125,7 @@ def slope_time_ms(fn, *args, n1=8, n2=96, rounds=7):
             o = None
             for _ in range(N):
                 o = fn(*args)
-            np.asarray(jax.tree_util.tree_leaves(o)[0])
+            fetch(o)
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
@@ -325,14 +339,23 @@ def main() -> None:
 
     # table build cost (amortized across the pipeline's many queries)
     t_build = slope_time_ms(build, d_starts, d_ends, n1=4, n2=32) / 1e3
-    # scoring dispatch (the headline) — slope-timed, see module docstring
-    t_dev = slope_time_ms(lambda *c: score(tables, *c), *d_packed) / 1e3
-    t_p2 = slope_time_ms(lambda *c: score_p2(tables, *c), *d_packed2) / 1e3
+    # scoring dispatch (the headline) — slope-timed, see module
+    # docstring; long chains (n2=256) because sub-ms dispatches need
+    # ~50+ ms of slope signal to rise above tunnel fetch variance
+    t_dev = slope_time_ms(lambda *c: score(tables, *c), *d_packed,
+                          n1=16, n2=256) / 1e3
+    t_p2 = slope_time_ms(lambda *c: score_p2(tables, *c), *d_packed2,
+                         n1=16, n2=256) / 1e3
     t_xla = slope_time_ms(lambda *c: score_xla(tables, *c), *d_cols) / 1e3
 
     # the product hit-mask route (score_pairs_l engine='pallas'): the
     # saturation-meaningful roofline number — 12 B/pair read + 4 B/pair
-    # hit mask written, no histogram loop
+    # hit mask written, no histogram loop.  The timed program appends a
+    # device-side sum so the chain-end fetch is one scalar: fetching the
+    # 8 MB mask per measurement put ~100 ms of tunnel variance against a
+    # ~6 ms slope signal (a negative-slope artifact in one validation
+    # run); the added reduce reads the mask once from HBM and is charged
+    # to the kernel (a conservative bias against it).
     from coral_tpu.ops.pallas_kernels import (LANES, _bucket_rows,
                                               make_pair3_pallas_fn)
     import jax.numpy as jnp
@@ -341,7 +364,8 @@ def main() -> None:
     fn_hm = make_pair3_pallas_fn(rows, 100, 100.0, False)
     blocks3 = [jnp.asarray(np.asarray(p).reshape(rows, LANES))
                for p in packed]
-    t_hm = slope_time_ms(fn_hm, *blocks3) / 1e3
+    t_hm = slope_time_ms(fn_hm, *blocks3, n1=16, n2=256,
+                         scalar_fetch=True) / 1e3
 
     # --- transfer vs dispatch split (round-4 directive 2) -------------
     # transfer alone: chain N put-rounds of alternating pre-packed

@@ -399,7 +399,8 @@ def _pair3_kernel(qgap, grr, meta, hit_out, *,
 
 @functools.lru_cache(maxsize=64)
 def make_pair3_pallas_fn(rows: int, min_bp_match_cutoff: int = 100,
-                         gap_: float = 100.0, interpret: bool = False):
+                         gap_: float = 100.0, interpret: bool = False,
+                         max_bs: int = 128):
     """Compiled hit-mask evaluator over the resolved 3-column v3 layout:
     fn(*3 packed cols) over pre-padded (rows, 128) int32 blocks -> hit
     blocks.  No min_mapq parameter — the gate folded into the pack."""
@@ -411,7 +412,7 @@ def make_pair3_pallas_fn(rows: int, min_bp_match_cutoff: int = 100,
             f"make_pair3_pallas_fn: rows={rows} must be a multiple of "
             f"{SUBLANES} or trailing rows fall outside the grid")
     bs = SUBLANES
-    while bs < 128 and rows % (bs * 2) == 0:
+    while bs < max_bs and rows % (bs * 2) == 0:
         bs *= 2
     block = pl.BlockSpec((bs, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -484,7 +485,7 @@ def _pair_hist3_kernel(qgap, grr, meta, out_ref, acc_ref, *, n_int: int,
 def make_pair_hist3_pallas_fn(rows: int, n_int: int,
                               min_bp_match_cutoff: int = 100,
                               gap_: float = 100.0,
-                              interpret: bool = False):
+                              interpret: bool = False, max_bs: int = 128):
     """Compiled fused predicate+histogram over the resolved 3-column v3
     layout: fn(*3 packed cols) over pre-padded (rows, 128) blocks
     (``PACKED3_COL_ORDER``) -> (1, n_int) support counts."""
@@ -496,7 +497,7 @@ def make_pair_hist3_pallas_fn(rows: int, n_int: int,
             f"make_pair_hist3_pallas_fn: rows={rows} must be a multiple "
             f"of {SUBLANES} or trailing rows fall outside the grid")
     bs = SUBLANES
-    while bs < 128 and rows % (bs * 2) == 0:
+    while bs < max_bs and rows % (bs * 2) == 0:
         bs *= 2
     block = pl.BlockSpec((bs, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
