@@ -82,7 +82,10 @@ def roofline_utilization(n_reads: int, t_dev: float,
     its fraction reads low precisely BECAUSE the v3 layout moves so few
     bytes.  The saturation-meaningful number is the product hit-mask
     route (``hitmask_roofline_frac``): 12 B/pair read + 4 B/pair
-    written, measured >= 0.6 of the 819 GB/s v5e roofline.
+    written, measured ~0.27 of the 819 GB/s THEORETICAL peak — which is
+    the full attainable per-dispatch streaming ceiling of this regime
+    (a zero-compute control op over the same shapes attains the same
+    ~225 GB/s; docs/ARCHITECTURE.md "round 4").
 
     Layout bytes: v3 = 3 int32 columns = 12 B/pair (interval+MAPQ gates
     resolved at pack time, reference jump pre-derived); v2 = 16 B/pair;
@@ -452,6 +455,8 @@ def main() -> None:
         "hitmask_roofline_frac": round(
             roofline_utilization(n_reads, t_hm, 16), 3),
         "coverage_table_build_ms": round(t_build * 1e3, 3),
+        # threaded native pack; core-count-bound (this microVM has 2
+        # cores — a production host with N cores scales it ~linearly)
         "host_pack_ms": round(t_pack * 1e3, 3),
         # split transfer vs dispatch (directive 2): the monolithic
         # put+dispatch, its put-only component, and the chunked
