@@ -69,6 +69,10 @@ class Reconstruction:
         self.nm_stats = [0.0, 0.0, 0]
         self.chim_seg_sets: Dict[str, List[Set[int]]] = {}   # per-read, per-aln
         self.chim_by_seg: Dict[str, Dict[int, List[str]]] = {}
+        # flat (code, cni, alignment) membership index built by
+        # hash_to_segments on the ChimeraStore path (replaces the two
+        # dicts above there; the dict build stays for plain-dict input)
+        self._segidx: Optional[dict] = None
 
         self.interval_connections: Dict[Tuple[int, int], Set[int]] = {}
         self.new_bp_list: List[list] = []
@@ -183,26 +187,39 @@ class Reconstruction:
                     valid = (idx >= 0) & (pos[mask] <= ends[np.clip(idx, 0, None)])
                     res = np.where(valid, idx, -1)
                     out[mask] = res
-            off = store.chim_off
-            names = store.names
-            ref_names = store._ref_names
-            for k, rn in enumerate(names):
-                s, e = int(off[k]), int(off[k + 1])
-                sets = []
-                for i in range(s, e):
-                    if known[i]:
-                        cniset = {int(lcni[i]), int(rcni[i])}
-                        if len(cniset) > 1 and -1 in cniset:
-                            cniset.remove(-1)
-                        sets.append(cniset)
-                        chrom = ref_names[ref[i]] if ref[i] >= 0 else "?"
-                        seg_map = self.chim_by_seg.setdefault(chrom, {})
-                        for cni in cniset:
-                            if cni != -1:
-                                seg_map.setdefault(cni, []).append(rn)
-                    else:
-                        sets.append({-1})
-                self.chim_seg_sets[rn] = sets
+            # Flat (code, cni, alignment) membership index replacing the
+            # per-read dict build (round-4 WGS profile: the Python loop
+            # over ~1.5M reads was the single largest tottime entry of
+            # the interval-search stage).  Semantics are identical to the
+            # reference's per-read segment hashing (ref :181-210): each
+            # alignment contributes its cniset {lcni, rcni} minus -1, and
+            # within a (chrom, cni) group members are ordered by
+            # alignment index — exactly the append order of the old
+            # seg_map lists, so ``_find_interval_i``'s read-processing
+            # order is unchanged.
+            off = np.asarray(store.chim_off, dtype=np.int64)
+            counts = np.diff(off)
+            aln_read = np.repeat(
+                np.arange(len(store.names), dtype=np.int64), counts)
+            e1 = known & (lcni != -1)
+            e2 = known & (rcni != -1) & (rcni != lcni)
+            mem_aln = np.concatenate(
+                [np.flatnonzero(e1), np.flatnonzero(e2)])
+            mem_cni = np.concatenate([lcni[e1], rcni[e2]])
+            mem_code = np.asarray(ref, dtype=np.int64)[mem_aln]
+            order = np.lexsort((mem_aln, mem_cni, mem_code))
+            self._segidx = {
+                "code": mem_code[order],
+                "cni": mem_cni[order],
+                "read": aln_read[mem_aln[order]],
+                "lcni": lcni,
+                "rcni": rcni,
+                "known": known,
+                "ref": np.asarray(ref, dtype=np.int64),
+                "off": off,
+                "counts": counts,
+                "code_of": {c: i for i, c in enumerate(store._ref_names)},
+            }
             return
         for rn, chim in self.chimeras.items():
             sets = []
@@ -354,6 +371,79 @@ class Reconstruction:
             right = min(lir + cfg_i.interval_delta, rows[-1][2])
         return left, right
 
+    def _d1_segs_region(self, chrom: str, si: int, ei: int, store) \
+            -> Dict[str, Dict[int, Set[str]]]:
+        """Vectorized d1_segs accumulation for one interval (ref
+        :379-403) over the flat segment index.
+
+        Returns exactly the structure the scalar loop builds: outer keys
+        in first-contribution order (the BFS consumes dict insertion
+        order), inner values the sets of supporting read names, segments
+        below ``min_cluster_cutoff`` unique reads dropped.  Candidate
+        reads come out ordered by (cni, alignment index) — the append
+        order of the old per-segment lists — deduped keep-first, so the
+        contribution sequence is the scalar loop's."""
+        sx = self._segidx
+        c0 = sx["code_of"].get(chrom)
+        empty: Dict[str, Dict[int, Set[str]]] = {}
+        if c0 is None:
+            return empty
+        code, cni = sx["code"], sx["cni"]
+        base = int(np.searchsorted(code, c0, side="left"))
+        top = int(np.searchsorted(code, c0, side="right"))
+        lo = base + int(np.searchsorted(cni[base:top], si, side="left"))
+        hi = base + int(np.searchsorted(cni[base:top], ei, side="right"))
+        if hi <= lo:
+            return empty
+        cand = sx["read"][lo:hi]
+        uniq, first = np.unique(cand, return_index=True)
+        reads = uniq[np.argsort(first, kind="stable")]
+        counts = sx["counts"][reads]
+        tot = int(counts.sum())
+        if tot == 0:
+            return empty
+        # ragged arange over each read's alignment span
+        shift = np.cumsum(counts) - counts
+        aln = (np.arange(tot, dtype=np.int64)
+               - np.repeat(shift, counts) + np.repeat(sx["off"][reads], counts))
+        la, ra = sx["lcni"][aln], sx["rcni"][aln]
+        kn, cd = sx["known"][aln], sx["ref"][aln]
+        off_chrom = cd != c0
+        g1 = kn & (la != -1) & (off_chrom | (la <= si) | (la >= ei))
+        g2 = kn & (ra != -1) & (ra != la) & (off_chrom | (ra <= si) | (ra >= ei))
+        i1, i2 = np.flatnonzero(g1), np.flatnonzero(g2)
+        if len(i1) == 0 and len(i2) == 0:
+            return empty
+        pos = np.concatenate([i1, i2])
+        seg = np.concatenate([la[i1], ra[i2]])
+        o = np.argsort(pos, kind="stable")  # scalar contribution order
+        pos, seg = pos[o], seg[o]
+        ccode = cd[pos]
+        rread = np.repeat(reads, counts)[pos]
+        # outer-key order = first contribution per chromosome
+        ucodes, uidx = np.unique(ccode, return_index=True)
+        code_order = ucodes[np.argsort(uidx, kind="stable")]
+        # unique (code, seg, read) triples, grouped by (code, seg)
+        o2 = np.lexsort((rread, seg, ccode))
+        cc, ss, rr = ccode[o2], seg[o2], rread[o2]
+        keep = np.ones(len(cc), bool)
+        keep[1:] = (cc[1:] != cc[:-1]) | (ss[1:] != ss[:-1]) | (rr[1:] != rr[:-1])
+        cc, ss, rr = cc[keep], ss[keep], rr[keep]
+        gb = np.ones(len(cc), bool)
+        gb[1:] = (cc[1:] != cc[:-1]) | (ss[1:] != ss[:-1])
+        gstart = np.flatnonzero(gb)
+        gend = np.append(gstart[1:], len(cc))
+        ok = (gend - gstart) >= self.min_cluster_cutoff
+        names = store.names
+        ref_names = store._ref_names
+        by_code: Dict[int, Dict[int, Set[str]]] = {}
+        for g in np.flatnonzero(ok):
+            s0, e0 = int(gstart[g]), int(gend[g])
+            by_code.setdefault(int(cc[s0]), {})[int(ss[s0])] = {
+                names[int(r)] for r in rr[s0:e0]}
+        return {ref_names[int(c)]: by_code[int(c)]
+                for c in code_order if int(c) in by_code}
+
     def _find_interval_i(self, ai: int, ccid: int) -> None:
         """BFS over breakpoint-connected intervals (ref :343-673)."""
         cfg_b = self.cfg.bp
@@ -372,53 +462,46 @@ class Reconstruction:
                 continue
 
             # CN segments sharing a chimeric alignment with this interval.
-            # Alignment chroms come off the FLAT columns (round-4 profile:
-            # materializing a Python Chimera per read occurrence was the
-            # top host hotspot of the interval search at WGS junction
-            # counts), and each read is processed once — the reference
-            # revisits a read per spanned segment, but the accumulation
-            # is per-read idempotent, so deduping is output-neutral.
+            # On the ChimeraStore path this runs off the flat segment
+            # index built by hash_to_segments (round-4 WGS profile: the
+            # per-read-occurrence dict/set accumulation here was, with the
+            # index build, ~1/3 of junction-heavy wall time); each read is
+            # processed once — the reference revisits a read per spanned
+            # segment, but the accumulation is per-read idempotent, so
+            # deduping is output-neutral.
             from .ops.chimera import ChimeraStore as _CS
 
             store = self.chimeras
-            if isinstance(store, _CS):
-                _off = store.chim_off
-                _ref = store.cols[2]
-                _names = store._ref_names
-                _slot = store._slot
-
-                def read_chroms(rn):
-                    k0 = _slot[rn]
-                    return [_names[c] if c >= 0 else "?"
-                            for c in _ref[int(_off[k0]): int(_off[k0 + 1])]]
+            if self._segidx is not None and isinstance(store, _CS):
+                d1_segs = self._d1_segs_region(chrom, si, ei, store)
             else:
                 def read_chroms(rn):
                     return [r_[0] for r_ in self.chimeras[rn].r]
 
-            d1_segs: Dict[str, Dict[int, Set[str]]] = {}
-            seg_map = self.chim_by_seg.get(chrom, {})
-            seen_reads: Set[str] = set()
-            for i in range(si, ei + 1):
-                if i in seg_map:
-                    for rn in seg_map[i]:
-                        if rn in seen_reads:
-                            continue
-                        seen_reads.add(rn)
-                        rchroms = read_chroms(rn)
-                        sets = self.chim_seg_sets[rn]
-                        for k in range(len(rchroms)):
-                            for i_ in sets[k]:
-                                if (rchroms[k] != chrom) or (i_ <= si or i_ >= ei):
-                                    if i_ != -1:
-                                        d1_segs.setdefault(rchroms[k], {}).setdefault(
-                                            i_, set()).add(rn)
-            # drop low-support segments
-            for chr_ in list(d1_segs):
-                for segi in list(d1_segs[chr_]):
-                    if len(d1_segs[chr_][segi]) < self.min_cluster_cutoff:
-                        del d1_segs[chr_][segi]
-                if not d1_segs[chr_]:
-                    del d1_segs[chr_]
+                d1_segs = {}
+                seg_map = self.chim_by_seg.get(chrom, {})
+                seen_reads: Set[str] = set()
+                for i in range(si, ei + 1):
+                    if i in seg_map:
+                        for rn in seg_map[i]:
+                            if rn in seen_reads:
+                                continue
+                            seen_reads.add(rn)
+                            rchroms = read_chroms(rn)
+                            sets = self.chim_seg_sets[rn]
+                            for k in range(len(rchroms)):
+                                for i_ in sets[k]:
+                                    if (rchroms[k] != chrom) or (i_ <= si or i_ >= ei):
+                                        if i_ != -1:
+                                            d1_segs.setdefault(rchroms[k], {}).setdefault(
+                                                i_, set()).add(rn)
+                # drop low-support segments
+                for chr_ in list(d1_segs):
+                    for segi in list(d1_segs[chr_]):
+                        if len(d1_segs[chr_][segi]) < self.min_cluster_cutoff:
+                            del d1_segs[chr_][segi]
+                    if not d1_segs[chr_]:
+                        del d1_segs[chr_]
 
             new_intervals_refined: List[list] = []
             new_intervals_connections: List[list] = []
