@@ -389,58 +389,95 @@ def subset_to_bps_batch(
     rescue pass) to calling ``chimera_to_bps`` per read."""
     from .breakpoints import interval_overlap, interval_to_bp, rescue_pass
 
-    table_rows = []
-    spans = []
-    off = store.chim_off
-    for rn in read_names:
-        k = store._slot[rn]
-        lo, hi = int(off[k]), int(off[k + 1])
-        spans.append((rn, lo, hi))
-        table_rows.extend(range(lo, hi - 1))
-    if not table_rows:
+    read_names = list(read_names)
+    if not read_names:
+        return []
+    slot = store._slot
+    slots = np.fromiter((slot[rn] for rn in read_names), np.int64,
+                        len(read_names))
+    off = np.asarray(store.chim_off, np.int64)
+    lo_a = off[slots]
+    hi_a = off[slots + 1]
+    pair_cnt = np.maximum(hi_a - lo_a - 1, 0)
+    tot = int(pair_cnt.sum())
+    if tot == 0:
         return []
     full = store.flat_table()
-    rows = np.asarray(table_rows, np.int64)
+    # ragged arange of pair rows [lo, hi-1) per span, span-major order
+    shift = np.cumsum(pair_cnt) - pair_cnt
+    rows = (np.arange(tot, dtype=np.int64)
+            - np.repeat(shift, pair_cnt) + np.repeat(lo_a, pair_cnt))
     hits = score_pairs_two_intervals(
         full, rows, intrvl1, intrvl2, min_bp_match_cutoff, min_mapq,
         np.inf if max_nm is None else max_nm)
-    hit_by_row = np.zeros(max(full.n_alignments, 1), bool)
-    hit_by_row[rows] = hits
-    # row emission off the flat columns: a Python Chimera materializes
-    # ONLY for rescue-eligible reads (round-4 profile: per-read
-    # materialization of the whole subset was a top interval-search
-    # hotspot at WGS junction counts)
+    # Per-span aggregates computed vectorized (round-4.2 profile: the
+    # 2-3 numpy micro-calls per span — assigned.any(), the rescue-gate
+    # .any(), flatnonzero — over ~1.5M spans per WGS interval pass were
+    # the top tottime entry of the whole reconstruct):
+    #   has_hit: any adjacent pair of the span passed the predicate
+    #   rescue:  n >= 3 and any INTERIOR alignment mapq < gap_mapq
+    #            (prefix-sum range query, same interior [lo+1, hi-1) the
+    #            scalar loop tested)
+    nspan = len(slots)
+    pair_span = np.repeat(np.arange(nspan, dtype=np.int64), pair_cnt)
+    has_hit = np.zeros(nspan, bool)
+    has_hit[pair_span[hits]] = True
+    mq_c = full.mapq
+    lowmq_ps = np.zeros(len(mq_c) + 1, np.int64)
+    np.cumsum(mq_c < gap_mapq, out=lowmq_ps[1:])
+    n_a = hi_a - lo_a
+    interior_lo = np.minimum(lo_a + 1, len(mq_c))
+    rescue_mask = (n_a >= 3) & (
+        lowmq_ps[np.maximum(hi_a - 1, interior_lo)]
+        - lowmq_ps[interior_lo] > 0)
+    emit = np.flatnonzero(has_hit | rescue_mask)
+    if len(emit) == 0:
+        return []
+    # bulk-extract the hit-pair columns once (per-hit numpy scalar
+    # indexing costs ~10 attribute+index ops per row); hit positions are
+    # span-major ascending = the scalar loop's emission order
+    hit_idx = np.flatnonzero(hits)
+    hs = pair_span[hit_idx]
+    t_arr = rows[hit_idx]
     ref_names = store._ref_names
     refcol = store.cols[2]
-    qs_c, qe_c = full.q_start, full.q_end
-    r1_c, r2_c = full.r1, full.r2
-    st_c, mq_c = full.strand, full.mapq
+    qgap_l = (full.q_start[t_arr + 1] - full.q_end[t_arr]).tolist()
+    ilocal_l = (hit_idx - shift[hs]).tolist()
+    ri_c = refcol[t_arr].tolist()
+    rj_c = refcol[t_arr + 1].tolist()
+    ri_1 = full.r1[t_arr].tolist()
+    ri_2 = full.r2[t_arr].tolist()
+    rj_1 = full.r1[t_arr + 1].tolist()
+    rj_2 = full.r2[t_arr + 1].tolist()
+    si_l = full.strand[t_arr].tolist()
+    sj_l = full.strand[t_arr + 1].tolist()
+    mi_l = mq_c[t_arr].tolist()
+    mj_l = mq_c[t_arr + 1].tolist()
+    # group boundaries of hit pairs per emitting span
+    g_lo = np.searchsorted(hs, emit, side="left").tolist()
+    g_hi = np.searchsorted(hs, emit, side="right").tolist()
+    rescue_l = rescue_mask[emit].tolist()
+    pstart_l = shift[emit].tolist()
+    pcnt_l = pair_cnt[emit].tolist()
     out: List[list] = []
-    for (rn, lo, hi) in spans:
-        n = hi - lo
-        if n < 2:
-            continue
-        assigned = hit_by_row[lo: hi - 1]
-        mqf = mq_c[lo:hi]
-        rescue = n >= 3 and bool((mqf[1:-1] < gap_mapq).any())
-        if not rescue:
-            if not assigned.any():
-                continue
-            for i in np.flatnonzero(assigned):
-                i = int(i)
-                t = lo + i
-                qgap = int(qs_c[t + 1]) - int(qe_c[t])
-                r_i = [ref_names[refcol[t]] if refcol[t] >= 0 else "?",
-                       int(r1_c[t]), int(r2_c[t]),
-                       "+" if st_c[t] > 0 else "-"]
-                r_j = [ref_names[refcol[t + 1]] if refcol[t + 1] >= 0
-                       else "?",
-                       int(r1_c[t + 1]), int(r2_c[t + 1]),
-                       "+" if st_c[t + 1] > 0 else "-"]
+    for e, s in enumerate(emit.tolist()):
+        rn = read_names[s]
+        if not rescue_l[e]:
+            for p in range(g_lo[e], g_hi[e]):
+                i = ilocal_l[p]
+                r_i = [ref_names[ri_c[p]] if ri_c[p] >= 0 else "?",
+                       ri_1[p], ri_2[p], "+" if si_l[p] > 0 else "-"]
+                r_j = [ref_names[rj_c[p]] if rj_c[p] >= 0 else "?",
+                       rj_1[p], rj_2[p], "+" if sj_l[p] > 0 else "-"]
                 out.append(
-                    interval_to_bp(r_i, r_j, (rn, i, i + 1), qgap)
-                    + [int(mq_c[t]), int(mq_c[t + 1])])
+                    interval_to_bp(r_i, r_j, (rn, i, i + 1), qgap_l[p])
+                    + [mi_l[p], mj_l[p]])
             continue
+        # rescue-eligible read: materialize the Chimera and run the
+        # shared low-mapq middle-alignment pass (rare — interior
+        # mapq < gap_mapq)
+        p0 = pstart_l[e]
+        assigned = hits[p0: p0 + pcnt_l[e]]
         chim = store[rn]
         q, r, mq, nm = chim.q, chim.r, chim.mapq, chim.nm
         for i in np.flatnonzero(assigned):
