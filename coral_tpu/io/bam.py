@@ -273,6 +273,16 @@ class BamFile:
             ]
         return self._names
 
+    def names_at(self, idx) -> List[str]:
+        """Bulk name decode for an index array: one whole-blob decode +
+        str slicing (~5x cheaper than per-record ``name()`` calls —
+        ChimeraStore builds 1.5M names at WGS junction counts)."""
+        blob = self.name_blob.decode("latin-1")
+        off = self.name_off
+        lo = off[np.asarray(idx, np.int64)].tolist()
+        hi = off[np.asarray(idx, np.int64) + 1].tolist()
+        return [blob[a:b] for a, b in zip(lo, hi)]
+
     def sa_tag(self, i: int) -> Optional[str]:
         if self.sa_len[i] == 0:
             return None

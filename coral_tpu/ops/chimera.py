@@ -126,7 +126,8 @@ class ChimeraStore(dict):
         self._bam = bam
         self.chim_off = chim_off
         self.cols = cols
-        self.names = [bam.name(int(i)) for i in chim_rec]
+        self.names = (bam.names_at(chim_rec) if hasattr(bam, "names_at")
+                      else [bam.name(int(i)) for i in chim_rec])
         self._slot = {n: k for k, n in enumerate(self.names)}
         self._ref_names = [r[0] for r in bam.references]
         self._table = None
