@@ -558,3 +558,239 @@ def call_consensus_bp(
     st[2] = math.sqrt(st[2] - st[0] * st[0]) if st[2] >= st[0] * st[0] else 0
     st[3] = math.sqrt(st[3] - st[1] * st[1]) if st[3] >= st[1] * st[1] else 0
     return bp, reads, st, leftover
+
+
+# -- struct-of-arrays observation table (TPU-first addition) ---------------
+#
+# The row-based pipeline above is the exact per-row semantics; at WGS
+# junction counts (~1.5M observations per pass) building a Python list
+# per observation and re-extracting columns inside clustering/consensus
+# dominated reconstruct wall time (round-4 profile).  BpTable keeps the
+# observations as flat columns end-to-end; clustering and consensus
+# below are COLUMN-ORDER-IDENTICAL re-expressions of
+# cluster_breakpoints/call_consensus_bp (same first-fit assignment, same
+# exact-integer moment accumulation, same mode/median consensus), and
+# Python rows materialize only for the consensus outputs (dozens).
+# Equality with the row pipeline is pinned by tests/test_bptable.py.
+
+class BpTable:
+    """Flat-column breakpoint observations (row layout docstring above).
+
+    ``s1``/``s2`` hold the canonical orientations as booleans ('+' is
+    True); ``ti``/``tj`` are the two alignment indices of the ``r``
+    tuple; ``names`` maps ``ridx`` to read names.  Rows whose ``r``
+    tuple cannot be expressed as (names[ridx], ti, tj) — e.g. spliced
+    rescue rows — carry their prebuilt tuple in ``tup`` keyed by row
+    position (ridx -1 there).
+    """
+
+    __slots__ = ("c1", "p1", "s1", "c2", "p2", "s2", "ridx", "ti", "tj",
+                 "rgap", "flip", "q1", "q2", "names", "tup")
+
+    def __init__(self, c1, p1, s1, c2, p2, s2, ridx, ti, tj,
+                 rgap, flip, q1, q2, names, tup=None):
+        self.c1, self.p1, self.s1 = c1, p1, s1
+        self.c2, self.p2, self.s2 = c2, p2, s2
+        self.ridx, self.ti, self.tj = ridx, ti, tj
+        self.rgap, self.flip, self.q1, self.q2 = rgap, flip, q1, q2
+        self.names = names
+        self.tup = tup or {}
+
+    def __len__(self):
+        return len(self.p1)
+
+    def rtuple(self, k: int):
+        t = self.tup.get(k)
+        if t is not None:
+            return t
+        return (self.names[int(self.ridx[k])], int(self.ti[k]),
+                int(self.tj[k]))
+
+    def row(self, k: int) -> list:
+        code_to_name = _code_to_name()
+        return [code_to_name[int(self.c1[k])], int(self.p1[k]),
+                "+" if self.s1[k] else "-",
+                code_to_name[int(self.c2[k])], int(self.p2[k]),
+                "+" if self.s2[k] else "-",
+                self.rtuple(k), int(self.rgap[k]), int(self.flip[k]),
+                int(self.q1[k]), int(self.q2[k])]
+
+    def rows(self) -> List[list]:
+        return [self.row(k) for k in range(len(self))]
+
+    @staticmethod
+    def from_rows(rows: List[list], names=None) -> "BpTable":
+        n = len(rows)
+        tb = BpTable(
+            np.fromiter((CHR_IDX[r[0]] for r in rows), np.int32, n),
+            np.fromiter((r[1] for r in rows), np.int64, n),
+            np.fromiter((r[2] == "+" for r in rows), bool, n),
+            np.fromiter((CHR_IDX[r[3]] for r in rows), np.int32, n),
+            np.fromiter((r[4] for r in rows), np.int64, n),
+            np.fromiter((r[5] == "+" for r in rows), bool, n),
+            np.full(n, -1, np.int64),
+            np.zeros(n, np.int64), np.zeros(n, np.int64),
+            np.fromiter((r[7] for r in rows), np.int64, n),
+            np.fromiter((r[8] for r in rows), np.int8, n),
+            np.fromiter((r[9] for r in rows), np.int64, n),
+            np.fromiter((r[10] for r in rows), np.int64, n),
+            names or [],
+            {k: rows[k][6] for k in range(n)})
+        return tb
+
+
+_CODE_TO_NAME = None
+
+
+def _code_to_name():
+    global _CODE_TO_NAME
+    if _CODE_TO_NAME is None:
+        m = [None] * (max(CHR_IDX.values()) + 1)
+        for name, code in CHR_IDX.items():
+            m[code] = name
+        _CODE_TO_NAME = m
+    return _CODE_TO_NAME
+
+
+def _exact_int_sum(v: np.ndarray) -> int:
+    """Exact integer sum of an int64 array whose 127-element chunk sums
+    cannot overflow (equals python-int sequential accumulation)."""
+    if len(v) == 0:
+        return 0
+    return int(sum(int(x) for x in np.add.reduceat(
+        v, range(0, len(v), 127))))
+
+
+def cluster_breakpoints_t(
+    tb: BpTable,
+    min_cluster_size: float,
+    distance_cutoff: int,
+) -> List[np.ndarray]:
+    """`cluster_breakpoints` over a BpTable; returns index arrays.
+
+    Group key, group first-occurrence order, member order within a
+    group, and the first-fit assignment are identical to the row
+    implementation (same _PosBuffer membership test)."""
+    n = len(tb)
+    if n == 0:
+        return []
+    key = (((tb.c1.astype(np.int64) * (len(_code_to_name()) + 1)
+             + tb.c2) * 2 + tb.s1) * 2 + tb.s2)
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    gb = np.ones(n, bool)
+    gb[1:] = sk[1:] != sk[:-1]
+    gstart = np.flatnonzero(gb)
+    gend = np.append(gstart[1:], n)
+    # groups in first-occurrence order (dict-insertion order of the row
+    # implementation): order[gstart] is each group's earliest row
+    gorder = np.argsort(order[gstart], kind="stable")
+    clusters: List[np.ndarray] = []
+    for g in gorder.tolist():
+        idx = order[gstart[g]:gend[g]]
+        if len(idx) < min_cluster_size:
+            clusters.append(idx)
+            continue
+        p1_l = tb.p1[idx].tolist()
+        p2_l = tb.p2[idx].tolist()
+        sub: List[List[int]] = []
+        sub_pos: List[_PosBuffer] = []
+        for m in range(len(idx)):
+            p1, p2 = p1_l[m], p2_l[m]
+            target = -1
+            for ci in range(len(sub)):
+                if sub_pos[ci].hits(p1, p2, distance_cutoff):
+                    target = ci
+                    break
+            if target >= 0:
+                sub[target].append(m)
+                sub_pos[target].add(p1, p2)
+            else:
+                sub.append([m])
+                sub_pos.append(_PosBuffer(p1, p2))
+        clusters.extend(idx[np.asarray(m, np.int64)] for m in sub)
+    return clusters
+
+
+def call_consensus_bp_t(
+    tb: BpTable, idx: np.ndarray, distance_cutoff: int
+) -> Tuple[list, list, list, np.ndarray]:
+    """`call_consensus_bp` over BpTable indices.
+
+    Value-identical to the row implementation: all integer moments use
+    exact accumulation (the row code's python-int / chunked paths both
+    compute the exact sum, so one exact path matches both), float
+    operations happen in the same order, and member order is ``idx``
+    order throughout.  Returns leftover as an index array."""
+    k0 = int(idx[0])
+    code_to_name = _code_to_name()
+    s1 = "+" if tb.s1[k0] else "-"
+    s2 = "+" if tb.s2[k0] else "-"
+    bp = [code_to_name[int(tb.c1[k0])],
+          0 if s1 == "+" else 1000000000, s1,
+          code_to_name[int(tb.c2[k0])],
+          0 if s2 == "+" else 1000000000, s2,
+          tb.rtuple(k0), int(tb.rgap[k0]), int(tb.flip[k0])]
+    p1a = tb.p1[idx]
+    p2a = tb.p2[idx]
+    ncl = len(idx) * 1.0
+    a1 = _exact_int_sum(p1a)
+    a2 = _exact_int_sum(p2a)
+    q1sum = _exact_int_sum(p1a * p1a)
+    q2sum = _exact_int_sum(p2a * p2a)
+    m1, m2 = a1 / ncl, a2 / ncl
+    e1, e2 = q1sum / ncl, q2sum / ncl
+    floor = distance_cutoff / 2.99
+    std1 = max(floor, math.sqrt(e1 - m1 * m1)) if e1 >= m1 * m1 else floor
+    std2 = max(floor, math.sqrt(e2 - m2 * m2)) if e2 >= m2 * m2 else floor
+    p1f = p1a.astype(np.float64)
+    p2f = p2a.astype(np.float64)
+    keep = (p1f <= m1 + 3 * std1) & (p1f >= m1 - 3 * std1) & \
+           (p2f <= m2 + 3 * std2) & (p2f >= m2 - 3 * std2)
+    kept1 = p1a[keep].tolist()
+    kept2 = p2a[keep].tolist()
+    if kept1:
+        bp[1] = _consensus_coord(kept1, bp[2])
+    if kept2:
+        bp[4] = _consensus_coord(kept2, bp[5])
+    rgap = tb.rgap[idx].astype(np.float64) * 1.2
+    c0 = c1 = distance_cutoff
+    near1 = np.abs(p1a - bp[1]) < c0
+    near2 = np.abs(p2a - bp[4]) < c1
+    simple = near1 & near2
+    if bp[2] == "+":
+        cons0 = p1a <= bp[1] - c0
+        sub0 = (bp[1] - c0 - p1a + 1)
+    else:
+        cons0 = p1a >= bp[1] + c0
+        sub0 = (p1a - bp[1] - c0 + 1)
+    if bp[5] == "+":
+        cons1 = p2a <= bp[4] - c1
+        sub1 = (bp[4] - c1 - p2a + 1)
+    else:
+        cons1 = p2a >= bp[4] + c1
+        sub1 = (p2a - bp[4] - c1 + 1)
+    rgap_left = rgap - cons0 * sub0 - cons1 * sub1
+    complex_match = ((cons0 & (rgap_left >= 0)) | near1) & \
+                    ((cons1 & (rgap_left >= 0)) | near2)
+    matched = np.where(rgap <= 0, simple, complex_match)
+    midx = idx[matched]
+    leftover = idx[~matched]
+    reads = [tb.rtuple(int(k)) for k in midx]
+    if not reads:
+        return bp, reads, [0, 0, 0, 0, 0, 0], leftover
+    mp1 = tb.p1[midx]
+    mp2 = tb.p2[midx]
+    flips = tb.flip[midx] != 0
+    q1m = np.where(flips, tb.q2[midx], tb.q1[midx])
+    q2m = np.where(flips, tb.q1[midx], tb.q2[midx])
+    st = [_exact_int_sum(mp1), _exact_int_sum(mp2),
+          _exact_int_sum(mp1 * mp1), _exact_int_sum(mp2 * mp2),
+          _exact_int_sum(q1m.astype(np.int64)),
+          _exact_int_sum(q2m.astype(np.int64))]
+    n_m = len(reads) * 1.0
+    for i in range(6):
+        st[i] /= n_m
+    st[2] = math.sqrt(st[2] - st[0] * st[0]) if st[2] >= st[0] * st[0] else 0
+    st[3] = math.sqrt(st[3] - st[1] * st[1]) if st[3] >= st[1] * st[1] else 0
+    return bp, reads, st, leftover

@@ -160,6 +160,7 @@ def find_breakpoints_device(
     mesh_axis: str = "dp",
     engine: str = "auto",
     device_pair_threshold: int = 1 << 20,
+    as_table: bool = False,
 ) -> List[list]:
     """Whole-table breakpoint extraction with device predicate evaluation.
 
@@ -173,6 +174,12 @@ def find_breakpoints_device(
     ``engine`` routes the pair-predicate evaluation (``auto``/``numpy``/
     ``jax``/``pallas`` — see :func:`resolve_engine`); results are engine-
     independent (exactness-tested).
+
+    ``as_table=True`` returns the same observations as a flat-column
+    :class:`~coral_tpu.ops.breakpoints.BpTable` (row-equivalent,
+    ``tests/test_bptable.py``): the canonicalization runs vectorized and
+    no per-observation Python row is built — the clustering/consensus
+    consumers stay on flat columns too.
     """
     import logging
 
@@ -244,6 +251,11 @@ def find_breakpoints_device(
         fast_mask = ~np.isin(read_of_hit, slow_reads)
     else:
         fast_mask = np.ones(len(hit_rows), bool)
+    if as_table:
+        return _emit_bp_table(
+            table, hit_rows[fast_mask], read_of_hit[fast_mask], off,
+            hit_by_row, slow_reads, chimeras, intervals, min_mapq,
+            gap_mapq, max_nm, gap_, min_bp_match_cutoff)
     hr = hit_rows[fast_mask]
     rd = read_of_hit[fast_mask]
     jr = hr + 1
@@ -322,6 +334,116 @@ def find_breakpoints_device(
             gap_=gap_, min_bp_match_cutoff=min_bp_match_cutoff)
     out.extend(fast_rows[fast_pos:])
     return out
+
+
+def _emit_bp_table(table, hr, rd, off, hit_by_row, slow_reads, chimeras,
+                   intervals, min_mapq, gap_mapq, max_nm, gap_,
+                   min_bp_match_cutoff):
+    """Flat-column emission for :func:`find_breakpoints_device`
+    (``as_table=True``): the interval_to_bp canonicalization
+    (ops/breakpoints.py:86-98) computed vectorized over the hit pairs;
+    rescue-read rows (built by the exact per-read path) are spliced in
+    read order, exactly where the row path puts them."""
+    from ..constants import CHR_IDX
+    from .breakpoints import BpTable, interval_to_bp, interval_overlap_l, \
+        rescue_pass
+
+    jr = hr + 1
+    chrom = np.asarray(table.chrom)
+    ci = chrom[hr].astype(np.int64)
+    cj = chrom[jr].astype(np.int64)
+    p1 = np.asarray(table.r2, np.int64)[hr]
+    p2 = np.asarray(table.r1, np.int64)[jr]
+    si = np.asarray(table.strand)[hr] > 0
+    sj = np.asarray(table.strand)[jr] > 0
+    mapq = np.asarray(table.mapq, np.int64)
+    # flag-1 ("swapped") is interval_to_bp's ELSE branch: NOT
+    # (chr_j < chr_i or (equal and p2 < p1)) — ops/breakpoints.py:93-98
+    swap = (ci < cj) | ((ci == cj) & (p2 >= p1))
+    iloc = hr - off[rd]
+    f_c1 = np.where(swap, cj, ci).astype(np.int32)
+    f_c2 = np.where(swap, ci, cj).astype(np.int32)
+    f_p1 = np.where(swap, p2, p1)
+    f_p2 = np.where(swap, p1, p2)
+    f_s1 = np.where(swap, ~sj, si)
+    f_s2 = np.where(swap, si, ~sj)
+    f_ti = np.where(swap, iloc + 1, iloc)
+    f_tj = np.where(swap, iloc, iloc + 1)
+    f_rgap = (np.asarray(table.q_start, np.int64)[jr]
+              - np.asarray(table.q_end, np.int64)[hr])
+    f_flip = swap.astype(np.int8)
+    f_q1 = mapq[hr]
+    f_q2 = mapq[jr]
+    names = table.read_names
+    if not len(slow_reads):
+        return BpTable(f_c1, f_p1, f_s1, f_c2, f_p2, f_s2,
+                       rd.astype(np.int64), f_ti, f_tj, f_rgap, f_flip,
+                       f_q1, f_q2, names)
+    # slow (rescue-eligible) reads: exact per-read rows, then a stable
+    # merge by read index (fast rows exclude slow reads, so the merge
+    # reproduces the row path's splice order exactly)
+    slow_pairs = []
+    for k in slow_reads.tolist():
+        rn = names[k]
+        lo, hi = int(off[k]), int(off[k + 1])
+        n = hi - lo
+        if n < 2:
+            continue
+        assigned = hit_by_row[lo: hi - 1]
+        chim = chimeras[rn]
+        q, r, mq, nm = chim.q, chim.r, chim.mapq, chim.nm
+        rows_k: List[list] = []
+        for i in np.flatnonzero(assigned):
+            i = int(i)
+            qgap = int(q[i + 1][0]) - int(q[i][1])
+            rows_k.append(
+                interval_to_bp(r[i], r[i + 1], (rn, i, i + 1), qgap)
+                + [mq[i], mq[i + 1]])
+
+        def _same_list(a, b, r=r):
+            io1 = interval_overlap_l(r[a], intervals)
+            io2 = interval_overlap_l(r[b], intervals)
+            return io1 >= 0 and io2 >= 0 and io1 == io2
+
+        rescue_pass(
+            rn, q, r, mq, nm, assigned, _same_list, rows_k,
+            min_mapq=min_mapq, gap_mapq=gap_mapq, max_nm=max_nm,
+            gap_=gap_, min_bp_match_cutoff=min_bp_match_cutoff)
+        slow_pairs.extend((k, row) for row in rows_k)
+    n_s = len(slow_pairs)
+    s_c1 = np.fromiter((CHR_IDX[r[0]] for _, r in slow_pairs), np.int32, n_s)
+    s_p1 = np.fromiter((r[1] for _, r in slow_pairs), np.int64, n_s)
+    s_s1 = np.fromiter((r[2] == "+" for _, r in slow_pairs), bool, n_s)
+    s_c2 = np.fromiter((CHR_IDX[r[3]] for _, r in slow_pairs), np.int32, n_s)
+    s_p2 = np.fromiter((r[4] for _, r in slow_pairs), np.int64, n_s)
+    s_s2 = np.fromiter((r[5] == "+" for _, r in slow_pairs), bool, n_s)
+    s_rgap = np.fromiter((r[7] for _, r in slow_pairs), np.int64, n_s)
+    s_flip = np.fromiter((r[8] for _, r in slow_pairs), np.int8, n_s)
+    s_q1 = np.fromiter((r[9] for _, r in slow_pairs), np.int64, n_s)
+    s_q2 = np.fromiter((r[10] for _, r in slow_pairs), np.int64, n_s)
+    s_k = np.fromiter((k for k, _ in slow_pairs), np.int64, n_s)
+    zero = np.zeros(n_s, np.int64)
+    order = np.argsort(np.concatenate([rd, s_k]), kind="stable")
+    pos_of = np.argsort(order, kind="stable")
+    n_f = len(hr)
+    tb = BpTable(
+        np.concatenate([f_c1, s_c1])[order],
+        np.concatenate([f_p1, s_p1])[order],
+        np.concatenate([f_s1, s_s1])[order],
+        np.concatenate([f_c2, s_c2])[order],
+        np.concatenate([f_p2, s_p2])[order],
+        np.concatenate([f_s2, s_s2])[order],
+        np.concatenate([rd.astype(np.int64),
+                        np.full(n_s, -1, np.int64)])[order],
+        np.concatenate([f_ti, zero])[order],
+        np.concatenate([f_tj, zero])[order],
+        np.concatenate([f_rgap, s_rgap])[order],
+        np.concatenate([f_flip, s_flip])[order],
+        np.concatenate([f_q1, s_q1])[order],
+        np.concatenate([f_q2, s_q2])[order],
+        names,
+        {int(pos_of[n_f + t]): slow_pairs[t][1][6] for t in range(n_s)})
+    return tb
 
 
 def _pair_predicates_numpy(

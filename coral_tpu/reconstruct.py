@@ -813,7 +813,8 @@ class Reconstruction:
                 cfg_b.gap_mapq, max_nm,
                 mesh=mesh, mesh_axis=self.cfg.parallel.dp_axis,
                 engine=self.cfg.engine.engine,
-                device_pair_threshold=self.cfg.engine.device_pair_threshold)
+                device_pair_threshold=self.cfg.engine.device_pair_threshold,
+                as_table=True)
         else:
             new_bp_list_ = []
             for rn, chim in self.chimeras.items():
@@ -856,18 +857,40 @@ class Reconstruction:
         logger.info("found %d small del observations", len(new_bp_list_))
         self._cluster_and_add(new_bp_list_)
 
-    def _cluster_and_add(self, new_bp_list_: List[list]) -> None:
+    def _cluster_and_add(self, new_bp_list_) -> None:
+        """Cluster observations, call consensus, register breakpoints.
+
+        Accepts either the row-list form or a flat-column
+        :class:`~coral_tpu.ops.breakpoints.BpTable` (the whole-table
+        device path emits the latter; both run the identical
+        cluster/consensus semantics — ``tests/test_bptable.py``)."""
         cfg_b = self.cfg.bp
-        clusters = cluster_breakpoints(
-            new_bp_list_, self.min_cluster_cutoff, cfg_b.max_bp_distance_cutoff)
+        from .ops.breakpoints import (BpTable, call_consensus_bp_t,
+                                      cluster_breakpoints_t)
+
+        if isinstance(new_bp_list_, BpTable):
+            clusters = cluster_breakpoints_t(
+                new_bp_list_, self.min_cluster_cutoff,
+                cfg_b.max_bp_distance_cutoff)
+
+            def consensus(remainder):
+                return call_consensus_bp_t(
+                    new_bp_list_, remainder, cfg_b.min_bp_match_cutoff)
+        else:
+            clusters = cluster_breakpoints(
+                new_bp_list_, self.min_cluster_cutoff,
+                cfg_b.max_bp_distance_cutoff)
+
+            def consensus(remainder):
+                return call_consensus_bp(
+                    remainder, cfg_b.min_bp_match_cutoff)
         for c in clusters:
             if len(c) < self.min_cluster_cutoff:
                 continue
             num_sub = 0
             remainder = c
             while len(remainder) >= self.min_cluster_cutoff:
-                bp, bpr, stats, remainder = call_consensus_bp(
-                    remainder, cfg_b.min_bp_match_cutoff)
+                bp, bpr, stats, remainder = consensus(remainder)
                 if (num_sub == 0 and len(set(bpr)) >= self.min_cluster_cutoff) or \
                         (len(set(bpr)) >= max(
                             self.normal_cov * cfg_b.min_bp_cov_factor, 3.0)):

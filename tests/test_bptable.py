@@ -1,0 +1,114 @@
+"""BpTable (flat-column observation) pipeline vs the row pipeline.
+
+The whole-table breakpoint pass emits a struct-of-arrays BpTable
+(``find_breakpoints_device(as_table=True)``) and the clustering/consensus
+consumers run on flat columns (``cluster_breakpoints_t`` /
+``call_consensus_bp_t``).  These tests pin exact row-level equality with
+the row implementations — same observations in the same order, identical
+first-fit clusters, and bit-identical consensus rows/stats through the
+full re-consensus while-loop (reference semantics
+``breakpoint_utilities.py:299-415``)."""
+import numpy as np
+from test_pairs_coverage import INTERVALS, random_chimeras
+
+from coral_tpu.ops.breakpoints import (BpTable, call_consensus_bp,
+                                       call_consensus_bp_t,
+                                       cluster_breakpoints,
+                                       cluster_breakpoints_t)
+from coral_tpu.ops.pairs import find_breakpoints_device
+
+
+def _both(n=500, seed=3):
+    chims = random_chimeras(n=n, seed=seed)
+    rows = find_breakpoints_device(chims, INTERVALS, 100, 20, 100)
+    tb = find_breakpoints_device(chims, INTERVALS, 100, 20, 100,
+                                 as_table=True)
+    return rows, tb
+
+
+def test_table_rows_equal_row_path():
+    rows, tb = _both(n=500, seed=3)
+    assert len(rows) > 50
+    assert tb.rows() == rows
+    # rescue splice exercised: random_chimeras mixes mapq 3/15 middles
+    assert len(tb.tup) > 0
+
+
+def test_table_rows_equal_row_path_no_rescue():
+    chims = random_chimeras(n=300, seed=11)
+    rows = find_breakpoints_device(chims, INTERVALS, 100, 20, 100,
+                                   gap_mapq=-1)
+    tb = find_breakpoints_device(chims, INTERVALS, 100, 20, 100,
+                                 gap_mapq=-1, as_table=True)
+    assert tb.rows() == rows
+    assert len(tb.tup) == 0
+
+
+def test_cluster_and_consensus_chain_identical():
+    rows, tb = _both(n=700, seed=7)
+    cl_rows = cluster_breakpoints(rows, 3, 2000)
+    cl_t = cluster_breakpoints_t(tb, 3, 2000)
+    assert len(cl_rows) == len(cl_t)
+    for cr, ct in zip(cl_rows, cl_t):
+        assert [tb.row(int(k)) for k in ct] == cr
+        rem_r, rem_t = cr, ct
+        while len(rem_r) >= 3:
+            bp_r, reads_r, st_r, rem_r = call_consensus_bp(rem_r, 100)
+            bp_t, reads_t, st_t, rem_t = call_consensus_bp_t(tb, rem_t, 100)
+            assert bp_r == bp_t
+            assert reads_r == reads_t
+            assert st_r == st_t
+            assert [tb.row(int(k)) for k in rem_t] == rem_r
+            assert len(rem_r) == len(rem_t)
+
+
+def test_from_rows_round_trip():
+    rows, _ = _both(n=200, seed=19)
+    tb = BpTable.from_rows(rows)
+    assert tb.rows() == rows
+    cl_rows = cluster_breakpoints(rows, 2, 2000)
+    cl_t = cluster_breakpoints_t(tb, 2, 2000)
+    assert [[tb.row(int(k)) for k in ct] for ct in cl_t] == cl_rows
+
+
+def test_reconstruct_table_path_matches_row_path(tmp_path):
+    """End-to-end: Reconstruction.find_breakpoints consumes the table
+    (device path) — registered breakpoints must equal a row-path run."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from coral_tpu.io.bam import BamFile
+    from coral_tpu.reconstruct import Reconstruction
+    from coral_tpu.sim import simulate_ecdna
+
+    bam, cns, seeds = simulate_ecdna(str(tmp_path))
+
+    def run(table: bool):
+        import coral_tpu.ops.pairs as pairs_mod
+        rec = Reconstruction(BamFile(bam), seeds)
+        rec.read_cns(cns)
+        rec.collect()
+        rec.hash_to_segments()
+        rec.find_amplicon_intervals()
+        rec.find_smalldel_breakpoints()
+        if table:
+            rec.find_breakpoints(use_device=True)
+        else:
+            orig = pairs_mod.find_breakpoints_device
+
+            def rows_only(*a, **kw):
+                kw["as_table"] = False
+                return orig(*a, **kw)
+
+            pairs_mod.find_breakpoints_device = rows_only
+            try:
+                rec.find_breakpoints(use_device=True)
+            finally:
+                pairs_mod.find_breakpoints_device = orig
+        return rec.new_bp_list, rec.new_bp_stats, rec.interval_connections
+
+    bps_t, st_t, conn_t = run(True)
+    bps_r, st_r, conn_r = run(False)
+    assert bps_t == bps_r
+    assert st_t == st_r
+    assert conn_t == conn_r
