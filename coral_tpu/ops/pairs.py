@@ -336,52 +336,109 @@ def find_breakpoints_device(
     return out
 
 
+def _empty_bp_table(names):
+    from .breakpoints import BpTable
+
+    z64 = np.zeros(0, np.int64)
+    return BpTable(np.zeros(0, np.int32), z64, np.zeros(0, bool),
+                   np.zeros(0, np.int32), z64, np.zeros(0, bool),
+                   z64, z64, z64, z64, np.zeros(0, np.int8), z64, z64,
+                   names)
+
+
+def _canon_pair_cols(chrom, r1, r2, strand, q_start, q_end, mapq, t, iloc):
+    """Vectorized interval_to_bp canonicalization
+    (ops/breakpoints.py:86-98) for the pairs (t, t+1).  ``iloc`` is the
+    within-read index of alignment ``t``.  Returns the 12 fast-column
+    arrays of a BpTable (everything but ridx/names)."""
+    j = t + 1
+    ci = chrom[t].astype(np.int64)
+    cj = chrom[j].astype(np.int64)
+    p1 = r2[t]
+    p2 = r1[j]
+    si = strand[t] > 0
+    sj = strand[j] > 0
+    # flag-1 ("swapped") is interval_to_bp's ELSE branch: NOT
+    # (chr_j < chr_i or (equal and p2 < p1))
+    swap = (ci < cj) | ((ci == cj) & (p2 >= p1))
+    return (np.where(swap, cj, ci).astype(np.int32),       # c1
+            np.where(swap, p2, p1),                        # p1
+            np.where(swap, ~sj, si),                       # s1
+            np.where(swap, ci, cj).astype(np.int32),       # c2
+            np.where(swap, p1, p2),                        # p2
+            np.where(swap, si, ~sj),                       # s2
+            np.where(swap, iloc + 1, iloc),                # ti
+            np.where(swap, iloc, iloc + 1),                # tj
+            q_start[j] - q_end[t],                         # rgap
+            swap.astype(np.int8),                          # flip
+            mapq[t],                                       # q1
+            mapq[j])                                       # q2
+
+
+def _merge_bp_table(fast_cols, ridx, fast_key, slow_pairs, names):
+    """Stable-merge the fast columns with per-row slow rows by key
+    (read/span index; fast and slow keys are disjoint, so the merge
+    reproduces the row path's splice order exactly).  ``slow_pairs`` is
+    [(key, row)] in key order; their ``r`` tuples land in ``tup``."""
+    from ..constants import CHR_IDX
+    from .breakpoints import BpTable
+
+    (f_c1, f_p1, f_s1, f_c2, f_p2, f_s2, f_ti, f_tj, f_rgap, f_flip,
+     f_q1, f_q2) = fast_cols
+    if not slow_pairs:
+        return BpTable(f_c1, f_p1, f_s1, f_c2, f_p2, f_s2,
+                       ridx.astype(np.int64), f_ti, f_tj, f_rgap, f_flip,
+                       f_q1, f_q2, names)
+    n_s = len(slow_pairs)
+    s_k = np.fromiter((k for k, _ in slow_pairs), np.int64, n_s)
+    zero = np.zeros(n_s, np.int64)
+    order = np.argsort(np.concatenate([fast_key, s_k]), kind="stable")
+    pos_of = np.argsort(order, kind="stable")
+    n_f = len(f_p1)
+
+    def col(fast, fn, dtype):
+        return np.concatenate([
+            fast, np.fromiter((fn(r) for _, r in slow_pairs),
+                              dtype, n_s)])[order]
+
+    tb = BpTable(
+        col(f_c1, lambda r: CHR_IDX[r[0]], np.int32),
+        col(f_p1, lambda r: r[1], np.int64),
+        col(f_s1, lambda r: r[2] == "+", bool),
+        col(f_c2, lambda r: CHR_IDX[r[3]], np.int32),
+        col(f_p2, lambda r: r[4], np.int64),
+        col(f_s2, lambda r: r[5] == "+", bool),
+        np.concatenate([ridx.astype(np.int64),
+                        np.full(n_s, -1, np.int64)])[order],
+        np.concatenate([f_ti, zero])[order],
+        np.concatenate([f_tj, zero])[order],
+        col(f_rgap, lambda r: r[7], np.int64),
+        col(f_flip, lambda r: r[8], np.int8),
+        col(f_q1, lambda r: r[9], np.int64),
+        col(f_q2, lambda r: r[10], np.int64),
+        names,
+        {int(pos_of[n_f + t]): slow_pairs[t][1][6] for t in range(n_s)})
+    return tb
+
+
 def _emit_bp_table(table, hr, rd, off, hit_by_row, slow_reads, chimeras,
                    intervals, min_mapq, gap_mapq, max_nm, gap_,
                    min_bp_match_cutoff):
     """Flat-column emission for :func:`find_breakpoints_device`
-    (``as_table=True``): the interval_to_bp canonicalization
-    (ops/breakpoints.py:86-98) computed vectorized over the hit pairs;
-    rescue-read rows (built by the exact per-read path) are spliced in
-    read order, exactly where the row path puts them."""
-    from ..constants import CHR_IDX
-    from .breakpoints import BpTable, interval_to_bp, interval_overlap_l, \
+    (``as_table=True``): the interval_to_bp canonicalization computed
+    vectorized over the hit pairs; rescue-read rows (built by the exact
+    per-read path) are spliced in read order, exactly where the row
+    path puts them."""
+    from .breakpoints import interval_to_bp, interval_overlap_l, \
         rescue_pass
 
-    jr = hr + 1
-    chrom = np.asarray(table.chrom)
-    ci = chrom[hr].astype(np.int64)
-    cj = chrom[jr].astype(np.int64)
-    p1 = np.asarray(table.r2, np.int64)[hr]
-    p2 = np.asarray(table.r1, np.int64)[jr]
-    si = np.asarray(table.strand)[hr] > 0
-    sj = np.asarray(table.strand)[jr] > 0
-    mapq = np.asarray(table.mapq, np.int64)
-    # flag-1 ("swapped") is interval_to_bp's ELSE branch: NOT
-    # (chr_j < chr_i or (equal and p2 < p1)) — ops/breakpoints.py:93-98
-    swap = (ci < cj) | ((ci == cj) & (p2 >= p1))
-    iloc = hr - off[rd]
-    f_c1 = np.where(swap, cj, ci).astype(np.int32)
-    f_c2 = np.where(swap, ci, cj).astype(np.int32)
-    f_p1 = np.where(swap, p2, p1)
-    f_p2 = np.where(swap, p1, p2)
-    f_s1 = np.where(swap, ~sj, si)
-    f_s2 = np.where(swap, si, ~sj)
-    f_ti = np.where(swap, iloc + 1, iloc)
-    f_tj = np.where(swap, iloc, iloc + 1)
-    f_rgap = (np.asarray(table.q_start, np.int64)[jr]
-              - np.asarray(table.q_end, np.int64)[hr])
-    f_flip = swap.astype(np.int8)
-    f_q1 = mapq[hr]
-    f_q2 = mapq[jr]
     names = table.read_names
-    if not len(slow_reads):
-        return BpTable(f_c1, f_p1, f_s1, f_c2, f_p2, f_s2,
-                       rd.astype(np.int64), f_ti, f_tj, f_rgap, f_flip,
-                       f_q1, f_q2, names)
-    # slow (rescue-eligible) reads: exact per-read rows, then a stable
-    # merge by read index (fast rows exclude slow reads, so the merge
-    # reproduces the row path's splice order exactly)
+    fast_cols = _canon_pair_cols(
+        np.asarray(table.chrom), np.asarray(table.r1, np.int64),
+        np.asarray(table.r2, np.int64), np.asarray(table.strand),
+        np.asarray(table.q_start, np.int64),
+        np.asarray(table.q_end, np.int64),
+        np.asarray(table.mapq, np.int64), hr, hr - off[rd])
     slow_pairs = []
     for k in slow_reads.tolist():
         rn = names[k]
@@ -410,40 +467,7 @@ def _emit_bp_table(table, hr, rd, off, hit_by_row, slow_reads, chimeras,
             min_mapq=min_mapq, gap_mapq=gap_mapq, max_nm=max_nm,
             gap_=gap_, min_bp_match_cutoff=min_bp_match_cutoff)
         slow_pairs.extend((k, row) for row in rows_k)
-    n_s = len(slow_pairs)
-    s_c1 = np.fromiter((CHR_IDX[r[0]] for _, r in slow_pairs), np.int32, n_s)
-    s_p1 = np.fromiter((r[1] for _, r in slow_pairs), np.int64, n_s)
-    s_s1 = np.fromiter((r[2] == "+" for _, r in slow_pairs), bool, n_s)
-    s_c2 = np.fromiter((CHR_IDX[r[3]] for _, r in slow_pairs), np.int32, n_s)
-    s_p2 = np.fromiter((r[4] for _, r in slow_pairs), np.int64, n_s)
-    s_s2 = np.fromiter((r[5] == "+" for _, r in slow_pairs), bool, n_s)
-    s_rgap = np.fromiter((r[7] for _, r in slow_pairs), np.int64, n_s)
-    s_flip = np.fromiter((r[8] for _, r in slow_pairs), np.int8, n_s)
-    s_q1 = np.fromiter((r[9] for _, r in slow_pairs), np.int64, n_s)
-    s_q2 = np.fromiter((r[10] for _, r in slow_pairs), np.int64, n_s)
-    s_k = np.fromiter((k for k, _ in slow_pairs), np.int64, n_s)
-    zero = np.zeros(n_s, np.int64)
-    order = np.argsort(np.concatenate([rd, s_k]), kind="stable")
-    pos_of = np.argsort(order, kind="stable")
-    n_f = len(hr)
-    tb = BpTable(
-        np.concatenate([f_c1, s_c1])[order],
-        np.concatenate([f_p1, s_p1])[order],
-        np.concatenate([f_s1, s_s1])[order],
-        np.concatenate([f_c2, s_c2])[order],
-        np.concatenate([f_p2, s_p2])[order],
-        np.concatenate([f_s2, s_s2])[order],
-        np.concatenate([rd.astype(np.int64),
-                        np.full(n_s, -1, np.int64)])[order],
-        np.concatenate([f_ti, zero])[order],
-        np.concatenate([f_tj, zero])[order],
-        np.concatenate([f_rgap, s_rgap])[order],
-        np.concatenate([f_flip, s_flip])[order],
-        np.concatenate([f_q1, s_q1])[order],
-        np.concatenate([f_q2, s_q2])[order],
-        names,
-        {int(pos_of[n_f + t]): slow_pairs[t][1][6] for t in range(n_s)})
-    return tb
+    return _merge_bp_table(fast_cols, rd, rd, slow_pairs, names)
 
 
 def _pair_predicates_numpy(
@@ -505,15 +529,21 @@ def subset_to_bps_batch(
     min_mapq: float,
     gap_mapq: float = 10,
     max_nm: Optional[float] = None,
+    as_table: bool = False,
 ) -> List[list]:
     """Batched two-interval breakpoint extraction for a subset of reads of
     a native ChimeraStore; row-identical (including order and the low-mapq
-    rescue pass) to calling ``chimera_to_bps`` per read."""
+    rescue pass) to calling ``chimera_to_bps`` per read.
+
+    ``as_table=True`` returns the observations as a flat-column
+    :class:`~coral_tpu.ops.breakpoints.BpTable` instead (row-equivalent;
+    ``tests/test_bptable.py``) so the interval-search consensus chain
+    stays off Python rows."""
     from .breakpoints import interval_overlap, interval_to_bp, rescue_pass
 
     read_names = list(read_names)
     if not read_names:
-        return []
+        return _empty_bp_table(read_names) if as_table else []
     slot = store._slot
     slots = np.fromiter((slot[rn] for rn in read_names), np.int64,
                         len(read_names))
@@ -523,7 +553,7 @@ def subset_to_bps_batch(
     pair_cnt = np.maximum(hi_a - lo_a - 1, 0)
     tot = int(pair_cnt.sum())
     if tot == 0:
-        return []
+        return _empty_bp_table(read_names) if as_table else []
     full = store.flat_table()
     # ragged arange of pair rows [lo, hi-1) per span, span-major order
     shift = np.cumsum(pair_cnt) - pair_cnt
@@ -554,7 +584,47 @@ def subset_to_bps_batch(
         - lowmq_ps[interior_lo] > 0)
     emit = np.flatnonzero(has_hit | rescue_mask)
     if len(emit) == 0:
-        return []
+        return _empty_bp_table(read_names) if as_table else []
+    if as_table:
+        # flat-column emission: fast hits canonicalized vectorized,
+        # rescue-span rows spliced by span order (same splice the row
+        # path does)
+        fast_sel = hits & ~rescue_mask[pair_span]
+        fi = np.flatnonzero(fast_sel)
+        t_f = rows[fi]
+        fast_cols = _canon_pair_cols(
+            full.chrom, np.asarray(full.r1, np.int64),
+            np.asarray(full.r2, np.int64), full.strand,
+            np.asarray(full.q_start, np.int64),
+            np.asarray(full.q_end, np.int64),
+            np.asarray(mq_c, np.int64), t_f, fi - shift[pair_span[fi]])
+        slow_pairs = []
+        for s in np.flatnonzero(rescue_mask).tolist():
+            rn = read_names[s]
+            p0 = int(shift[s])
+            assigned = hits[p0: p0 + int(pair_cnt[s])]
+            chim = store[rn]
+            q, r, mq, nm = chim.q, chim.r, chim.mapq, chim.nm
+            rows_k: List[list] = []
+            for i in np.flatnonzero(assigned):
+                i = int(i)
+                qgap = int(q[i + 1][0]) - int(q[i][1])
+                rows_k.append(
+                    interval_to_bp(r[i], r[i + 1], (rn, i, i + 1), qgap)
+                    + [mq[i], mq[i + 1]])
+            rescue_pass(
+                rn, q, r, mq, nm, assigned,
+                lambda a, b, r=r: (
+                    (interval_overlap(r[a], intrvl1)
+                     and interval_overlap(r[b], intrvl2))
+                    or (interval_overlap(r[b], intrvl1)
+                        and interval_overlap(r[a], intrvl2))),
+                rows_k, min_mapq=min_mapq, gap_mapq=gap_mapq,
+                max_nm=max_nm)
+            slow_pairs.extend((s, row) for row in rows_k)
+        ridx = pair_span[fi]
+        return _merge_bp_table(fast_cols, ridx, ridx, slow_pairs,
+                               read_names)
     # bulk-extract the hit-pair columns once (per-hit numpy scalar
     # indexing costs ~10 attribute+index ops per row); hit positions are
     # span-major ascending = the scalar loop's emission order

@@ -539,15 +539,26 @@ class Reconstruction:
                     # randomization); canonical order makes runs
                     # reproducible across processes
                     subset = sorted(nint_[-1])
+                    from .ops.breakpoints import (call_consensus_bp_t,
+                                                  cluster_breakpoints_t)
                     from .ops.chimera import ChimeraStore
                     if isinstance(self.chimeras, ChimeraStore) \
                             and len(subset) >= 256:
                         from .ops.pairs import subset_to_bps_batch
-                        new_bp_list += subset_to_bps_batch(
+                        # flat-column observations end-to-end (BpTable;
+                        # row-equivalent — tests/test_bptable.py)
+                        new_bp_list = subset_to_bps_batch(
                             self.chimeras, subset, [nint_[0], ns, ne],
                             self.amplicon_intervals[ai_],
                             cfg_b.min_bp_match_cutoff, cfg_b.min_mapq,
-                            cfg_b.gap_mapq, max_nm)
+                            cfg_b.gap_mapq, max_nm, as_table=True)
+                        clusters = cluster_breakpoints_t(
+                            new_bp_list, self.min_cluster_cutoff,
+                            cfg_b.max_bp_distance_cutoff)
+
+                        def consensus(rem, tb=new_bp_list):
+                            return call_consensus_bp_t(
+                                tb, rem, cfg_b.min_bp_match_cutoff)
                     else:
                         for rn in subset:
                             new_bp_list += chimera_to_bps(
@@ -555,9 +566,13 @@ class Reconstruction:
                                 cfg_b.min_mapq, [nint_[0], ns, ne],
                                 self.amplicon_intervals[ai_],
                                 cfg_b.gap_mapq, max_nm)
-                    clusters = cluster_breakpoints(
-                        new_bp_list, self.min_cluster_cutoff,
-                        cfg_b.max_bp_distance_cutoff)
+                        clusters = cluster_breakpoints(
+                            new_bp_list, self.min_cluster_cutoff,
+                            cfg_b.max_bp_distance_cutoff)
+
+                        def consensus(rem):
+                            return call_consensus_bp(
+                                rem, cfg_b.min_bp_match_cutoff)
                     new_bp_refined = []
                     for c in clusters:
                         if len(c) < self.min_cluster_cutoff:
@@ -565,8 +580,7 @@ class Reconstruction:
                         num_sub = 0
                         remainder = c
                         while len(remainder) >= self.min_cluster_cutoff:
-                            bp, bpr, stats, remainder = call_consensus_bp(
-                                remainder, cfg_b.min_bp_match_cutoff)
+                            bp, bpr, stats, remainder = consensus(remainder)
                             if (num_sub == 0 and len(set(bpr)) >= self.min_cluster_cutoff) or (
                                     len(set(bpr)) >= max(
                                         self.normal_cov * cfg_b.min_bp_cov_factor, 3.0)):

@@ -112,3 +112,65 @@ def test_reconstruct_table_path_matches_row_path(tmp_path):
     assert bps_t == bps_r
     assert st_t == st_r
     assert conn_t == conn_r
+
+
+def _store_3part(tmp_path, n=260, seed=13):
+    """Native ChimeraStore with 3-alignment chimeras, some low-mapq
+    middles (rescue-eligible in the two-interval subset path)."""
+    import os
+    import random as _random
+
+    import pytest
+
+    from coral_tpu.io.bam import BamFile
+    from coral_tpu.io.bamwrite import BamRecord, write_bam
+    from coral_tpu.ops.chimera import collect_chimeras
+
+    so = os.path.join(os.path.dirname(__file__), "..", "coral_tpu",
+                      "native", "libbamcore.so")
+    if not os.path.exists(so):
+        pytest.skip("native bamcore not built")
+    rng = _random.Random(seed)
+    refs = [("chr1", 4_000_000), ("chr2", 4_000_000)]
+    recs = []
+    for k in range(n):
+        m = rng.randrange(500, 2000)
+        parts = []
+        for i in range(3):
+            c = rng.choice(["chr1", "chr2"])
+            p = rng.randrange(1, 3_000_000)
+            mq = rng.choice([60, 60, 40, 5]) if i == 1 \
+                else rng.choice([60, 40])
+            cig = ("%dM%dS" % (m, 2 * m), "%dS%dM%dS" % (m, m, m),
+                   "%dS%dM" % (2 * m, m))[i]
+            parts.append((c, p, cig, mq))
+        for i, (c, p, cig, mq) in enumerate(parts):
+            sa = "".join("%s,%d,+,%s,%d,3;" % (c2, p2, cig2, mq2)
+                         for j2, (c2, p2, cig2, mq2) in enumerate(parts)
+                         if j2 != i)
+            recs.append(BamRecord(
+                "y%04d" % k, 0 if i == 0 else 0x800, c, p - 1, mq, cig,
+                seq=("A" * (3 * m)) if i == 0 else "*",
+                tags={"SA": sa, "NM": 3}))
+    path = str(tmp_path / "sub3.bam")
+    write_bam(path, refs, recs)
+    _, store, _ = collect_chimeras(BamFile(path, backend="native"))
+    return store
+
+
+def test_subset_table_equals_rows(tmp_path):
+    from coral_tpu.ops.pairs import subset_to_bps_batch
+
+    store = _store_3part(tmp_path)
+    iv1 = ["chr1", 0, 2_000_000]
+    iv2 = ["chr2", 1_000_000, 3_500_000]
+    subset = sorted(store.keys())
+    rows = subset_to_bps_batch(store, subset, iv1, iv2, 100, 20)
+    tb = subset_to_bps_batch(store, subset, iv1, iv2, 100, 20,
+                             as_table=True)
+    assert len(rows) > 10
+    assert tb.rows() == rows
+    assert len(tb.tup) > 0  # rescue rows spliced
+    cl_rows = cluster_breakpoints(rows, 3, 2000)
+    cl_t = cluster_breakpoints_t(tb, 3, 2000)
+    assert [[tb.row(int(k)) for k in ct] for ct in cl_t] == cl_rows
