@@ -274,13 +274,18 @@ class BamFile:
         return self._names
 
     def names_at(self, idx) -> List[str]:
-        """Bulk name decode for an index array: one whole-blob decode +
-        str slicing (~5x cheaper than per-record ``name()`` calls —
-        ChimeraStore builds 1.5M names at WGS junction counts)."""
-        blob = self.name_blob.decode("latin-1")
+        """Bulk name decode for an index array: one memoized whole-blob
+        decode + str slicing (~5x cheaper than per-record ``name()``
+        calls — ChimeraStore builds 1.5M names at WGS junction counts).
+        latin-1 keeps byte offsets valid; SAM names are ASCII so values
+        match ``name()``'s utf-8."""
+        if getattr(self, "_name_str", None) is None:
+            self._name_str = self.name_blob.decode("latin-1")
+        blob = self._name_str
         off = self.name_off
-        lo = off[np.asarray(idx, np.int64)].tolist()
-        hi = off[np.asarray(idx, np.int64) + 1].tolist()
+        i = np.asarray(idx, np.int64)
+        lo = off[i].tolist()
+        hi = off[i + 1].tolist()
         return [blob[a:b] for a, b in zip(lo, hi)]
 
     def sa_tag(self, i: int) -> Optional[str]:
@@ -432,7 +437,7 @@ class BamFile:
 
     def names_overlapping(self, chrom: str, start: int, stop: int) -> set:
         """Set of read names of records overlapping [start, stop)."""
-        return {self.name(int(i)) for i in self.overlap(chrom, start, stop)}
+        return set(self.names_at(self.overlap(chrom, start, stop)))
 
     def del_gap_alignments(
         self, chrom: str, start: int, stop: int,

@@ -776,7 +776,17 @@ def call_consensus_bp_t(
     matched = np.where(rgap <= 0, simple, complex_match)
     midx = idx[matched]
     leftover = idx[~matched]
-    reads = [tb.rtuple(int(k)) for k in midx]
+    # bulk tuple build (rtuple per member costs ~1us in dict-get +
+    # scalar casts; clusters run to ~150k members at WGS junction counts)
+    names = tb.names
+    tup = tb.tup
+    reads = [tup.get(k) or (names[r], a, b) for k, r, a, b in
+             zip(midx.tolist(), tb.ridx[midx].tolist(),
+                 tb.ti[midx].tolist(), tb.tj[midx].tolist())] \
+        if tup else \
+        [(names[r], a, b) for r, a, b in
+         zip(tb.ridx[midx].tolist(), tb.ti[midx].tolist(),
+             tb.tj[midx].tolist())]
     if not reads:
         return bp, reads, [0, 0, 0, 0, 0, 0], leftover
     mp1 = tb.p1[midx]
