@@ -19,6 +19,7 @@
 #include <algorithm>
 #include <limits>
 #include <string>
+#include <string_view>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -981,7 +982,15 @@ int64_t bc_sa_blob_len(BamCore* bc) { return static_cast<int64_t>(bc->sa_blob.si
 const int64_t* bc_sa_off(BamCore* bc) { return bc->sa_off.data(); }
 const int64_t* bc_sa_len(BamCore* bc) { return bc->sa_len.data(); }
 
+static double now_s() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec + ts.tv_nsec * 1e-9;
+}
+
 int64_t bc_parse_sa(BamCore* bc) {
+  const bool dbg = getenv("BC_TIMING") != nullptr;
+  double t0 = dbg ? now_s() : 0;
   // Assemble per-read chimeric alignments from SA tags: union of unique SA
   // entries across all of a read's records (each record lists the others),
   // decoded with the generic CIGAR-span formula and sorted by query start.
@@ -992,24 +1001,32 @@ int64_t bc_parse_sa(BamCore* bc) {
   for (size_t i = 0; i < bc->ref_names.size(); i++) {
     ref_ids[bc->ref_names[i]] = static_cast<int32_t>(i);
   }
+  // string_view keys into the (stable) name blob: no per-record string
+  // construction (that copy was ~40% of the pass at 1.5M chimeric reads)
   auto name_of = [&](int64_t i) {
-    return std::string(
+    return std::string_view(
         reinterpret_cast<const char*>(bc->name_blob.data()) + bc->name_off[i],
-        bc->name_off[i + 1] - bc->name_off[i]);
+        static_cast<size_t>(bc->name_off[i + 1] - bc->name_off[i]));
   };
   // slot per chimeric read, in first-appearance order
-  std::unordered_map<std::string, int32_t> slot_of;
+  std::unordered_map<std::string_view, int32_t> slot_of;
   std::vector<int64_t> first_rec;
   std::vector<std::vector<SaView>> sa_sets;
   std::vector<int64_t> read_len;
+  int64_t n_sa = 0;
+  for (int64_t i = 0; i < n; i++) n_sa += bc->sa_len[i] != 0;
+  slot_of.reserve(static_cast<size_t>(n_sa));
+  first_rec.reserve(static_cast<size_t>(n_sa));
+  sa_sets.reserve(static_cast<size_t>(n_sa));
+  read_len.reserve(static_cast<size_t>(n_sa));
   for (int64_t i = 0; i < n; i++) {
     if (bc->sa_len[i] == 0) continue;
-    std::string nm = name_of(i);
+    std::string_view nm = name_of(i);
     auto it = slot_of.find(nm);
     int32_t slot;
     if (it == slot_of.end()) {
       slot = static_cast<int32_t>(first_rec.size());
-      slot_of.emplace(std::move(nm), slot);
+      slot_of.emplace(nm, slot);
       first_rec.push_back(i);
       sa_sets.emplace_back();
       read_len.push_back(-1);
@@ -1033,32 +1050,84 @@ int64_t bc_parse_sa(BamCore* bc) {
       p = q + 1;
     }
   }
-  // read lengths from primary records of chimeric reads.  Screen the
-  // (mostly non-chimeric) record table with an allocation-free FNV hash
-  // of the name bytes first — constructing a std::string per record
-  // costs ~20s at 69M records.
-  auto fnv = [](const uint8_t* p, const uint8_t* e) {
-    uint64_t h = 1469598103934665603ull;
-    for (; p < e; ++p) { h ^= *p; h *= 1099511628211ull; }
-    return h;
-  };
-  std::unordered_set<uint64_t> chim_hashes;
-  chim_hashes.reserve(slot_of.size() * 2);
-  for (const auto& kv : slot_of) {
-    const uint8_t* p = reinterpret_cast<const uint8_t*>(kv.first.data());
-    chim_hashes.insert(fnv(p, p + kv.first.size()));
-  }
-  const uint8_t* nb = bc->name_blob.data();
+  if (dbg) { fprintf(stderr, "[bc_parse_sa] slot/split: %.3fs\n", now_s() - t0); t0 = now_s(); }
+  // read lengths from primary records of chimeric reads.  With
+  // string_view keys the map probe itself is allocation-free (the old
+  // FNV pre-screen existed only to dodge a std::string per record).
   for (int64_t i = 0; i < n; i++) {
     if (bc->flag[i] >= 256) continue;
-    if (chim_hashes.find(fnv(nb + bc->name_off[i], nb + bc->name_off[i + 1]))
-        == chim_hashes.end()) {
-      continue;
-    }
     auto it = slot_of.find(name_of(i));
     if (it != slot_of.end() && read_len[it->second] < 0) {
       read_len[it->second] = bc->qlen[i];
     }
+  }
+  if (dbg) { fprintf(stderr, "[bc_parse_sa] read_len: %.3fs\n", now_s() - t0); t0 = now_s(); }
+  // parse + sort + emit, threaded over contiguous slot ranges: each
+  // worker fills private column vectors, then a sequential slot-order
+  // concatenation reproduces the single-threaded emission byte-for-byte
+  // (same per-slot parse, same stable sort, same skip rules).
+  const size_t n_slots = first_rec.size();
+  struct Part {
+    std::vector<int64_t> qs, qe, r1, r2;
+    std::vector<int32_t> ref, mapq;
+    std::vector<int8_t> strand;
+    std::vector<double> nm;
+    std::vector<int32_t> cnt;  // alignments emitted per slot in range
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = static_cast<int>(hw ? (hw > 8 ? 8 : hw) : 1);
+  if (n_slots < 4096) nt = 1;
+  std::vector<Part> parts(nt);
+  const size_t chunk = (n_slots + nt - 1) / (nt ? nt : 1);
+  auto work = [&](int ti) {
+    Part& pt = parts[ti];
+    const size_t s0 = ti * chunk;
+    const size_t s1 = std::min(n_slots, s0 + chunk);
+    if (s0 >= s1) return;
+    pt.cnt.assign(s1 - s0, 0);
+    std::vector<ChimAln> tmp;
+    for (size_t s = s0; s < s1; s++) {
+      if (read_len[s] < 0) continue;  // no primary alignment: dropped
+      tmp.clear();
+      bool valid = true;
+      for (const SaView& v : sa_sets[s]) {
+        ChimAln a;
+        if (!parse_sa_entry(bc, v.p, v.p + v.n, read_len[s], ref_ids, &a)) {
+          valid = false;
+          break;
+        }
+        tmp.push_back(a);
+      }
+      if (!valid) continue;  // empty alignment list, slot still emitted
+      std::stable_sort(tmp.begin(), tmp.end(),
+                       [](const ChimAln& x, const ChimAln& y) {
+                         return x.qs != y.qs ? x.qs < y.qs : x.qe < y.qe;
+                       });
+      pt.cnt[s - s0] = static_cast<int32_t>(tmp.size());
+      for (const ChimAln& a : tmp) {
+        pt.qs.push_back(a.qs);
+        pt.qe.push_back(a.qe);
+        pt.r1.push_back(a.r1);
+        pt.r2.push_back(a.r2);
+        pt.ref.push_back(a.ref_id);
+        pt.mapq.push_back(a.mapq);
+        pt.strand.push_back(a.strand);
+        // degenerate 1-base local alignment: qe == qs (reference
+        // off-by-one span; it ZeroDivisionErrors, cigar_parsing.py:268).
+        // Emit inf explicitly — a plain 0.0/0.0 is NaN, which would
+        // diverge from the python backend's inf for NM=0 records
+        pt.nm.push_back(
+            a.qe > a.qs ? a.nm / static_cast<double>(a.qe - a.qs)
+                        : std::numeric_limits<double>::infinity());
+      }
+    }
+  };
+  if (nt == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int ti = 0; ti < nt; ti++) threads.emplace_back(work, ti);
+    for (auto& t : threads) t.join();
   }
   bc->chim_rec.clear();
   bc->chim_rl.clear();
@@ -1066,45 +1135,39 @@ int64_t bc_parse_sa(BamCore* bc) {
   bc->aln_qs.clear(); bc->aln_qe.clear(); bc->aln_r1.clear();
   bc->aln_r2.clear(); bc->aln_ref.clear(); bc->aln_mapq.clear();
   bc->aln_strand.clear(); bc->aln_nm.clear();
-  std::vector<ChimAln> tmp;
-  for (size_t s = 0; s < first_rec.size(); s++) {
-    if (read_len[s] < 0) continue;  // no primary alignment: dropped
-    bc->chim_rec.push_back(first_rec[s]);
-    bc->chim_rl.push_back(static_cast<int32_t>(read_len[s]));
-    tmp.clear();
-    bool valid = true;
-    for (const SaView& v : sa_sets[s]) {
-      ChimAln a;
-      if (!parse_sa_entry(bc, v.p, v.p + v.n, read_len[s], ref_ids, &a)) {
-        valid = false;
-        break;
-      }
-      tmp.push_back(a);
+  size_t total_aln = 0, total_rec = 0;
+  for (const Part& pt : parts) total_aln += pt.qs.size();
+  for (size_t s = 0; s < n_slots; s++) total_rec += read_len[s] >= 0;
+  bc->aln_qs.reserve(total_aln); bc->aln_qe.reserve(total_aln);
+  bc->aln_r1.reserve(total_aln); bc->aln_r2.reserve(total_aln);
+  bc->aln_ref.reserve(total_aln); bc->aln_mapq.reserve(total_aln);
+  bc->aln_strand.reserve(total_aln); bc->aln_nm.reserve(total_aln);
+  bc->chim_rec.reserve(total_rec); bc->chim_rl.reserve(total_rec);
+  bc->chim_off.reserve(total_rec + 1);
+  for (int ti = 0; ti < nt; ti++) {
+    Part& pt = parts[ti];
+    const size_t s0 = ti * chunk;
+    const size_t s1 = std::min(n_slots, s0 + chunk);
+    bc->aln_qs.insert(bc->aln_qs.end(), pt.qs.begin(), pt.qs.end());
+    bc->aln_qe.insert(bc->aln_qe.end(), pt.qe.begin(), pt.qe.end());
+    bc->aln_r1.insert(bc->aln_r1.end(), pt.r1.begin(), pt.r1.end());
+    bc->aln_r2.insert(bc->aln_r2.end(), pt.r2.begin(), pt.r2.end());
+    bc->aln_ref.insert(bc->aln_ref.end(), pt.ref.begin(), pt.ref.end());
+    bc->aln_mapq.insert(bc->aln_mapq.end(), pt.mapq.begin(), pt.mapq.end());
+    bc->aln_strand.insert(bc->aln_strand.end(), pt.strand.begin(),
+                          pt.strand.end());
+    bc->aln_nm.insert(bc->aln_nm.end(), pt.nm.begin(), pt.nm.end());
+    int64_t off = bc->chim_off.back();
+    for (size_t s = s0; s < s1; s++) {
+      if (read_len[s] < 0) continue;
+      bc->chim_rec.push_back(first_rec[s]);
+      bc->chim_rl.push_back(static_cast<int32_t>(read_len[s]));
+      off += pt.cnt[s - s0];
+      bc->chim_off.push_back(off);
     }
-    if (valid) {
-      std::stable_sort(tmp.begin(), tmp.end(),
-                       [](const ChimAln& x, const ChimAln& y) {
-                         return x.qs != y.qs ? x.qs < y.qs : x.qe < y.qe;
-                       });
-      for (const ChimAln& a : tmp) {
-        bc->aln_qs.push_back(a.qs);
-        bc->aln_qe.push_back(a.qe);
-        bc->aln_r1.push_back(a.r1);
-        bc->aln_r2.push_back(a.r2);
-        bc->aln_ref.push_back(a.ref_id);
-        bc->aln_mapq.push_back(a.mapq);
-        bc->aln_strand.push_back(a.strand);
-        // degenerate 1-base local alignment: qe == qs (reference
-        // off-by-one span; it ZeroDivisionErrors, cigar_parsing.py:268).
-        // Emit inf explicitly — a plain 0.0/0.0 is NaN, which would
-        // diverge from the python backend's inf for NM=0 records
-        bc->aln_nm.push_back(
-            a.qe > a.qs ? a.nm / static_cast<double>(a.qe - a.qs)
-                        : std::numeric_limits<double>::infinity());
-      }
-    }
-    bc->chim_off.push_back(static_cast<int64_t>(bc->aln_qs.size()));
   }
+  if (dbg) fprintf(stderr, "[bc_parse_sa] parse/emit[%d threads]: %.3fs\n",
+                   nt, now_s() - t0);
   return static_cast<int64_t>(bc->chim_rec.size());
 }
 
