@@ -1540,4 +1540,67 @@ void bc_pack_pairs3(int64_t n_pairs, const int64_t* pi,
   run(pack_work, n_out);
 }
 
+int64_t bc_cluster_firstfit(int64_t n, const int64_t* p1, const int64_t* p2,
+                            int64_t cutoff, int32_t* cluster_out) {
+  // Greedy first-fit clustering of one (chr1, chr2, o1, o2) group —
+  // the native twin of ops/breakpoints._cluster_group_host (reference
+  // ``cluster_bp_list`` semantics): member m joins the FIRST cluster
+  // (creation order) containing any member within ``cutoff`` on both
+  // coordinates (strict <); otherwise it founds a new cluster.  Same
+  // exactness-preserving accelerations as the Python _PosBuffer:
+  // bounding-box reject, founder probe, 32-member prefix probe.
+  // Returns the cluster count; cluster ids (creation order) land in
+  // cluster_out.  Bit-identical assignment to the Python scan
+  // (tests/test_bptable.py::test_native_firstfit_matches_python).
+  struct Clu {
+    std::vector<int64_t> a1, a2;
+    int64_t lo1, hi1, lo2, hi2, f1, f2;
+  };
+  std::vector<Clu> clus;
+  for (int64_t m = 0; m < n; m++) {
+    const int64_t x1 = p1[m], x2 = p2[m];
+    int32_t target = -1;
+    for (size_t c = 0; c < clus.size(); c++) {
+      Clu& cl = clus[c];
+      if (x1 <= cl.lo1 - cutoff || x1 >= cl.hi1 + cutoff ||
+          x2 <= cl.lo2 - cutoff || x2 >= cl.hi2 + cutoff) {
+        continue;
+      }
+      const int64_t d1 = x1 - cl.f1, d2 = x2 - cl.f2;
+      bool hit = (-cutoff < d1 && d1 < cutoff && -cutoff < d2 && d2 < cutoff);
+      if (!hit) {
+        const size_t k = cl.a1.size();
+        for (size_t i = 0; i < k; i++) {
+          const int64_t e1 = x1 - cl.a1[i], e2 = x2 - cl.a2[i];
+          if (-cutoff < e1 && e1 < cutoff && -cutoff < e2 && e2 < cutoff) {
+            hit = true;
+            break;
+          }
+        }
+      }
+      if (hit) {
+        target = static_cast<int32_t>(c);
+        break;
+      }
+    }
+    if (target >= 0) {
+      Clu& cl = clus[target];
+      cl.a1.push_back(x1);
+      cl.a2.push_back(x2);
+      if (x1 < cl.lo1) cl.lo1 = x1; else if (x1 > cl.hi1) cl.hi1 = x1;
+      if (x2 < cl.lo2) cl.lo2 = x2; else if (x2 > cl.hi2) cl.hi2 = x2;
+      cluster_out[m] = target;
+    } else {
+      cluster_out[m] = static_cast<int32_t>(clus.size());
+      clus.emplace_back();
+      Clu& cl = clus.back();
+      cl.a1.push_back(x1);
+      cl.a2.push_back(x2);
+      cl.lo1 = cl.hi1 = cl.f1 = x1;
+      cl.lo2 = cl.hi2 = cl.f2 = x2;
+    }
+  }
+  return static_cast<int64_t>(clus.size());
+}
+
 }  // extern "C"

@@ -62,6 +62,10 @@ def _load():
     lib.bc_del_gaps_fetch.argtypes = [C.c_void_p] + [C.POINTER(C.c_int64)] * 5
     lib.bc_parse_sa.restype = C.c_int64
     lib.bc_parse_sa.argtypes = [C.c_void_p]
+    lib.bc_cluster_firstfit.restype = C.c_int64
+    lib.bc_cluster_firstfit.argtypes = (
+        C.c_int64, C.POINTER(C.c_int64), C.POINTER(C.c_int64),
+        C.c_int64, C.POINTER(C.c_int32))
     lib.bc_pack_pairs.restype = None
     lib.bc_pack_pairs.argtypes = (
         [C.c_int64] + [C.POINTER(C.c_int64)] * 5
@@ -368,3 +372,19 @@ def del_gaps(bam, lo, hi, start, min_del_len, min_mapq):
         nb._h, *[a.ctypes.data_as(C.POINTER(C.c_int64)) for a in arrs]
     )
     return tuple(arrs)
+
+
+def cluster_firstfit(p1, p2, cutoff: int) -> np.ndarray:
+    """Native greedy first-fit clustering of one breakpoint group:
+    cluster id per member (creation order), bit-identical to the Python
+    _PosBuffer scan (``ops/breakpoints._cluster_group_host``).  Raises
+    OSError when the native library is unavailable."""
+    lib = _load()
+    p1 = np.ascontiguousarray(p1, np.int64)
+    p2 = np.ascontiguousarray(p2, np.int64)
+    out = np.empty(len(p1), np.int32)
+    lib.bc_cluster_firstfit(
+        len(p1), p1.ctypes.data_as(C.POINTER(C.c_int64)),
+        p2.ctypes.data_as(C.POINTER(C.c_int64)), int(cutoff),
+        out.ctypes.data_as(C.POINTER(C.c_int32)))
+    return out

@@ -306,8 +306,28 @@ class _PosBuffer:
                      & (np.abs(a2 - p2) < cutoff)).any())
 
 
+def _firstfit_ids(p1: np.ndarray, p2: np.ndarray,
+                  distance_cutoff: int) -> Optional[np.ndarray]:
+    """Native first-fit cluster ids (creation order) or None when the
+    library is unavailable; bit-identical to the _PosBuffer scan."""
+    try:
+        from ..native.bamcore import cluster_firstfit
+        return cluster_firstfit(p1, p2, distance_cutoff)
+    except OSError:
+        return None
+
+
 def _cluster_group_host(members: List[list],
                         distance_cutoff: int) -> List[List[list]]:
+    if len(members) >= 64:
+        p1 = np.fromiter((m[1] for m in members), np.int64, len(members))
+        p2 = np.fromiter((m[4] for m in members), np.int64, len(members))
+        cids = _firstfit_ids(p1, p2, distance_cutoff)
+        if cids is not None:
+            sub = [[] for _ in range(int(cids.max()) + 1)]
+            for m, c in zip(members, cids.tolist()):
+                sub[c].append(m)
+            return sub
     sub: List[List[list]] = []
     sub_pos: List[_PosBuffer] = []
     for bp in members:
@@ -690,6 +710,17 @@ def cluster_breakpoints_t(
         idx = order[gstart[g]:gend[g]]
         if len(idx) < min_cluster_size:
             clusters.append(idx)
+            continue
+        cids = _firstfit_ids(tb.p1[idx], tb.p2[idx], distance_cutoff)
+        if cids is not None:
+            # stable sort by creation-ordered id = clusters in creation
+            # order, members in original order
+            o2 = np.argsort(cids, kind="stable")
+            sc = cids[o2]
+            starts = np.flatnonzero(np.concatenate(
+                [[True], sc[1:] != sc[:-1]]))
+            ends = np.append(starts[1:], len(sc))
+            clusters.extend(idx[o2[a:b]] for a, b in zip(starts, ends))
             continue
         p1_l = tb.p1[idx].tolist()
         p2_l = tb.p2[idx].tolist()

@@ -174,3 +174,51 @@ def test_subset_table_equals_rows(tmp_path):
     cl_rows = cluster_breakpoints(rows, 3, 2000)
     cl_t = cluster_breakpoints_t(tb, 3, 2000)
     assert [[tb.row(int(k)) for k in ct] for ct in cl_t] == cl_rows
+
+
+def test_native_firstfit_matches_python():
+    """bc_cluster_firstfit vs the Python _PosBuffer scan: identical
+    first-fit assignment on adversarial clouds (tight junction packs,
+    chains that straddle the cutoff, exact-cutoff distances)."""
+    import random as _random
+
+    import pytest
+
+    from coral_tpu.ops.breakpoints import _PosBuffer, _firstfit_ids
+
+    rng = _random.Random(5)
+    for trial in range(6):
+        pts = []
+        for _ in range(rng.randrange(200, 1200)):
+            cx = rng.randrange(0, 50_000)
+            cy = rng.randrange(0, 50_000)
+            for _ in range(rng.randrange(1, 12)):
+                pts.append((cx + rng.randrange(-3000, 3001),
+                            cy + rng.randrange(-3000, 3001)))
+        rng.shuffle(pts)
+        # exact-cutoff pairs (strict < boundary)
+        pts += [(100_000, 100_000), (102_000, 100_000),
+                (101_999, 100_000), (100_000, 102_000)]
+        p1 = np.asarray([p[0] for p in pts], np.int64)
+        p2 = np.asarray([p[1] for p in pts], np.int64)
+        cids = _firstfit_ids(p1, p2, 2000)
+        if cids is None:
+            pytest.skip("native bamcore not built")
+        sub = []
+        pos = []
+        expect = np.empty(len(pts), np.int32)
+        for m, (x1, x2) in enumerate(pts):
+            t = -1
+            for ci in range(len(sub)):
+                if pos[ci].hits(x1, x2, 2000):
+                    t = ci
+                    break
+            if t < 0:
+                t = len(sub)
+                sub.append([])
+                pos.append(_PosBuffer(x1, x2))
+            else:
+                pos[t].add(x1, x2)
+            sub[t].append(m)
+            expect[m] = t
+        np.testing.assert_array_equal(cids, expect)
