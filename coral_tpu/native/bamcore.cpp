@@ -1008,7 +1008,13 @@ int64_t bc_parse_sa(BamCore* bc) {
         reinterpret_cast<const char*>(bc->name_blob.data()) + bc->name_off[i],
         static_cast<size_t>(bc->name_off[i + 1] - bc->name_off[i]));
   };
-  // slot per chimeric read, in first-appearance order
+  // slot per chimeric read, in first-appearance order.  The SA split +
+  // per-read dedup runs threaded over contiguous record ranges into
+  // thread-local maps; the sequential merge walks the parts in thread
+  // (= record) order, so global first-appearance order, per-read entry
+  // order, and dedup-keep-first are all identical to the sequential
+  // scan.  A read whose records span ranges gets its parts' buckets
+  // concatenated with the same std::find dedup the scan does.
   std::unordered_map<std::string_view, int32_t> slot_of;
   std::vector<int64_t> first_rec;
   std::vector<std::vector<SaView>> sa_sets;
@@ -1019,35 +1025,81 @@ int64_t bc_parse_sa(BamCore* bc) {
   first_rec.reserve(static_cast<size_t>(n_sa));
   sa_sets.reserve(static_cast<size_t>(n_sa));
   read_len.reserve(static_cast<size_t>(n_sa));
-  for (int64_t i = 0; i < n; i++) {
-    if (bc->sa_len[i] == 0) continue;
-    std::string_view nm = name_of(i);
-    auto it = slot_of.find(nm);
-    int32_t slot;
-    if (it == slot_of.end()) {
-      slot = static_cast<int32_t>(first_rec.size());
-      slot_of.emplace(nm, slot);
-      first_rec.push_back(i);
-      sa_sets.emplace_back();
-      read_len.push_back(-1);
-    } else {
-      slot = it->second;
-    }
-    const char* blob = reinterpret_cast<const char*>(bc->sa_blob.data());
-    const char* p = blob + bc->sa_off[i];
-    const char* end = p + bc->sa_len[i];
-    // split on ';', dropping a trailing empty entry
-    while (p < end) {
-      const char* q = p;
-      while (q < end && *q != ';') q++;
-      if (q > p) {
-        SaView v{p, static_cast<size_t>(q - p)};
-        auto& bucket = sa_sets[slot];
-        if (std::find(bucket.begin(), bucket.end(), v) == bucket.end()) {
-          bucket.push_back(v);
+  {
+    struct SlotPart {
+      std::unordered_map<std::string_view, int32_t> slot_of;
+      std::vector<int64_t> first_rec;
+      std::vector<std::string_view> names;
+      std::vector<std::vector<SaView>> sa_sets;
+    };
+    unsigned hw0 = std::thread::hardware_concurrency();
+    int nt0 = static_cast<int>(hw0 ? (hw0 > 8 ? 8 : hw0) : 1);
+    if (n_sa < 65536) nt0 = 1;
+    std::vector<SlotPart> sparts(nt0);
+    const int64_t rchunk = (n + nt0 - 1) / nt0;
+    auto swork = [&](int ti) {
+      SlotPart& sp = sparts[ti];
+      const int64_t r0 = ti * rchunk;
+      const int64_t r1 = std::min<int64_t>(n, r0 + rchunk);
+      const char* blob = reinterpret_cast<const char*>(bc->sa_blob.data());
+      for (int64_t i = r0; i < r1; i++) {
+        if (bc->sa_len[i] == 0) continue;
+        std::string_view nm = name_of(i);
+        auto it = sp.slot_of.find(nm);
+        int32_t slot;
+        if (it == sp.slot_of.end()) {
+          slot = static_cast<int32_t>(sp.first_rec.size());
+          sp.slot_of.emplace(nm, slot);
+          sp.first_rec.push_back(i);
+          sp.names.push_back(nm);
+          sp.sa_sets.emplace_back();
+        } else {
+          slot = it->second;
+        }
+        const char* p = blob + bc->sa_off[i];
+        const char* end = p + bc->sa_len[i];
+        // split on ';', dropping a trailing empty entry
+        while (p < end) {
+          const char* q = p;
+          while (q < end && *q != ';') q++;
+          if (q > p) {
+            SaView v{p, static_cast<size_t>(q - p)};
+            auto& bucket = sp.sa_sets[slot];
+            if (std::find(bucket.begin(), bucket.end(), v) == bucket.end()) {
+              bucket.push_back(v);
+            }
+          }
+          p = q + 1;
         }
       }
-      p = q + 1;
+    };
+    if (nt0 == 1) {
+      swork(0);
+    } else {
+      std::vector<std::thread> sthreads;
+      for (int ti = 0; ti < nt0; ti++) sthreads.emplace_back(swork, ti);
+      for (auto& t : sthreads) t.join();
+    }
+    for (SlotPart& sp : sparts) {
+      for (size_t j = 0; j < sp.names.size(); j++) {
+        auto it = slot_of.find(sp.names[j]);
+        int32_t slot;
+        if (it == slot_of.end()) {
+          slot = static_cast<int32_t>(first_rec.size());
+          slot_of.emplace(sp.names[j], slot);
+          first_rec.push_back(sp.first_rec[j]);
+          sa_sets.emplace_back(std::move(sp.sa_sets[j]));
+          read_len.push_back(-1);
+          continue;
+        }
+        slot = it->second;
+        auto& bucket = sa_sets[slot];
+        for (const SaView& v : sp.sa_sets[j]) {
+          if (std::find(bucket.begin(), bucket.end(), v) == bucket.end()) {
+            bucket.push_back(v);
+          }
+        }
+      }
     }
   }
   if (dbg) { fprintf(stderr, "[bc_parse_sa] slot/split: %.3fs\n", now_s() - t0); t0 = now_s(); }
