@@ -262,15 +262,15 @@ class BamFile:
         return self._rid_map.get(chrom, -1)
 
     def name(self, i: int) -> str:
-        return self.name_blob[self.name_off[i]:self.name_off[i + 1]].decode()
+        # latin-1, matching names_at(): SAM names are ASCII where the
+        # two decodings agree; on out-of-spec bytes a mixed decode would
+        # split one read across two dict keys
+        return self.name_blob[self.name_off[i]:self.name_off[i + 1]] \
+            .decode("latin-1")
 
     def names(self) -> List[str]:
         if self._names is None:
-            off = self.name_off
-            blob = self.name_blob
-            self._names = [
-                blob[off[i]:off[i + 1]].decode() for i in range(self.n_records)
-            ]
+            self._names = self.names_at(np.arange(self.n_records))
         return self._names
 
     def names_at(self, idx) -> List[str]:
