@@ -222,3 +222,46 @@ def test_native_firstfit_matches_python():
             sub[t].append(m)
             expect[m] = t
         np.testing.assert_array_equal(cids, expect)
+
+
+def test_python_backend_pipeline_matches_native(tmp_path):
+    """Full reconstruct on the pure-python BAM backend (plain-dict
+    chimeras -> the scalar hash_to_segments / d1_segs / chimera_to_bps
+    fallback branches) vs the native backend (flat segment index +
+    BpTable path): graph outputs must be byte-identical.  Guards the
+    fallback branches the flat-column pass kept."""
+    import os
+
+    import jax
+    import pytest
+
+    jax.config.update("jax_platforms", "cpu")
+    from coral_tpu.io.bam import BamFile
+    from coral_tpu.sim import simulate_ecdna
+
+    so = os.path.join(os.path.dirname(__file__), "..", "coral_tpu",
+                      "native", "libbamcore.so")
+    if not os.path.exists(so):
+        pytest.skip("native bamcore not built")
+    from coral_tpu.graph.breakpoint_graph import write_graph_file
+    from coral_tpu.reconstruct import Reconstruction
+
+    bam, cns, seeds = simulate_ecdna(str(tmp_path))
+    outs = {}
+    for backend in ("python", "native"):
+        rec = Reconstruction(BamFile(bam, backend=backend), seeds)
+        rec.read_cns(cns)
+        rec.collect()
+        rec.hash_to_segments()
+        rec.find_amplicon_intervals()
+        rec.find_smalldel_breakpoints()
+        rec.find_breakpoints()
+        rec.build_graph()
+        rec.assign_cov()
+        rec.compute_cn()
+        assert len(rec.graphs) == 1
+        path = str(tmp_path / f"out_{backend}_graph.txt")
+        write_graph_file(rec.graphs[0], path)
+        with open(path) as fh:
+            outs[backend] = fh.read()
+    assert outs["python"] == outs["native"]
