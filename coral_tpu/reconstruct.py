@@ -434,13 +434,17 @@ class Reconstruction:
         gstart = np.flatnonzero(gb)
         gend = np.append(gstart[1:], len(cc))
         ok = (gend - gstart) >= self.min_cluster_cutoff
-        names = store.names
         ref_names = store._ref_names
-        by_code: Dict[int, Dict[int, Set[str]]] = {}
+        # per-seg sets hold int READ SLOTS (int hashing beats string
+        # hashing at WGS counts); _find_interval_i materializes names
+        # only for the final per-candidate subset, sorted by name so the
+        # canonical processing order is unchanged
+        rr_l = rr.tolist()
+        by_code: Dict[int, Dict[int, Set[int]]] = {}
         for g in np.flatnonzero(ok):
             s0, e0 = int(gstart[g]), int(gend[g])
-            by_code.setdefault(int(cc[s0]), {})[int(ss[s0])] = {
-                names[int(r)] for r in rr[s0:e0]}
+            by_code.setdefault(int(cc[s0]), {})[int(ss[s0])] = \
+                set(rr_l[s0:e0])
         return {ref_names[int(c)]: by_code[int(c)]
                 for c in code_order if int(c) in by_code}
 
@@ -536,9 +540,15 @@ class Reconstruction:
                               if cfg_b.nm_filter else None)
                     # sorted read order: the reference iterates a set here
                     # (arbitrary per-process order under str-hash
-                    # randomization); canonical order makes runs
-                    # reproducible across processes
-                    subset = sorted(nint_[-1])
+                    # randomization); canonical NAME order makes runs
+                    # reproducible across processes.  The segment-index
+                    # path accumulates int slots; materialize names here.
+                    if self._segidx is not None and nint_[-1] \
+                            and not isinstance(next(iter(nint_[-1])), str):
+                        _names = self.chimeras.names
+                        subset = sorted(_names[s] for s in nint_[-1])
+                    else:
+                        subset = sorted(nint_[-1])
                     from .ops.breakpoints import (call_consensus_bp_t,
                                                   cluster_breakpoints_t)
                     from .ops.chimera import ChimeraStore
