@@ -492,15 +492,12 @@ def call_consensus_bp(
         # the value equals the sequential python-int accumulation above)
         p1a = np.asarray([int(b[1]) for b in cluster], np.int64)
         p2a = np.asarray([int(b[4]) for b in cluster], np.int64)
-
-        def _exact_sum(v):
-            return int(sum(int(x) for x in np.add.reduceat(
-                v, range(0, len(v), 127))))
-
-        a1 = _exact_sum(p1a)
-        a2 = _exact_sum(p2a)
-        q1sum = _exact_sum(p1a * p1a)
-        q2sum = _exact_sum(p2a * p2a)
+        # shared with the table path so both stay value-identical at
+        # large-genome coordinates (chunk cap guards p*p overflow)
+        a1 = _exact_int_sum(p1a)
+        a2 = _exact_int_sum(p2a)
+        q1sum = _exact_int_sum(p1a * p1a)
+        q2sum = _exact_int_sum(p2a * p2a)
     else:
         a1 = a2 = q1sum = q2sum = 0
         for b in cluster:
@@ -673,12 +670,23 @@ def _code_to_name():
 
 
 def _exact_int_sum(v: np.ndarray) -> int:
-    """Exact integer sum of an int64 array whose 127-element chunk sums
-    cannot overflow (equals python-int sequential accumulation)."""
+    """Exact integer sum of an int64 array (equals python-int sequential
+    accumulation).
+
+    Chunk size is capped so per-chunk int64 partial sums cannot
+    overflow: for squared coordinates p*p the historical fixed chunk of
+    127 overflows 2^63 once p > ~2.69e8 (safe for human chr1 at 2.49e8,
+    not for wheat/axolotl-scale references).  For human-scale values
+    (max <= 7.26e16) the cap resolves to the same 127, so results are
+    unchanged where the old code was already exact."""
     if len(v) == 0:
         return 0
+    mx = int(np.abs(v).max())
+    chunk = 127 if mx == 0 else min(127, (2**63 - 1) // mx)
+    if chunk < 1:
+        return sum(int(x) for x in v)
     return int(sum(int(x) for x in np.add.reduceat(
-        v, range(0, len(v), 127))))
+        v, range(0, len(v), chunk))))
 
 
 def cluster_breakpoints_t(
@@ -819,7 +827,11 @@ def call_consensus_bp_t(
          zip(tb.ridx[midx].tolist(), tb.ti[midx].tolist(),
              tb.tj[midx].tolist())]
     if not reads:
-        return bp, reads, [0, 0, 0, 0, 0, 0], leftover
+        # zero-match consensus: empty leftover, matching the row path
+        # above and the reference (breakpoint_utilities.py:375-376) —
+        # returning the full cluster here makes the caller's
+        # `while len(remainder) >= cutoff` loop a fixed point (hang)
+        return bp, reads, [0, 0, 0, 0, 0, 0], leftover[:0]
     mp1 = tb.p1[midx]
     mp2 = tb.p2[midx]
     flips = tb.flip[midx] != 0

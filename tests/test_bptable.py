@@ -265,3 +265,69 @@ def test_python_backend_pipeline_matches_native(tmp_path):
         with open(path) as fh:
             outs[backend] = fh.read()
     assert outs["python"] == outs["native"]
+
+
+# -- ADVICE round-4 regressions -------------------------------------------
+
+def _mk_row(p1, p2, name, rgap=0, flip=0, q1=60, q2=60):
+    return ["chr1", p1, "+", "chr2", p2, "+", (name, 0, 1), rgap, flip,
+            q1, q2]
+
+
+def test_zero_match_consensus_empty_leftover():
+    """5-member cluster where the p1-mode and p2-mode come from different
+    members: no member matches the consensus at cutoff 100.  Both paths
+    must return reads=[] and an EMPTY leftover (reference
+    breakpoint_utilities.py:375-376) — a full leftover makes the caller's
+    ``while len(remainder) >= cutoff`` re-consensus loop a fixed point."""
+    rows = [_mk_row(1000, 5000, "r0"), _mk_row(1000, 5600, "r1"),
+            _mk_row(1300, 5300, "r2"), _mk_row(1400, 5300, "r3"),
+            _mk_row(1500, 5900, "r4")]
+    bp_r, reads_r, st_r, rem_r = call_consensus_bp(rows, 100)
+    assert reads_r == []
+    assert rem_r == []
+    tb = BpTable.from_rows(rows)
+    bp_t, reads_t, st_t, rem_t = call_consensus_bp_t(
+        tb, np.arange(5, dtype=np.int64), 100)
+    assert bp_t == bp_r
+    assert reads_t == []
+    assert st_t == st_r
+    assert len(rem_t) == 0
+    # the caller loop shape: must terminate
+    remainder = np.arange(5, dtype=np.int64)
+    iters = 0
+    while len(remainder) >= 3:
+        _, _, _, remainder = call_consensus_bp_t(tb, remainder, 100)
+        iters += 1
+        assert iters < 10
+
+
+def test_exact_int_sum_large_coordinates():
+    """Chunked p*p sums overflow int64 for p > ~2.69e8 at the historical
+    fixed chunk of 127; the max-guarded chunk must stay exact."""
+    from coral_tpu.ops.breakpoints import _exact_int_sum
+    rng = np.random.default_rng(0)
+    v = rng.integers(4 * 10**8, 2 * 10**9, 1000).astype(np.int64)
+    assert _exact_int_sum(v) == sum(int(x) for x in v)
+    assert _exact_int_sum(v * v) == sum(int(x) * int(x) for x in v)
+    assert _exact_int_sum(v[:0]) == 0
+
+
+def test_large_genome_consensus_row_table_parity():
+    """>512-member cluster at wheat-scale coordinates: the row path's
+    chunked branch and the table path share the guarded exact sum and
+    must agree with each other (and the moments with exact math)."""
+    rng = np.random.default_rng(5)
+    n = 600
+    p1 = rng.integers(5 * 10**8, 5 * 10**8 + 4000, n)
+    p2 = rng.integers(7 * 10**8, 7 * 10**8 + 4000, n)
+    rows = [_mk_row(int(a), int(b), "r%d" % i)
+            for i, (a, b) in enumerate(zip(p1, p2))]
+    bp_r, reads_r, st_r, rem_r = call_consensus_bp(rows, 100)
+    tb = BpTable.from_rows(rows)
+    bp_t, reads_t, st_t, rem_t = call_consensus_bp_t(
+        tb, np.arange(n, dtype=np.int64), 100)
+    assert bp_t == bp_r
+    assert reads_t == reads_r
+    assert st_t == st_r
+    assert [tb.row(int(k)) for k in rem_t] == rem_r
