@@ -232,19 +232,30 @@ def e2e_device_vs_host() -> dict:
 
 
 def e2e_wgs() -> dict:
-    """Round-4 directive 1: WGS-scale reconstruct with engine=auto on
-    the chip vs the forced-host engine — the auto route must flip to the
-    device by the product threshold rule (``resolve_engine``: n_pairs >=
-    device_pair_threshold on an accelerator backend), asserted from the
-    product route log, with byte-identical graph outputs.
+    """Round-5 directive 1: WGS-scale reconstruct, auto vs forced-host,
+    with the warm/cold split the round-4 bench lacked.  BENCH_r04
+    recorded the fixed-threshold auto rule flipping to the device into
+    an unpriced 280 s axon cold compile (26.3 s → 305.0 s end-to-end);
+    auto now routes by the measured cost model
+    (``coral_tpu.ops.routing``), and this bench records all three
+    regimes honestly:
 
-    Sample: the junction-heavy 10-chromosome build (~4.3M records,
-    ~1.5M chimeric pairs — tools/bench_wgs.build_junction_heavy).  The
-    breakpoints stage carries the engine difference; the stage split is
-    reported alongside the totals because the other stages (scan,
-    interval BFS, clustering/consensus) are identical host work in both
-    arms.  Cycle decomposition is skipped (``--skip_cycle_decomp``
-    product mode) — it is engine-independent host work.
+      host      — engine=numpy forced.
+      auto/cold — engine=auto with the kernel-bucket registry cold: the
+                  cost model must keep the route on host (a 48–271 s
+                  compile can never amortize inside this stage) —
+                  asserted.
+      auto/warm — after warming the device bucket through the product
+                  dispatch (one ``score_pairs_l(engine='jax')`` call,
+                  paid OUTSIDE the timed arms, reported as
+                  ``e2e_wgs_warmup_s``), auto re-decides on measured
+                  transfer bandwidth vs measured host rate.  Whichever
+                  way it routes, the decision reason is recorded and
+                  outputs stay byte-identical.
+
+    Route/scoring sub-times come from the API route records
+    (``ops.pairs.ROUTE_RECORDS``), not log-string scraping.  Cycle
+    decomposition is skipped (engine-independent host work).
     """
     import os
     import sys
@@ -253,6 +264,9 @@ def e2e_wgs() -> dict:
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "tools"))
     import bench_wgs
+    import numpy as _np
+
+    from coral_tpu.ops import routing
 
     out = {}
     with tempfile.TemporaryDirectory() as td:
@@ -262,43 +276,103 @@ def e2e_wgs() -> dict:
         out["e2e_wgs_build_s"] = round(time.perf_counter() - t0, 1)
         # throwaway warm-up scan so neither timed arm pays the file-cache
         # and first-touch-paging cold costs (they differ 3x on this
-        # microVM and would confound the host-vs-device comparison)
+        # microVM and would confound the host-vs-device comparison);
+        # likewise pre-measure the route calibration (a once-per-process
+        # product cost) so the arms compare like-for-like
         from coral_tpu.io.bam import BamFile
 
         BamFile(bam).close()
-        host_stages, host_routes, host_files, _ = bench_wgs.run_staged(
+        # the bench process has already dispatched to the chip (headline
+        # kernels), so measuring the link here is fast — the ~200 s
+        # first-transfer session cost is not re-paid
+        cal = routing.get_calibration(measure_device=True)
+        out["e2e_wgs_route_calibration"] = {
+            "host_Mpairs_per_s": round(cal.host_pairs_per_s / 1e6, 2),
+            "pack_Mpairs_per_s": round(cal.pack_pairs_per_s / 1e6, 1),
+            "put_MB_per_s": round(cal.put_bytes_per_s / 1e6, 1),
+            "rtt_ms": round(cal.rpc_latency_s * 1e3, 1),
+            "measured": cal.measured,
+            "transfer_measured": cal.transfer_measured,
+        }
+
+        host_stages, _, host_files, _, host_recs = bench_wgs.run_staged(
             bam, cns, seeds, os.path.join(td, "host"), engine="numpy",
             skip_cycles=True)
-        auto_stages, auto_routes, auto_files, _ = bench_wgs.run_staged(
-            bam, cns, seeds, os.path.join(td, "auto"), engine="auto",
+        routing._warm_buckets.clear()   # deterministic cold state
+        cold_stages, _, cold_files, _, cold_recs = bench_wgs.run_staged(
+            bam, cns, seeds, os.path.join(td, "cold"), engine="auto",
             skip_cycles=True)
-        flipped = any("engine=jax" in r or "engine=pallas" in r
-                      for r in auto_routes)
-        host_routed = any("engine=numpy" in r for r in host_routes)
-        identical = list(host_files.values()) == list(auto_files.values())
 
-        def scored_s(routes):
-            for r in routes:
-                if "scored" in r:
-                    return float(r.rsplit(" ", 1)[-1].rstrip("s"))
-            return None
+        def main_rec(recs):
+            # the whole-table find_breakpoints pass (largest pair count)
+            return max(recs, key=lambda r: r.n_pairs) if recs else None
 
+        cold_main = main_rec(cold_recs)
+        # warm the exact bucket the auto route would dispatch, through
+        # the product path, outside the timed arms
+        t0 = time.perf_counter()
+        n_pairs = cold_main.n_pairs if cold_main else 1_500_000
+        rng = _np.random.default_rng(0)
+        n_aln = 2 * n_pairs
+        from coral_tpu.ops.pairs import ChimeraTable, score_pairs_l
+
+        tb = ChimeraTable(
+            ["w%d" % i for i in range(n_pairs)],
+            _np.arange(0, n_aln + 1, 2, dtype=_np.int32),
+            rng.integers(0, 30000, n_aln).astype(_np.int64),
+            rng.integers(30000, 60000, n_aln).astype(_np.int64),
+            rng.integers(0, 24, n_aln).astype(_np.int32),
+            rng.integers(0, 2 * 10**8, n_aln).astype(_np.int64),
+            rng.integers(0, 2 * 10**8, n_aln).astype(_np.int64),
+            rng.choice(_np.array([-1, 1], _np.int8), n_aln),
+            rng.integers(0, 61, n_aln).astype(_np.int32),
+            _np.zeros(n_aln, _np.float32))
+        # twice: the first call compiles + warms the bucket, the second
+        # records a clean observed warm-dispatch cost that the route
+        # decision then uses directly
+        score_pairs_l(tb, [["chr1", 0, 3_000_000]], 100, 20, 100,
+                      np.inf, engine="jax")
+        score_pairs_l(tb, [["chr1", 0, 3_000_000]], 100, 20, 100,
+                      np.inf, engine="jax")
+        out["e2e_wgs_warmup_s"] = round(time.perf_counter() - t0, 1)
+
+        warm_stages, _, warm_files, _, warm_recs = bench_wgs.run_staged(
+            bam, cns, seeds, os.path.join(td, "warm"), engine="auto",
+            skip_cycles=True)
+        warm_main = main_rec(warm_recs)
+        host_main = main_rec(host_recs)
+
+        identical = (list(host_files.values()) == list(cold_files.values())
+                     == list(warm_files.values()))
+        host_s = host_stages["total"]
+        never_loses = (cold_stages["total"] <= host_s * 1.25 + 2.0
+                       and warm_stages["total"] <= host_s * 1.25 + 2.0)
         out.update({
-            "e2e_wgs_host_s": host_stages["total"],
-            "e2e_wgs_device_s": auto_stages["total"],
-            "e2e_wgs_bp_stage_host_s": host_stages["breakpoints"],
-            "e2e_wgs_bp_stage_device_s": auto_stages["breakpoints"],
-            # the engine-attributable sub-time: pack+transfer+predicate
-            # evaluation inside find_breakpoints (the rest of the stage
-            # — row emission, clustering, consensus — is identical host
-            # work in both arms)
-            "e2e_wgs_scoring_host_s": scored_s(host_routes),
-            "e2e_wgs_scoring_device_s": scored_s(auto_routes),
+            "e2e_wgs_host_s": host_s,
+            "e2e_wgs_auto_cold_s": cold_stages["total"],
+            "e2e_wgs_auto_warm_s": warm_stages["total"],
+            "e2e_wgs_device_warm_s": (
+                warm_stages["total"]
+                if warm_main and warm_main.engine != "numpy" else None),
+            "e2e_wgs_scoring_host_s": round(host_main.seconds, 3)
+            if host_main else None,
+            "e2e_wgs_scoring_cold_s": round(cold_main.seconds, 3)
+            if cold_main else None,
+            "e2e_wgs_scoring_warm_s": round(warm_main.seconds, 3)
+            if warm_main else None,
+            "e2e_wgs_cold_engine": cold_main.engine if cold_main else None,
+            "e2e_wgs_cold_reason": cold_main.reason if cold_main else None,
+            "e2e_wgs_warm_engine": warm_main.engine if warm_main else None,
+            "e2e_wgs_warm_reason": warm_main.reason if warm_main else None,
             "e2e_wgs_stages_host": host_stages,
-            "e2e_wgs_stages_device": auto_stages,
-            "e2e_wgs_auto_route": auto_routes[:2],
-            "e2e_wgs_route_flipped_to_device": flipped,
-            "e2e_wgs_host_route_asserted": host_routed,
+            "e2e_wgs_stages_auto_cold": cold_stages,
+            "e2e_wgs_stages_auto_warm": warm_stages,
+            # the round-5 contract: the cold auto arm must have stayed
+            # on host (cost model pricing the compile), and no auto arm
+            # may lose materially to the forced-host arm
+            "e2e_wgs_cold_stayed_host": (
+                cold_main.engine == "numpy" if cold_main else None),
+            "e2e_wgs_auto_never_loses": never_loses,
             "e2e_wgs_outputs_identical": identical,
         })
     return out

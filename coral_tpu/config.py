@@ -117,14 +117,18 @@ class EngineConfig:
     ``ops.pairs.score_pairs_l``: ``numpy`` (host), ``jax`` (XLA device
     program; on a TPU backend with the NM gate off this self-routes to
     the Pallas kernel), ``pallas`` (force the Mosaic kernel), or ``auto``.
-    ``auto`` = numpy below ``device_pair_threshold`` pairs or when no
-    accelerator backend is present, device above it.  The threshold is
-    sized from measured amortization (BENCH_r02 / BASELINE.md): host
-    numpy scores ~3 M pairs/s single-thread while a device dispatch is
-    ~0.3 ms/2M pairs, but each NEW compiled shape costs 20 s-5 min
-    (axon); the device route bucket-pads to power-of-two shapes so a
-    pipeline pays a handful of compiles, and below ~1M pairs the host
-    finishes before a single compile would.
+    ``auto`` resolves through the measured cost model
+    (``ops.routing.decide``): host rate and host→device transfer
+    bandwidth are measured once per process, a cold accelerator compile
+    (measured 48–271 s/shape on the remote axon backend; ~20–40 s
+    directly attached) is priced in unless the bucketed kernel shape is
+    already warm in-process, and the device wins only when
+    ``move_bytes/put_bw + rtt + dispatch + compile < n_pairs/host_rate``.
+    Round 4 used a fixed 1M-pair threshold instead; BENCH_r04 recorded
+    it flipping to the device into an unpriced cold compile (26 s →
+    305 s end-to-end) — the cost model exists so `auto` can never lose
+    that way.  Set ``device_pair_threshold`` to a pair count to restore
+    the fixed-threshold rule (tests and calibrated deployments).
 
     ``cn_engine`` picks the CN-balance solver engine
     (``graph.cn_solver``): ``numpy`` (f64 damped-Newton), ``jax``
@@ -138,7 +142,12 @@ class EngineConfig:
     """
     engine: str = "auto"              # auto | numpy | jax | pallas
     cn_engine: str = "auto"           # auto | numpy | jax | batch
-    device_pair_threshold: int = 1 << 20
+    # None = measured cost-model routing (ops.routing); an int restores
+    # the legacy fixed-threshold rule
+    device_pair_threshold: "int | None" = None
+    # conservative cold-compile estimate priced into the auto route when
+    # the kernel bucket has not yet compiled in this process
+    compile_cold_s: float = 240.0
     cn_batch_threshold: int = 32
 
 

@@ -107,6 +107,24 @@ def adjacent_pair_indices(read_off: np.ndarray) -> Tuple[np.ndarray, np.ndarray]
     return i[keep], i[keep] + 1
 
 
+@dataclass
+class RouteRecord:
+    """One engine-routing decision + its measured scoring time (appended
+    by :func:`find_breakpoints_device`; the bench and tools read these
+    instead of scraping route-log strings)."""
+    engine: str
+    n_pairs: int
+    seconds: float
+    reason: str
+
+
+ROUTE_RECORDS: List[RouteRecord] = []
+
+
+def clear_route_records() -> None:
+    ROUTE_RECORDS.clear()
+
+
 @partial(jax.jit, static_argnames=())
 def _pair_predicates(
     # pair columns (i = left alignment, j = right alignment)
@@ -129,23 +147,52 @@ def _pair_predicates(
 
 
 def resolve_engine(engine: str, n_pairs: int,
-                   device_pair_threshold: int = 1 << 20) -> str:
+                   device_pair_threshold: Optional[int] = None) -> str:
     """Resolve an ``auto`` engine request to a concrete scoring engine.
 
-    ``auto`` = host numpy below ``device_pair_threshold`` pairs or when no
-    accelerator backend is present; the jitted device program above it
-    (which self-routes to the Pallas kernel on a TPU backend with the NM
-    gate off).  Sizing rationale in :class:`coral_tpu.config.EngineConfig`.
+    With ``device_pair_threshold`` set (legacy rule): host numpy below
+    the threshold, the device program above it on an accelerator
+    backend.  With the default ``None``, ``auto`` resolves through the
+    measured cost model (:func:`coral_tpu.ops.routing.decide`): transfer
+    bandwidth, host rate and cold-compile state are priced against each
+    other, so the route can never pay an unamortized accelerator compile
+    it didn't price in (BENCH_r04 recorded the threshold rule flipping
+    to the device and losing 26 s → 305 s on exactly that cliff).
+    Sizing rationale in :class:`coral_tpu.config.EngineConfig`.
     """
+    return resolve_engine_ex(engine, n_pairs, device_pair_threshold)[0]
+
+
+def resolve_engine_ex(
+    engine: str, n_pairs: int,
+    device_pair_threshold: Optional[int] = None,
+    min_bp_match_cutoff: int = 100, gap_: float = 100.0,
+    max_nm: float = np.inf, n_intervals: int = 16,
+    compile_cold_s: Optional[float] = None,
+) -> Tuple[str, str]:
+    """:func:`resolve_engine` with the decision reason (for route logs
+    and the bench's route assertions)."""
     if engine != "auto":
-        return engine
-    if n_pairs < device_pair_threshold:
-        return "numpy"
+        return engine, "forced"
     try:
         backend = jax.default_backend()
     except Exception:
-        return "numpy"
-    return "numpy" if backend == "cpu" else "jax"
+        return "numpy", "no jax backend"
+    if backend == "cpu":
+        return "numpy", "cpu-only backend"
+    if device_pair_threshold is not None:
+        if n_pairs < device_pair_threshold:
+            return "numpy", f"n_pairs {n_pairs} < threshold " \
+                            f"{device_pair_threshold}"
+        return "jax", f"n_pairs {n_pairs} >= threshold " \
+                      f"{device_pair_threshold}"
+    from . import routing
+
+    return routing.decide(
+        n_pairs, min_bp_match_cutoff, gap_, max_nm, n_intervals,
+        compile_cold_s=(routing.DEFAULT_COMPILE_COLD_S
+                        if compile_cold_s is None else compile_cold_s),
+        backend=backend)
 
 
 def find_breakpoints_device(
@@ -159,7 +206,8 @@ def find_breakpoints_device(
     mesh=None,
     mesh_axis: str = "dp",
     engine: str = "auto",
-    device_pair_threshold: int = 1 << 20,
+    device_pair_threshold: Optional[int] = None,
+    compile_cold_s: Optional[float] = None,
     as_table: bool = False,
 ) -> List[list]:
     """Whole-table breakpoint extraction with device predicate evaluation.
@@ -203,16 +251,25 @@ def find_breakpoints_device(
         import time as _time
 
         n_pairs = max(table.n_alignments - len(table.read_names), 0)
-        engine = resolve_engine(engine, n_pairs, device_pair_threshold)
+        nm_resolved = np.inf if max_nm is None else max_nm
+        engine, reason = resolve_engine_ex(
+            engine, n_pairs, device_pair_threshold,
+            min_bp_match_cutoff, gap_, nm_resolved, len(intervals),
+            compile_cold_s=compile_cold_s)
         logging.getLogger(__name__).info(
-            "pair scoring route: engine=%s (%d pairs)", engine, n_pairs)
+            "pair scoring route: engine=%s (%d pairs; %s)",
+            engine, n_pairs, reason)
         _t0 = _time.perf_counter()
         pi, pj, hits = score_pairs_l(
             table, intervals, min_bp_match_cutoff, min_mapq, gap_,
-            np.inf if max_nm is None else max_nm, engine=engine)
+            nm_resolved, engine=engine)
+        _dt = _time.perf_counter() - _t0
         logging.getLogger(__name__).info(
             "pair scoring route: engine=%s scored %d pairs in %.3fs",
-            engine, n_pairs, _time.perf_counter() - _t0)
+            engine, n_pairs, _dt)
+        # API-level route record (bench reads this instead of scraping
+        # the log-line format)
+        ROUTE_RECORDS.append(RouteRecord(engine, n_pairs, _dt, reason))
     # per-pair hit mask back into per-read slices
     hit_by_row = np.zeros(max(table.n_alignments, 1), bool)
     hit_by_row[pi] = hits
@@ -729,12 +786,19 @@ def score_pairs_l(
             "(max_nm=%s); falling back to the XLA engine", max_nm)
         engine = "jax"
     if engine == "pallas":
+        from . import routing
+        from ..compile_cache import enable_persistent_cache
         from .pallas_kernels import (LANES, _bucket_rows,
                                      pair_predicates_pallas,
                                      pair_predicates_pallas_packed,
                                      pair_predicates_pallas_packed3)
         from .scoring import MAX_PACKED2_INTERVALS, pack_pairs3_host
 
+        enable_persistent_cache()
+
+        import time as _time
+
+        _t0 = _time.perf_counter()
         interpret = jax.default_backend() != "tpu"
         n_out = _bucket_rows(pi.size) * LANES
         if len(int_chrom) <= MAX_PACKED2_INTERVALS:
@@ -762,6 +826,13 @@ def score_pairs_l(
                 packed3, pi.size,
                 min_bp_match_cutoff=min_bp_match_cutoff,
                 gap_=float(gap_), interpret=interpret)
+            key = ("pair3", _bucket_rows(pi.size),
+                   int(min_bp_match_cutoff), float(gap_))
+            # observed cost feeds the route model only once warm (the
+            # first call's compile would poison the estimate)
+            routing.mark_warm(
+                key, observed_s=(_time.perf_counter() - _t0
+                                 if routing.is_warm(key) else None))
             return pi, pj, hit
         # > 8190 intervals: fall back to the 6-column kernel (in-kernel
         # interval scan; the gate index no longer fits the meta2 word)
@@ -784,6 +855,11 @@ def score_pairs_l(
                 min_bp_match_cutoff=min_bp_match_cutoff,
                 min_mapq=int(math.ceil(min_mapq)),
                 gap_=float(gap_), interpret=interpret)
+            key = ("pair6", _bucket_rows(pi.size),
+                   int(min_bp_match_cutoff), float(gap_))
+            routing.mark_warm(
+                key, observed_s=(_time.perf_counter() - _t0
+                                 if routing.is_warm(key) else None))
             return pi, pj, hit
         cols = {
             "qi_end": table.q_end[pi], "qj_start": table.q_start[pj],
@@ -803,7 +879,15 @@ def score_pairs_l(
             interpret=interpret)
         return pi, pj, hit
     hits = np.zeros(pi.size, bool)
-    fn = _pair_predicates if engine == "jax" else _pair_predicates_numpy
+    use_jax = engine == "jax"
+    if use_jax:
+        import time as _time
+
+        from ..compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
+        _t0 = _time.perf_counter()
+    fn = _pair_predicates if use_jax else _pair_predicates_numpy
     nm_col = table.nm
     if np.isinf(max_nm):
         # gate-off contract owned HERE (not per caller): zero nm + inf
@@ -814,14 +898,43 @@ def score_pairs_l(
     for lo in range(0, pi.size, batch):
         sl = slice(lo, min(lo + batch, pi.size))
         i, j = pi[sl], pj[sl]
-        hit, _ = fn(
+        n_sl = i.size
+        cols14 = [
             table.q_end[i], table.q_start[j],
             table.chrom[i], table.r1[i], table.r2[i],
             table.strand[i].astype(np.int32), table.mapq[i], nm_col[i],
             table.chrom[j], table.r1[j], table.r2[j],
             table.strand[j].astype(np.int32), table.mapq[j], nm_col[j],
+        ]
+        if use_jax:
+            # bucket-pad the chunk so the XLA engine compiles at most
+            # ~log2(batch) shapes ever (a distinct shape per remainder
+            # costs a full accelerator compile — the BENCH_r04 cliff).
+            # Padding rows carry chrom -1, which matches no interval
+            # (hit requires io_i >= 0), so they are inert.
+            from .routing import _xla_bucket
+
+            pad_to = _xla_bucket(pi.size if pi.size >= batch else n_sl,
+                                 batch)
+            if pad_to > n_sl:
+                padded = []
+                for ci, a in enumerate(cols14):
+                    fill = -1 if ci in (2, 8) else 0   # chrom_i / chrom_j
+                    out = np.full(pad_to, fill, a.dtype)
+                    out[:n_sl] = a
+                    padded.append(out)
+                cols14 = padded
+        hit, _ = fn(
+            *cols14,
             int_chrom, int_start, int_end,
             min_bp_match_cutoff, min_mapq, float(gap_), float(max_nm),
         )
-        hits[sl] = np.asarray(hit)
+        hits[sl] = np.asarray(hit)[:n_sl]
+    if use_jax:
+        from . import routing
+
+        key = ("xla", routing._xla_bucket(pi.size, batch), len(int_chrom))
+        routing.mark_warm(
+            key, observed_s=(_time.perf_counter() - _t0
+                             if routing.is_warm(key) else None))
     return pi, pj, hits

@@ -838,6 +838,7 @@ class Reconstruction:
                 mesh=mesh, mesh_axis=self.cfg.parallel.dp_axis,
                 engine=self.cfg.engine.engine,
                 device_pair_threshold=self.cfg.engine.device_pair_threshold,
+                compile_cold_s=self.cfg.engine.compile_cold_s,
                 as_table=True)
         else:
             new_bp_list_ = []

@@ -226,3 +226,82 @@ def test_cn_auto_routes_to_batch_above_threshold(caplog):
     fmt = [["%f" % c for c in row] for row in batch_cns]
     fmt2 = [["%f" % c for c in row] for row in numpy_cns]
     assert fmt == fmt2
+
+
+def test_cost_model_routing(monkeypatch):
+    """Round-5 directive 1: auto resolves through the measured cost
+    model — cold compiles are priced in (host wins at WGS pair counts),
+    warm buckets flip to the device, and enormous inputs amortize even
+    a cold compile."""
+    import jax
+
+    from coral_tpu.ops import routing
+    from coral_tpu.ops.pairs import resolve_engine_ex
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("CORAL_TPU_NO_COMPILE_CACHE", "1")
+    cal = routing.RouteCalibration(
+        host_pairs_per_s=3e6, put_bytes_per_s=75e6, rpc_latency_s=25e-3,
+        transfer_measured=True)
+    routing.set_calibration(cal)
+    try:
+        routing._warm_buckets.clear()
+        # the BENCH_r04 shape: 1.5M pairs, cold bucket -> host (the cold
+        # compile can never be paid inside a ~0.5s host-equivalent stage)
+        eng, reason = resolve_engine_ex("auto", 1_500_000)
+        assert eng == "numpy" and "cold" in reason
+        # warm bucket -> device wins on the measured transfer numbers
+        key = routing.route_key(1_500_000, 100, 100.0, np.inf, 16,
+                                backend="tpu")
+        routing.mark_warm(key)
+        eng, reason = resolve_engine_ex("auto", 1_500_000)
+        assert eng == "jax" and "warm" in reason
+        # below the floor: no calibration needed, host
+        eng, reason = resolve_engine_ex("auto", 1000)
+        assert eng == "numpy" and "floor" in reason
+        # cold but enormous: compile amortizes, device
+        routing._warm_buckets.clear()
+        eng, reason = resolve_engine_ex("auto", 3_000_000_000)
+        assert eng == "jax" and "cold" in reason
+        # slow host / fast link flips the warm decision point downward
+        routing.set_calibration(routing.RouteCalibration(
+            host_pairs_per_s=1e6, put_bytes_per_s=1e9,
+            rpc_latency_s=1e-3, transfer_measured=True))
+        routing.mark_warm(key)
+        eng, _ = resolve_engine_ex("auto", 1_500_000)
+        assert eng == "jax"
+    finally:
+        routing.set_calibration(None)
+        routing._warm_buckets.clear()
+
+
+def test_xla_engine_marks_bucket_warm(monkeypatch):
+    """The product XLA dispatch records its bucket so a later auto
+    decision sees it warm; chunk padding keeps results identical (the
+    parity test above already pins rows; here the registry)."""
+    from coral_tpu.ops import routing
+
+    routing._warm_buckets.clear()
+    chimeras, intervals = _junction_chimeras()
+    find_breakpoints_device(
+        chimeras, intervals, min_bp_match_cutoff=100, min_mapq=20,
+        gap_=100, engine="jax")
+    assert any(k[0] == "xla" for k in routing._warm_buckets)
+    routing._warm_buckets.clear()
+
+
+def test_route_records_api():
+    """find_breakpoints_device appends API-level route records (bench
+    reads these instead of scraping log strings)."""
+    from coral_tpu.ops import pairs as pairs_mod
+
+    pairs_mod.clear_route_records()
+    chimeras, intervals = _junction_chimeras()
+    find_breakpoints_device(
+        chimeras, intervals, min_bp_match_cutoff=100, min_mapq=20,
+        gap_=100, engine="numpy")
+    assert len(pairs_mod.ROUTE_RECORDS) == 1
+    rec = pairs_mod.ROUTE_RECORDS[0]
+    assert rec.engine == "numpy" and rec.n_pairs == len(chimeras)
+    assert rec.seconds >= 0 and rec.reason == "forced"
+    pairs_mod.clear_route_records()

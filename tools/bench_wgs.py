@@ -106,18 +106,25 @@ def build_junction_heavy(out_dir):
 
 def run_staged(bam, cns, seeds, prefix, engine="auto", skip_cycles=False):
     """One staged reconstruct run; returns (stages dict, route log lines,
-    output file map)."""
+    output file map, n_amplicons, route records).
+
+    Route records are the API-level :class:`coral_tpu.ops.pairs
+    .RouteRecord` entries this run appended (engine, pair count, measured
+    scoring seconds, decision reason) — the bench consumes these instead
+    of scraping log-line formats."""
     import logging
 
     from coral_tpu.config import DEFAULT_CONFIG
     import dataclasses
 
     from coral_tpu.io.bam import BamFile
+    from coral_tpu.ops import pairs as pairs_mod
     from coral_tpu.reconstruct import Reconstruction, reconstruct_cycles
 
     cfg = DEFAULT_CONFIG.replace(
         engine=dataclasses.replace(DEFAULT_CONFIG.engine, engine=engine))
     routes = []
+    rec_start = len(pairs_mod.ROUTE_RECORDS)
 
     class Capture(logging.Handler):
         def emit(self, record):
@@ -179,7 +186,8 @@ def run_staged(bam, cns, seeds, prefix, engine="auto", skip_cycles=False):
                 ("_graph.txt", "_cycles.txt")):
             with open(os.path.join(d, f)) as fh:
                 files[f] = fh.read()
-    return stages, routes, files, n_amp
+    return stages, routes, files, n_amp, \
+        pairs_mod.ROUTE_RECORDS[rec_start:]
 
 
 def main():
@@ -201,7 +209,7 @@ def main():
     runs = []
     for r in range(max(args.repeat, 1)):
         prefix = os.path.join(args.out, f"wgs_out_r{r}")
-        stages, routes, files, n_amp = run_staged(
+        stages, routes, files, n_amp, _ = run_staged(
             bam, cns, seeds, prefix, engine=args.engine,
             skip_cycles=args.junction_heavy)
         runs.append(stages)
