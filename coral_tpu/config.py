@@ -105,6 +105,12 @@ class CycleConfig:
     colgen: bool = True
     colgen_rounds: int = 8
     colgen_pricing_states: int = 200_000
+    # branch-and-price (cycles/colgen.branch_and_price): when the LP
+    # gap after column generation stays positive, branch on fractional
+    # master columns to bound/certify the INTEGER optimum (the
+    # reference contrast is Gurobi's in-solver branch-and-bound)
+    branch_and_price: bool = True
+    bnp_max_nodes: int = 24
 
 
 @dataclass(frozen=True)
@@ -133,12 +139,14 @@ class EngineConfig:
     ``cn_engine`` picks the CN-balance solver engine
     (``graph.cn_solver``): ``numpy`` (f64 damped-Newton), ``jax``
     (CPU-f64 jit), ``batch`` (padded vmap over amplicons,
-    mesh-shardable), or ``auto`` (resolved by
+    mesh-shardable; digit-exact on every backend since round 5 — f64
+    working precision with f32-LU + f64-iterative-refinement KKT
+    solves where the backend lacks f64 LU), or ``auto`` (resolved by
     ``cn_solver.resolve_cn_engine``: the batch engine at >=
     ``cn_batch_threshold`` amplicons on f64 backends, jax-f64 below it,
-    numpy f64 on a TPU-only process — the TPU backend has no f64 LU and
-    the cvxopt contract is digit-exact, so the f32 on-TPU batch solve is
-    opt-in).
+    numpy f64 on a TPU-only process for compile economics — tiny
+    systems solve in microseconds on host while a remote-backend
+    compile costs minutes).
     """
     engine: str = "auto"              # auto | numpy | jax | pallas
     cn_engine: str = "auto"           # auto | numpy | jax | batch

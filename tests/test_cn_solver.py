@@ -204,3 +204,45 @@ def test_batched_solve_sharded_mesh():
         for ea, eb in zip(ga.discordant_edges, gb.discordant_edges):
             assert eb.cn == pytest.approx(ea.cn, rel=1e-5, abs=1e-5)
         assert gb.max_cn == pytest.approx(ga.max_cn, rel=1e-5)
+
+
+def test_mixed_precision_refinement_digit_exact():
+    """Round-5 directive 4: the f32-LU + f64-iterative-refinement KKT
+    path (the on-TPU batch route — the TPU backend has no f64 LU) must
+    be digit-exact vs the f64 host engine.  Exercised here on CPU by
+    forcing mixed_lu=True; the graph.txt %f-digit contract plus a tight
+    relative check."""
+    import jax
+
+    from coral_tpu.graph.cn_solver import _solve_kkt_newton
+
+    rng = np.random.default_rng(11)
+    for k in (3, 5, 8, 12):
+        w2, w1, w0, A = _random_system(rng, k)
+        x_ref = solve_cn_balance(w2, w1, w0, A, engine="numpy")
+        with jax.enable_x64(True):
+            x_mixed, _ = _solve_kkt_newton(
+                np.asarray(w2), np.asarray(w1), np.asarray(w0),
+                np.asarray(A), mixed_lu=True)
+            x_mixed = np.asarray(x_mixed)
+        np.testing.assert_allclose(x_mixed, x_ref, rtol=1e-9, atol=1e-9)
+        # the emitted-digit contract (graph.txt writes %f = 6 decimals;
+        # CN = 2x): every digit equal
+        assert ["%f" % (2 * v) for v in x_mixed] == \
+               ["%f" % (2 * v) for v in x_ref]
+
+
+def test_batch_engine_f64_everywhere():
+    """solve_cn_balance_batch now runs f64 working precision on every
+    backend; results must match the per-system f64 numpy engine to
+    emitted digits (was rtol 1e-4 with the old f32 opt-in batch)."""
+    from coral_tpu.graph.cn_solver import solve_cn_balance_batch
+
+    rng = np.random.default_rng(17)
+    systems = [_random_system(rng, k) for k in (3, 7, 12, 5, 9)]
+    xs = solve_cn_balance_batch(systems)
+    for (w2, w1, w0, A), x in zip(systems, xs):
+        x_ref = solve_cn_balance(w2, w1, w0, A, engine="numpy")
+        np.testing.assert_allclose(x, x_ref, rtol=1e-9, atol=1e-9)
+        assert ["%f" % (2 * v) for v in x] == \
+               ["%f" % (2 * v) for v in x_ref]
