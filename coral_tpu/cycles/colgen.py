@@ -79,6 +79,42 @@ def _candidate_satisfies(cand_edges: Dict[tuple, int],
 BIG_M = 1e4   # per-unit cost of the phase-1 row slacks (see below)
 
 
+def _col_wmax(g, cnk: Dict[tuple, int]) -> float:
+    """The column's own maximum weight: min over its edges of
+    cn_e / count_e, capped at max_cn.
+
+    In the integer model ``w_i <= wmax_i * z_i`` is VALID (the shared CN
+    cap rows imply ``w_i <= cn_e / cnt_i(e)`` for every edge the column
+    uses, all other terms being nonnegative), and it strictly tightens
+    the naive ``w_i <= max_cn * z_i`` link whenever the column's
+    cap-implied weight is below max_cn — which is the common case.
+    Round-5 finding: with the naive link the master LP bought 100%
+    coverage from one high-multiplicity column at z = w/max_cn ≈ 0.15,
+    leaving an irreducible ~0.85 LP-vs-integer gap that no amount of
+    column branching could close; with the lifted link the same column
+    prices at z = 1 and the root LP REACHES the integer optimum on the
+    dense test graphs."""
+    cn_of = _cn_table(g)
+    wmax = float(g.max_cn)
+    for key, cnt in cnk.items():
+        if cnt > 0:
+            wmax = min(wmax, cn_of[key] / cnt)
+    return max(wmax, 0.0)
+
+
+def _cn_table(g) -> Dict[tuple, float]:
+    cn_of: Dict[tuple, float] = {}
+    for i, e in enumerate(g.sequence_edges):
+        cn_of[("s", i)] = e.cn
+    for i, e in enumerate(g.concordant_edges):
+        cn_of[("c", i)] = e.cn
+    for i, e in enumerate(g.discordant_edges):
+        cn_of[("d", i)] = e.cn
+    for i, e in enumerate(g.source_edges):
+        cn_of[("src", i)] = e.cn
+    return cn_of
+
+
 @dataclass
 class LpRelaxation:
     """LP solution + duals of the pool selection model."""
@@ -99,6 +135,7 @@ def solve_lp_relaxation(
     g, candidates: List[Candidate], total_weights: float,
     pc_list: List[Dict[tuple, int]], k: int,
     p_total_weight: float, p_bp_cn: Optional[float],
+    forced: frozenset = frozenset(), banned: frozenset = frozenset(),
 ) -> Optional[LpRelaxation]:
     """Sparse Dantzig-Wolfe master LP over the pool.
 
@@ -120,6 +157,13 @@ def solve_lp_relaxation(
     ``BIG_M`` — the slack's dual pressure is what drives pricing toward
     the missing walks, and the slacked model is a relaxation of the
     original, so the Lagrangian bound stays valid either way.
+
+    ``forced``/``banned`` (candidate ``edges`` keys) implement
+    branch-and-price node constraints: a forced column is pinned to
+    z = 1 (equality row a_i + b_i = 1), a banned one to z = 0 (bounds).
+    Both are COLUMN-PRIVATE constraints: walks outside the pool have
+    zero coefficient in them, so the pricing functional and the
+    Lagrangian bound argument are untouched at every node.
     """
     m = len(candidates)
     npc = len(pc_list)
@@ -129,10 +173,11 @@ def solve_lp_relaxation(
     info = []
     for c in candidates:
         edges = c.edge_dict()
-        info.append((c, _cn_keys(edges),
+        cnk = _cn_keys(edges)
+        info.append((c, cnk,
                      [pi for pi, pc in enumerate(pc_list)
                       if _candidate_satisfies(edges, pc)],
-                     sum(edges.values())))
+                     sum(edges.values()), _col_wmax(g, cnk)))
 
     rows_i: List[int] = []
     cols_i: List[int] = []
@@ -160,40 +205,32 @@ def solve_lp_relaxation(
         add(r, slack_base + next_slack[0], -max(rhs_mag, 1e-9))
         next_slack[0] += 1
 
-    # coverage: -sum seq_w * max_cn * b <= -p_total * total
+    # coverage: -sum seq_w * wmax_i * b <= -p_total * total
     cov_row = row
-    for i, (c, _, _, _) in enumerate(info):
-        add(row, m + i, -c.seq_weight * mc)
+    for i, (c, _, _, _, wm) in enumerate(info):
+        add(row, m + i, -c.seq_weight * wm)
     add_slack(row, p_total_weight * total_weights)
     b_ub.append(-p_total_weight * total_weights)
     row += 1
-    # CN caps: sum cnk * max_cn * b <= cn
-    cn_of = {}
-    for i, e in enumerate(g.sequence_edges):
-        cn_of[("s", i)] = e.cn
-    for i, e in enumerate(g.concordant_edges):
-        cn_of[("c", i)] = e.cn
-    for i, e in enumerate(g.discordant_edges):
-        cn_of[("d", i)] = e.cn
-    for i, e in enumerate(g.source_edges):
-        cn_of[("src", i)] = e.cn
-    all_keys = sorted({key for (_, cnk, _, _) in info for key in cnk},
+    # CN caps: sum cnk * wmax_i * b <= cn
+    cn_of = _cn_table(g)
+    all_keys = sorted({key for (_, cnk, _, _, _) in info for key in cnk},
                       key=repr)
     cap_rows = {}
     for key in all_keys:
-        for i, (_, cnk, _, _) in enumerate(info):
+        for i, (_, cnk, _, _, wm) in enumerate(info):
             if key in cnk:
-                add(row, m + i, float(cnk[key]) * mc)
+                add(row, m + i, float(cnk[key]) * wm)
         b_ub.append(float(cn_of[key]))
         cap_rows[key] = row
         row += 1
-    # discordant floors: -sum dcnt * max_cn * b <= -p_bp * cn_d
+    # discordant floors: -sum dcnt * wmax_i * b <= -p_bp * cn_d
     disc_rows = {}
     if p_bp_cn is not None:
         for d in range(len(g.discordant_edges)):
-            for i, (_, cnk, _, _) in enumerate(info):
+            for i, (_, cnk, _, _, wm) in enumerate(info):
                 if ("d", d) in cnk:
-                    add(row, m + i, -float(cnk[("d", d)]) * mc)
+                    add(row, m + i, -float(cnk[("d", d)]) * wm)
             add_slack(row, p_bp_cn * g.discordant_edges[d].cn)
             b_ub.append(-p_bp_cn * g.discordant_edges[d].cn)
             disc_rows[d] = row
@@ -201,7 +238,7 @@ def solve_lp_relaxation(
     # subpath constraints: -sum_{i sat p} (a_i + b_i) <= -1
     pc_rows = []
     for p in range(npc):
-        for i, (_, _, sat, _) in enumerate(info):
+        for i, (_, _, sat, _, _) in enumerate(info):
             if p in sat:
                 add(row, i, -1.0)
                 add(row, m + i, -1.0)
@@ -212,24 +249,44 @@ def solve_lp_relaxation(
     assert next_slack[0] == nslack
 
     c_vec = np.zeros(nvar)
-    for i, (c, _, _, n_edges) in enumerate(info):
+    for i, (c, _, _, n_edges, wm) in enumerate(info):
         zc = 1.0 + EPS_EDGE * n_edges
         c_vec[i] = zc
-        c_vec[m + i] = zc - mc * c.seq_weight / total_weights
+        c_vec[m + i] = zc - wm * c.seq_weight / total_weights
     c_vec[slack_base:] = BIG_M
     A = sparse.csr_matrix(
         (vals, (rows_i, cols_i)), shape=(row, nvar))
     bounds = [(0.0, float(k))] * (2 * m) + [(0.0, 1.0)] * nslack
+    eq_rows_i: List[int] = []
+    eq_cols_i: List[int] = []
+    eq_vals: List[float] = []
+    b_eq: List[float] = []
+    if forced or banned:
+        for i, c in enumerate(candidates):
+            if c.edges in banned:
+                bounds[i] = bounds[m + i] = (0.0, 0.0)
+            elif c.edges in forced:
+                r = len(b_eq)
+                eq_rows_i += [r, r]
+                eq_cols_i += [i, m + i]
+                eq_vals += [1.0, 1.0]
+                b_eq.append(1.0)
+    eq_kw = {}
+    if b_eq:
+        eq_kw = dict(A_eq=sparse.csr_matrix(
+            (eq_vals, (eq_rows_i, eq_cols_i)), shape=(len(b_eq), nvar)),
+            b_eq=np.asarray(b_eq))
     res = linprog(c_vec, A_ub=A, b_ub=np.asarray(b_ub), bounds=bounds,
-                  method="highs")
+                  method="highs", **eq_kw)
     if res.status != 0 or res.x is None:
         return None
     y = np.asarray(res.ineqlin.marginals)
     a = res.x[:m]
     b = res.x[m: 2 * m]
+    wm_arr = np.asarray([t[4] for t in info])
     return LpRelaxation(
         status=res.status, objective=float(res.fun),
-        z=a + b, w=mc * b,
+        z=a + b, w=wm_arr * b,
         y_link=np.zeros(m),
         y_k=float(y[k_row]), y_cov=float(y[cov_row]),
         y_cap={key: float(y[r]) for key, r in cap_rows.items()},
@@ -266,17 +323,19 @@ def _edge_prices(g, lp: LpRelaxation, total_weights: float):
 def reduced_cost(cand_edges: Dict[tuple, int], is_cycle: bool,
                  g, lp: LpRelaxation, price: Dict[tuple, float],
                  pc_list: List[Dict[tuple, int]]) -> float:
-    """F = rc_z + max_cn * min(0, rc_w) for a candidate NOT in the pool
+    """F = rc_z + wmax * min(0, rc_w) for a candidate NOT in the pool
     (link-row dual 0): the minimum of the candidate pair's reduced cost
-    over its own (z, w) polytope vertex set {(1,0), (1,max_cn)} — the
-    entering condition is F < -tol."""
+    over its own (z, w) polytope vertex set {(1,0), (1,wmax)} — the
+    entering condition is F < -tol.  ``wmax`` is the candidate's own
+    cap-implied maximum weight (:func:`_col_wmax`), matching the lifted
+    master encoding."""
     n_edges = sum(cand_edges.values())
     rc_z = 1.0 + EPS_EDGE * n_edges - lp.y_k
     for p, pc in enumerate(pc_list):
         if lp.y_pc[p] < 0 and _candidate_satisfies(cand_edges, pc):
             rc_z += lp.y_pc[p]
     rc_w = sum(price[key] * cnt for key, cnt in cand_edges.items())
-    return rc_z + g.max_cn * min(0.0, rc_w)
+    return rc_z + _col_wmax(g, _cn_keys(cand_edges)) * min(0.0, rc_w)
 
 
 @dataclass
@@ -512,6 +571,7 @@ class ColGenResult:
     pricing_states: int
     infeasible: bool = False
     slack_total: float = 0.0      # residual phase-1 slack at the last LP
+    lp: Optional[LpRelaxation] = None   # final master LP (z aligned to pool)
 
 
 def column_generate(
@@ -519,6 +579,7 @@ def column_generate(
     pc_list: List[Dict[tuple, int]], k: int, cfg,
     max_rounds: int = 8, pricing_states: int = 200_000,
     keep_per_round: int = 50,
+    forced: frozenset = frozenset(), banned: frozenset = frozenset(),
 ) -> ColGenResult:
     """Iterate LP-relax -> price -> add columns until no negative-
     reduced-cost walk exists or budgets run out.  The returned pool is
@@ -548,7 +609,8 @@ def column_generate(
     for rounds in range(1, max_rounds + 1):
         lp = solve_lp_relaxation(
             g, work, total_weights, pc_list, k,
-            cfg.p_total_weight, cfg.p_bp_cn)
+            cfg.p_total_weight, cfg.p_bp_cn,
+            forced=forced, banned=banned)
         if lp is None:
             # pool LP infeasible (e.g. a discordant floor no pool walk
             # covers): nothing to price against — report uncertified
@@ -610,4 +672,139 @@ def column_generate(
         lp_pool_obj=lp.objective if lp is not None else None,
         certified=certified, rounds=rounds, columns_added=added,
         pricing_states=states_total,
-        slack_total=lp.slack_total if lp is not None else 0.0)
+        slack_total=lp.slack_total if lp is not None else 0.0,
+        lp=lp)
+
+
+# --- branch-and-price (round-5 directive 3) -------------------------------
+#
+# Column generation alone certifies LP-level optimality over ALL walks;
+# the LP bound is generally below the integer optimum, so the recorded
+# numeric gap stays positive even when the incumbent IS optimal.  The
+# reference's Gurobi closes that gap with branch-and-bound inside the
+# solver (implicit edge-multiset search,
+# /root/reference/src/cycle_decomposition.py:179-332).  This is the
+# explicit-column equivalent: branch on a fractional master column
+# (z_i = 0 vs z_i = 1 — exhaustive over the binary selection space,
+# WLOG binary because two selections of the same edge multiset merge
+# into one with summed weight and fewer decompositions), re-run column
+# generation inside each node (pricing is untouched — node constraints
+# are column-private), and prune nodes whose valid node bound reaches
+# the incumbent.  The minimum bound over all leaves (pruned, integral,
+# or budget-truncated) is a valid lower bound on the FULL integer
+# model; when the tree closes, it certifies the incumbent's optimality
+# (gap 0).
+
+@dataclass
+class BnPResult:
+    pool: CandidatePool           # the globally-extended pool
+    tree_bound: Optional[float]   # valid lower bound on the FULL integer model
+    incumbent_obj: Optional[float]
+    incumbent_improved: bool      # a node found a better integer solution
+    nodes: int
+    closed: bool                  # no open nodes left: tree_bound certified
+    pricing_states: int
+
+
+def _fractionality(v: float) -> float:
+    return abs(v - round(v))
+
+
+def branch_and_price(
+    g, pool: CandidatePool, total_weights: float,
+    pc_list: List[Dict[tuple, int]], k: int, cfg,
+    incumbent_obj: Optional[float],
+    max_nodes: int = 24, max_rounds: int = 4,
+    pricing_states: int = 200_000,
+) -> BnPResult:
+    """Budget-bounded best-first branch-and-price over the selection model.
+
+    ``incumbent_obj`` is the recorded solution's selection objective (the
+    quantity the gap is measured on); nodes are pruned against the best
+    incumbent seen.  Columns generated at ANY node are valid globally
+    (the walk space does not depend on branching), so the pool grows
+    monotonically and is returned for a final MILP re-solve by the
+    caller when a node's integral LP beat the incumbent."""
+    tol = 1e-6
+    best_inc = math.inf if incumbent_obj is None else float(incumbent_obj)
+    improved = False
+    work_pool = pool
+    leaf_bounds: List[float] = []
+    nodes = 0
+    states = 0
+    # best-first: (parent bound, tiebreak, forced, banned)
+    tie = [0]
+    heap: List[tuple] = [(-math.inf, 0, frozenset(), frozenset())]
+    while heap and nodes < max_nodes:
+        parent_bound, _, forced, banned = heapq.heappop(heap)
+        if parent_bound >= best_inc - tol:
+            leaf_bounds.append(parent_bound)
+            continue
+        nodes += 1
+        cg = column_generate(
+            g, work_pool, total_weights, pc_list, k, cfg,
+            max_rounds=max_rounds, pricing_states=pricing_states,
+            forced=forced, banned=banned)
+        states += cg.pricing_states
+        work_pool = cg.pool
+        if cg.infeasible or cg.lp is None or cg.lp_bound is None:
+            # node master infeasible even with phase-1 slacks: the
+            # branch region is empty — prune with +inf
+            leaf_bounds.append(math.inf)
+            continue
+        node_bound = cg.lp_bound
+        if node_bound >= best_inc - tol:
+            leaf_bounds.append(node_bound)
+            continue
+        z = cg.lp.z
+        candidates = list(work_pool)
+        # integral = every column mass in {0, 1} and no phase-1 slack
+        fracs = [(i, _fractionality(float(z[i])))
+                 for i in range(len(candidates))]
+        max_frac_i, max_frac = max(fracs, key=lambda t: t[1],
+                                   default=(None, 0.0))
+        over_one = any(float(z[i]) > 1.0 + 1e-6 for i in range(len(z)))
+        if max_frac <= 1e-6 and not over_one and cg.slack_total < 1e-6:
+            val = cg.lp_pool_obj
+            if val < best_inc - tol:
+                best_inc = val
+                improved = True
+            leaf_bounds.append(val)
+            continue
+        if max_frac_i is None:
+            leaf_bounds.append(node_bound)
+            continue
+        # branch on the most fractional column (a z > 1 column counts:
+        # its fractionality vs the nearest integer drives it to {0,1})
+        if over_one and max_frac <= 1e-6:
+            # all masses integral but some z = 2+: branch that column
+            max_frac_i = max(range(len(z)), key=lambda i: float(z[i]))
+        key = candidates[max_frac_i].edges
+        if key in forced or key in banned:
+            # cannot branch further on this column; accept the node
+            # bound as a leaf (rare: degenerate LP mass on a pinned
+            # column through the relaxed z <= 1)
+            leaf_bounds.append(node_bound)
+            continue
+        tie[0] += 1
+        heapq.heappush(heap, (node_bound, tie[0], forced,
+                              banned | {key}))
+        tie[0] += 1
+        heapq.heappush(heap, (node_bound, tie[0], forced | {key},
+                              banned))
+    # unprocessed open nodes contribute their parent bounds
+    open_bounds = [b for (b, _, _, _) in heap]
+    all_bounds = leaf_bounds + open_bounds
+    finite = [b for b in all_bounds if math.isfinite(b)] or \
+        ([best_inc] if math.isfinite(best_inc) else [])
+    tree_bound = min(finite) if finite else None
+    if tree_bound is not None and all(
+            (not math.isfinite(b)) or b >= best_inc - tol
+            for b in all_bounds) and math.isfinite(best_inc):
+        # every leaf pruned at the incumbent: certified optimal
+        tree_bound = max(tree_bound, best_inc)
+    return BnPResult(
+        pool=work_pool, tree_bound=tree_bound,
+        incumbent_obj=best_inc if math.isfinite(best_inc) else None,
+        incumbent_improved=improved, nodes=nodes,
+        closed=not heap, pricing_states=states)

@@ -669,6 +669,8 @@ def cycle_decomposition(rec, cfg: CycleConfig, model_prefix: str = "") -> None:
         # full model's optimum (``optimality_gap_upper_bound``).
         colgen_info = None
         lp_bound = None
+        cg_result = None
+        k_cg = max(k, nedges)
         if candidates.truncated or escalations or not coverage_met():
             if not space_exhausted_wide and cfg.colgen:
                 from .colgen import column_generate
@@ -678,7 +680,6 @@ def cycle_decomposition(rec, cfg: CycleConfig, model_prefix: str = "") -> None:
                 seed_pool = type(seed)(
                     seed_list, truncated=seed.truncated,
                     max_states=seed.max_states, conc_cap=seed.conc_cap)
-                k_cg = max(k, nedges)
                 cg = column_generate(
                     g, seed_pool, total_weights, pc_list, k_cg, cfg,
                     max_rounds=cfg.colgen_rounds,
@@ -693,6 +694,7 @@ def cycle_decomposition(rec, cfg: CycleConfig, model_prefix: str = "") -> None:
                     "master_infeasible": cg.infeasible,
                 }
                 lp_bound = cg.lp_bound
+                cg_result = cg
                 if cg.columns_added and \
                         len(cg.pool) <= cfg.joint_milp_pool_limit + 1024:
                     status, total, n_sat, cycles, weights, sat_lists = \
@@ -719,12 +721,62 @@ def cycle_decomposition(rec, cfg: CycleConfig, model_prefix: str = "") -> None:
         gap = None
         if lp_bound is not None and inc_obj is not None:
             gap = max(0.0, inc_obj - lp_bound)
+        # Branch-and-price (round-5 directive 3): when the LP-level gap
+        # stays positive, branch on fractional master columns and re-
+        # price per node — the tree's minimum leaf bound is a valid
+        # lower bound on the FULL INTEGER model (the reference's Gurobi
+        # MIPGap analog at the integer level).  A closed tree certifies
+        # the incumbent optimal (gap 0) WITHOUT exhaustive enumeration.
+        bnp_info = None
+        if (gap is not None and gap > 1e-6 and cfg.branch_and_price
+                and cg_result is not None and not cg_result.infeasible):
+            from .colgen import branch_and_price
+
+            bnp = branch_and_price(
+                g, cg_result.pool, total_weights, pc_list, k_cg, cfg,
+                incumbent_obj=inc_obj,
+                max_nodes=cfg.bnp_max_nodes,
+                pricing_states=cfg.colgen_pricing_states)
+            bnp_info = {
+                "nodes": bnp.nodes,
+                "closed": bnp.closed,
+                "tree_bound": bnp.tree_bound,
+                "incumbent_improved": bnp.incumbent_improved,
+                "pricing_states": bnp.pricing_states,
+            }
+            if bnp.incumbent_improved and \
+                    len(bnp.pool) <= cfg.joint_milp_pool_limit + 2048:
+                # a node's integral LP beat the recorded solution: the
+                # better integer solution lives in the extended pool —
+                # re-solve the MILP over it and adopt if better
+                status, total, n_sat, cycles, weights, sat_lists = \
+                    joint_minimize(g, bnp.pool, k_cg, total_weights,
+                                   pc_list, cfg)
+                if status != STATUS_INFEASIBLE:
+                    stats = (total, n_sat,
+                             -(len(weights[0]) + len(weights[1])))
+                    best = _current_stats(rec, g, amplicon_idx)
+                    cov_target = cfg.p_total_weight * total_weights - 1e-6
+                    if _should_adopt(stats, best, cov_target):
+                        model_info["solver"] = \
+                            f"{model_info['solver']}+bnp"
+                        rec.cycles[amplicon_idx] = cycles
+                        rec.cycle_weights[amplicon_idx] = weights
+                        rec.path_constraints_satisfied[amplicon_idx] = \
+                            sat_lists
+                        inc_obj = _selection_objective(
+                            rec, g, amplicon_idx, total_weights)
+                        bnp_info["milp_readopted"] = True
+            if bnp.tree_bound is not None and inc_obj is not None:
+                gap = max(0.0, inc_obj - max(lp_bound, bnp.tree_bound))
+                bnp_info["gap_after"] = gap
         model_info["truncation"] = {
             "initial_truncated": candidates.truncated,
             "escalations": escalations,
             "space_exhausted_wide": space_exhausted_wide,
             "coverage_met": coverage_met(),
             "colgen": colgen_info,
+            "branch_and_price": bnp_info,
             "incumbent_objective": inc_obj,
             "optimality_gap_upper_bound": gap,
         }

@@ -301,3 +301,78 @@ def test_driver_reports_numeric_optimality_gap(tmp_path):
     assert trunc["optimality_gap_upper_bound"] >= 0.0
     # the solution itself meets the coverage target (colgen recovered it)
     assert trunc["coverage_met"] is True
+
+
+# --- branch-and-price (round 5) --------------------------------------------
+
+
+def test_lifted_master_closes_lp_gap():
+    """Round-5: the per-column lifted weight link (w <= wmax_i z, wmax_i
+    = min cn_e/cnt_e) closes the structural LP-vs-integer gap the naive
+    max_cn link left (~0.85 on this graph: the LP bought full coverage
+    at z = w/max_cn ~ 0.15)."""
+    from coral_tpu.cycles.colgen import column_generate
+
+    g = dense_graph(n_segs=5, cross_span=2)
+    total = total_graph_weight(g)
+    cfg = CycleConfig()
+    seed = enumerate_candidates(g, max_states=60)
+    assert seed.truncated
+    cg = column_generate(g, seed, total, [], 20, cfg)
+    assert cg.certified
+    st, cov, _, cyc, wts, _ = joint_minimize(g, cg.pool, 20, total, [], cfg)
+    assert st == 2
+    obj = sum((1 + 1e-6 * sum(dict(e).values()))
+              for slot in cyc for e in slot) - cov / total
+    # LP bound within the epsilon-term sliver of the integer optimum
+    assert obj - cg.lp_bound < 1e-4
+
+
+def test_branch_and_price_certifies_integer_optimum():
+    """Round-5 directive 3 (Done criterion): on a forced-truncation
+    instance, branch-and-price must close the remaining integer gap to
+    0 with a CLOSED tree — certification via branching, not exhaustive
+    enumeration."""
+    from coral_tpu.cycles.colgen import branch_and_price, column_generate
+
+    g = dense_graph(n_segs=5, cross_span=2)
+    total = total_graph_weight(g)
+    cfg = CycleConfig()
+    seed = enumerate_candidates(g, max_states=60)
+    assert seed.truncated
+    cg = column_generate(g, seed, total, [], 20, cfg)
+    st, cov, _, cyc, wts, _ = joint_minimize(g, cg.pool, 20, total, [], cfg)
+    obj = sum((1 + 1e-6 * sum(dict(e).values()))
+              for slot in cyc for e in slot) - cov / total
+    bnp = branch_and_price(g, cg.pool, total, [], 20, cfg,
+                           incumbent_obj=obj)
+    assert bnp.closed
+    assert bnp.tree_bound is not None
+    assert max(0.0, obj - bnp.tree_bound) == 0.0
+    # and the tree did branch (the LP sliver was closed by nodes, not
+    # by the root LP alone)
+    assert bnp.nodes >= 1
+
+
+def test_driver_gap_zero_via_branch_and_price(tmp_path):
+    """End-to-end: the driver's *_model.json must record
+    optimality_gap_upper_bound == 0 on the forced-truncation instance,
+    with the branch_and_price block reporting a closed tree."""
+    g = dense_graph(n_segs=5, cross_span=2)
+    cfg = CycleConfig(max_walk_candidates=3,
+                      pool_escalation=(("same", 2),))
+    rec = _rec_for(g)
+    cycle_decomposition(rec, cfg, model_prefix=str(tmp_path / "m"))
+    info = json.loads((tmp_path / "m_amplicon1_model.json").read_text())
+    trunc = info["truncation"]
+    assert trunc["initial_truncated"] is True
+    gap = trunc["optimality_gap_upper_bound"]
+    assert gap is not None
+    if gap > 0:
+        bnp = trunc["branch_and_price"]
+        assert bnp is not None and bnp["closed"]
+        assert bnp["gap_after"] == 0.0
+    # either the LP closed it outright or branching did; the recorded
+    # number must be 0 on this certifiable instance
+    assert trunc.get("branch_and_price") is None or \
+        trunc["branch_and_price"].get("gap_after", gap) == 0.0
