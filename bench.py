@@ -135,6 +135,39 @@ def slope_time_ms(fn, *args, n1=8, n2=96, rounds=7, scalar_fetch=False):
     return (run(n2) - run(n1)) / (n2 - n1) * 1e3
 
 
+def slope_pair_ms(fn_a, args_a, fn_b, args_b, n1=16, n2=256, rounds=5):
+    """Chain-slope times of TWO programs measured INTERLEAVED (A@n1,
+    B@n1, A@n2, B@n2 within each round) so tunnel/clock drift hits both
+    alike and their RATIO is stable — the kernel-vs-control ceiling
+    ratio measured minutes apart showed the kernel 'beating' a
+    zero-compute op purely from drift.  Scalar-fetch chain ends (see
+    ``slope_time_ms``)."""
+    import jax
+    import jax.numpy as jnp
+
+    for fn, args in ((fn_a, args_a), (fn_b, args_b)):
+        np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])  # warm
+
+    def chain(fn, args, N):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(N):
+            o = fn(*args)
+        np.asarray(jnp.sum(jax.tree_util.tree_leaves(o)[0]))
+        return time.perf_counter() - t0
+
+    a1s, b1s, a2s, b2s = [], [], [], []
+    for _ in range(rounds):
+        a1s.append(chain(fn_a, args_a, n1))
+        b1s.append(chain(fn_b, args_b, n1))
+        a2s.append(chain(fn_a, args_a, n2))
+        b2s.append(chain(fn_b, args_b, n2))
+    dn = n2 - n1
+    t_a = (float(np.median(a2s)) - float(np.median(a1s))) / dn * 1e3
+    t_b = (float(np.median(b2s)) - float(np.median(b1s))) / dn * 1e3
+    return t_a, t_b
+
+
 def synth_alignment_table(cols: dict):
     """Interleave the synthetic pair columns into a product-shaped flat
     ALIGNMENT table (pair k = alignments (2k, 2k+1)) so the bench packs
@@ -444,6 +477,20 @@ def main() -> None:
     t_hm = slope_time_ms(fn_hm, *blocks3, n1=16, n2=256,
                          scalar_fetch=True) / 1e3
 
+    # --- self-normalizing ceilings (round-5 directive 2) --------------
+    # (a) zero-compute control op over the kernel's EXACT shapes: reads
+    # the same three int32 blocks, writes one — the attainable streaming
+    # ceiling of this dispatch regime.  Kernel and control are measured
+    # INTERLEAVED (slope_pair_ms) so their ratio cancels tunnel drift;
+    # (b) the 1 GiB read-only reduction — the HBM calibration point the
+    # docs quote (736 GB/s = 90% of v5e speed-of-light historically).
+    ctrl = jax.jit(lambda a, b, c: a + b + c)
+    t_hm_i, t_ctrl = [t / 1e3 for t in slope_pair_ms(
+        fn_hm, blocks3, ctrl, blocks3, n1=16, n2=256)]
+    big = jax.device_put(np.ones(1 << 28, np.float32))
+    red = jax.jit(jnp.sum)
+    t_red = slope_time_ms(red, big, n1=2, n2=8) / 1e3
+
     # --- transfer vs dispatch split (round-4 directive 2) -------------
     # transfer alone: chain N put-rounds of alternating pre-packed
     # buffers, fetch one element of the last put (RPC/fetch constants
@@ -526,8 +573,25 @@ def main() -> None:
         "pallas2_engine_reads_per_s": round(n_reads / t_p2),
         "xla_engine_reads_per_s": round(n_reads / t_xla),
         "hitmask_reads_per_s": round(n_reads / t_hm),
+        # convention: *_roofline_frac divides by the 819 GB/s v5e
+        # THEORETICAL peak; the attainable/self-normalized numbers are
+        # the *_GBs and *_vs_ceiling keys below (one denominator each,
+        # labeled — round-5 directive 5)
         "hitmask_roofline_frac": round(
             roofline_utilization(n_reads, t_hm, 16), 3),
+        # self-normalizing ceilings (round-5 directive 2): the in-run
+        # 1 GiB HBM calibration, the zero-compute streaming control op
+        # over the kernel's exact shapes, and the kernel/control ratio
+        # (stable under tunnel variance — the ARCHITECTURE 'at the
+        # attainable ceiling' claim, now self-verifying every run)
+        "calibrated_hbm_GBs": round(2**30 / t_red / 1e9, 1),
+        "streaming_ceiling_GBs": round(n_reads * 16 / t_ctrl / 1e9, 1),
+        "hitmask_GBs": round(n_reads * 16 / t_hm / 1e9, 1),
+        # ratio from the INTERLEAVED pair (drift-cancelled); capped at 1
+        # conceptually but reported raw — ~1.0 = kernel at the ceiling
+        "hitmask_vs_ceiling": round(t_ctrl / t_hm_i, 3),
+        "hitmask_frac_of_calibrated": round(
+            (n_reads * 16 / t_hm) / (2**30 / t_red), 3),
         "coverage_table_build_ms": round(t_build * 1e3, 3),
         # threaded native pack; core-count-bound (this microVM has 2
         # cores — a production host with N cores scales it ~linearly)
