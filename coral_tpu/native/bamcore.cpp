@@ -1031,6 +1031,7 @@ int64_t bc_parse_sa(BamCore* bc) {
       std::vector<int64_t> first_rec;
       std::vector<std::string_view> names;
       std::vector<std::vector<SaView>> sa_sets;
+      std::vector<int64_t> rlen;   // primary qlen seen in-pass (-1 none)
     };
     unsigned hw0 = std::thread::hardware_concurrency();
     int nt0 = static_cast<int>(hw0 ? (hw0 > 8 ? 8 : hw0) : 1);
@@ -1039,6 +1040,12 @@ int64_t bc_parse_sa(BamCore* bc) {
     const int64_t rchunk = (n + nt0 - 1) / nt0;
     auto swork = [&](int ti) {
       SlotPart& sp = sparts[ti];
+      const size_t cap = static_cast<size_t>(n_sa / nt0 + 16);
+      sp.slot_of.reserve(cap);
+      sp.first_rec.reserve(cap);
+      sp.names.reserve(cap);
+      sp.sa_sets.reserve(cap);
+      sp.rlen.reserve(cap);
       const int64_t r0 = ti * rchunk;
       const int64_t r1 = std::min<int64_t>(n, r0 + rchunk);
       const char* blob = reinterpret_cast<const char*>(bc->sa_blob.data());
@@ -1053,9 +1060,17 @@ int64_t bc_parse_sa(BamCore* bc) {
           sp.first_rec.push_back(i);
           sp.names.push_back(nm);
           sp.sa_sets.emplace_back();
+          sp.rlen.push_back(-1);
         } else {
           slot = it->second;
         }
+        // a read has at most ONE primary record (flag<256: secondary
+        // 0x100 and supplementary 0x800 both exceed it), so capturing
+        // its qlen here — when the primary carries the SA tag, as
+        // aligners emit for split reads — is exactly the separate
+        // whole-BAM read_len pass's result, which then only runs for
+        // slots this pass could not resolve (usually none)
+        if (bc->flag[i] < 256) sp.rlen[slot] = bc->qlen[i];
         const char* p = blob + bc->sa_off[i];
         const char* end = p + bc->sa_len[i];
         // split on ';', dropping a trailing empty entry
@@ -1080,6 +1095,7 @@ int64_t bc_parse_sa(BamCore* bc) {
       for (int ti = 0; ti < nt0; ti++) sthreads.emplace_back(swork, ti);
       for (auto& t : sthreads) t.join();
     }
+    int64_t unresolved = 0;
     for (SlotPart& sp : sparts) {
       for (size_t j = 0; j < sp.names.size(); j++) {
         auto it = slot_of.find(sp.names[j]);
@@ -1089,10 +1105,15 @@ int64_t bc_parse_sa(BamCore* bc) {
           slot_of.emplace(sp.names[j], slot);
           first_rec.push_back(sp.first_rec[j]);
           sa_sets.emplace_back(std::move(sp.sa_sets[j]));
-          read_len.push_back(-1);
+          read_len.push_back(sp.rlen[j]);
+          unresolved += sp.rlen[j] < 0;
           continue;
         }
         slot = it->second;
+        if (read_len[slot] < 0 && sp.rlen[j] >= 0) {
+          read_len[slot] = sp.rlen[j];
+          unresolved--;
+        }
         auto& bucket = sa_sets[slot];
         for (const SaView& v : sp.sa_sets[j]) {
           if (std::find(bucket.begin(), bucket.end(), v) == bucket.end()) {
@@ -1101,16 +1122,19 @@ int64_t bc_parse_sa(BamCore* bc) {
         }
       }
     }
-  }
-  if (dbg) { fprintf(stderr, "[bc_parse_sa] slot/split: %.3fs\n", now_s() - t0); t0 = now_s(); }
-  // read lengths from primary records of chimeric reads.  With
-  // string_view keys the map probe itself is allocation-free (the old
-  // FNV pre-screen existed only to dodge a std::string per record).
-  for (int64_t i = 0; i < n; i++) {
-    if (bc->flag[i] >= 256) continue;
-    auto it = slot_of.find(name_of(i));
-    if (it != slot_of.end() && read_len[it->second] < 0) {
-      read_len[it->second] = bc->qlen[i];
+    if (dbg) { fprintf(stderr, "[bc_parse_sa] slot/split: %.3fs\n", now_s() - t0); t0 = now_s(); }
+    // fallback for chimeric reads whose primary record carries no SA
+    // tag (possible but unusual): only then scan the whole BAM for
+    // primaries.  The in-pass capture above resolves everything when
+    // primaries carry SA, making this pass free.
+    if (unresolved > 0) {
+      for (int64_t i = 0; i < n; i++) {
+        if (bc->flag[i] >= 256 || bc->sa_len[i] != 0) continue;
+        auto it = slot_of.find(name_of(i));
+        if (it != slot_of.end() && read_len[it->second] < 0) {
+          read_len[it->second] = bc->qlen[i];
+        }
+      }
     }
   }
   if (dbg) { fprintf(stderr, "[bc_parse_sa] read_len: %.3fs\n", now_s() - t0); t0 = now_s(); }

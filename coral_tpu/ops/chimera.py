@@ -23,6 +23,8 @@ import re
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
+import numpy as np
+
 logger = logging.getLogger(__name__)
 
 _CIG_RE = re.compile(r"(\d+)([A-Z=])")
@@ -128,9 +130,30 @@ class ChimeraStore(dict):
         self.cols = cols
         self.names = (bam.names_at(chim_rec) if hasattr(bam, "names_at")
                       else [bam.name(int(i)) for i in chim_rec])
-        self._slot = {n: k for k, n in enumerate(self.names)}
         self._ref_names = [r[0] for r in bam.references]
         self._table = None
+        # name -> slot dict and the numpy name array are built lazily:
+        # at WGS junction counts (~1.5M chimeric reads) each costs
+        # hundreds of ms, and slot-indexed paths (the segment-index
+        # interval search, the whole-table scorer) never need the dict
+        self._slot_map = None
+        self._names_np = None
+
+    @property
+    def _slot(self):
+        if self._slot_map is None:
+            # dict(zip(...)) builds at C speed (~4x a dict comprehension
+            # at this size)
+            self._slot_map = dict(zip(self.names, range(len(self.names))))
+        return self._slot_map
+
+    def names_array(self) -> "np.ndarray":
+        """Memoized numpy (unicode) view of ``names`` for vectorized
+        canonical-order sorts (lexicographic order equals python
+        ``sorted`` on the ASCII read names the BAM spec allows)."""
+        if self._names_np is None:
+            self._names_np = np.asarray(self.names)
+        return self._names_np
 
     def flat_table(self):
         """Memoized whole-store ChimeraTable for batch scoring."""
@@ -181,7 +204,14 @@ class ChimeraStore(dict):
     def __getitem__(self, rn):
         if super().__contains__(rn):
             return super().__getitem__(rn)
-        k = self._slot[rn]
+        return self.chimera_at(self._slot[rn], rn)
+
+    def chimera_at(self, k: int, rn=None):
+        """Chimera by SLOT index — no name->slot dict needed (callers
+        that already hold slots keep the lazy dict unbuilt)."""
+        rn = self.names[k] if rn is None else rn
+        if super().__contains__(rn):
+            return super().__getitem__(rn)
         lo, hi = int(self.chim_off[k]), int(self.chim_off[k + 1])
         qs, qe, ref, r1, r2, strand, mapq, nm = self.cols
         q, r = [], []
@@ -228,8 +258,11 @@ def collect_chimeras(bam) -> Tuple[dict, dict, list]:
         chim_rec, chim_rl, chim_off, cols = bamcore.parse_sa(bam)
         store = ChimeraStore(bam, chim_rec, chim_off, cols)
         # read lengths only needed for chimeric reads downstream; the
-        # native scan already collected them
-        read_length = {rn: int(chim_rl[k]) for k, rn in enumerate(store.names)}
+        # native scan already collected them.  dict(zip(...)) over
+        # tolist() builds at C speed — the per-entry int() comprehension
+        # cost ~0.9 s alone at 1.5M chimeric reads (round-5 profile)
+        read_length = dict(zip(store.names,
+                               np.asarray(chim_rl).tolist()))
         logger.info("collected %d chimeric reads (native)", len(store))
         return read_length, store, _nm_baseline()
 

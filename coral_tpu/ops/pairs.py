@@ -171,19 +171,31 @@ def resolve_engine_ex(
     compile_cold_s: Optional[float] = None,
 ) -> Tuple[str, str]:
     """:func:`resolve_engine` with the decision reason (for route logs
-    and the bench's route assertions)."""
+    and the bench's route assertions).
+
+    Ordering matters for cost: every check that can resolve WITHOUT
+    touching the JAX backend runs first — initializing a remote PJRT
+    client costs ~10 s (measured round 5), and a host-routed decision
+    must never pay it."""
     if engine != "auto":
         return engine, "forced"
-    try:
-        backend = jax.default_backend()
-    except Exception:
-        return "numpy", "no jax backend"
+    from .routing import MIN_DEVICE_PAIRS, backend_hint
+
+    if device_pair_threshold is None and n_pairs < MIN_DEVICE_PAIRS:
+        return "numpy", f"n_pairs {n_pairs} < {MIN_DEVICE_PAIRS} floor"
+    if device_pair_threshold is not None and \
+            n_pairs < device_pair_threshold:
+        return "numpy", f"n_pairs {n_pairs} < threshold " \
+                        f"{device_pair_threshold}"
+    backend = backend_hint()
+    if backend is None:
+        try:
+            backend = jax.default_backend()
+        except Exception:
+            return "numpy", "no jax backend"
     if backend == "cpu":
         return "numpy", "cpu-only backend"
     if device_pair_threshold is not None:
-        if n_pairs < device_pair_threshold:
-            return "numpy", f"n_pairs {n_pairs} < threshold " \
-                            f"{device_pair_threshold}"
         return "jax", f"n_pairs {n_pairs} >= threshold " \
                       f"{device_pair_threshold}"
     from . import routing
@@ -587,6 +599,7 @@ def subset_to_bps_batch(
     gap_mapq: float = 10,
     max_nm: Optional[float] = None,
     as_table: bool = False,
+    slots: Optional[np.ndarray] = None,
 ) -> List[list]:
     """Batched two-interval breakpoint extraction for a subset of reads of
     a native ChimeraStore; row-identical (including order and the low-mapq
@@ -595,15 +608,20 @@ def subset_to_bps_batch(
     ``as_table=True`` returns the observations as a flat-column
     :class:`~coral_tpu.ops.breakpoints.BpTable` instead (row-equivalent;
     ``tests/test_bptable.py``) so the interval-search consensus chain
-    stays off Python rows."""
+    stays off Python rows.  ``slots`` (store slot per read, aligned with
+    ``read_names``) skips the per-name dict mapping when the caller
+    already holds the slot indices."""
     from .breakpoints import interval_overlap, interval_to_bp, rescue_pass
 
     read_names = list(read_names)
     if not read_names:
         return _empty_bp_table(read_names) if as_table else []
-    slot = store._slot
-    slots = np.fromiter((slot[rn] for rn in read_names), np.int64,
-                        len(read_names))
+    if slots is not None:
+        slots = np.asarray(slots, np.int64)
+    else:
+        slot = store._slot
+        slots = np.fromiter((slot[rn] for rn in read_names), np.int64,
+                            len(read_names))
     off = np.asarray(store.chim_off, np.int64)
     lo_a = off[slots]
     hi_a = off[slots + 1]
@@ -660,7 +678,7 @@ def subset_to_bps_batch(
             rn = read_names[s]
             p0 = int(shift[s])
             assigned = hits[p0: p0 + int(pair_cnt[s])]
-            chim = store[rn]
+            chim = store.chimera_at(int(slots[s]), rn)
             q, r, mq, nm = chim.q, chim.r, chim.mapq, chim.nm
             rows_k: List[list] = []
             for i in np.flatnonzero(assigned):

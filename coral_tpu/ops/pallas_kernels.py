@@ -22,8 +22,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 128
-SUBLANES = 8
+from .layout import LANES, SUBLANES, _bucket_rows  # noqa: F401 (re-export)
+
 BLOCK = SUBLANES * LANES
 
 
@@ -154,16 +154,6 @@ def make_pair_pallas_fn(rows: int, n_int: int,
         interpret=interpret,
     )
     return jax.jit(call)
-
-
-def _bucket_rows(n: int) -> int:
-    """Row count for n pairs, bucketed to a power of two so a pipeline
-    with varying pair counts pays at most ~20 kernel compiles ever (each
-    new shape costs 20 s-5 min on a remote backend); zero padding is
-    inert in the packed layout (meta 0 decodes to chrom -1, which
-    matches no interval)."""
-    rows = max(-(-n // LANES), SUBLANES)
-    return 1 << (rows - 1).bit_length()
 
 
 def _interval_rows(int_chrom, int_start, int_end):

@@ -115,6 +115,38 @@ _warm_buckets: set = set()
 _observed_device_s: dict = {}
 
 
+def backend_hint() -> Optional[str]:
+    """The platform JAX will use, WITHOUT initializing the backend.
+
+    Initializing a remote PJRT client costs ~10 s (measured round 5);
+    a decision that resolves to the host must never pay it.  The
+    requested-platforms config/env names the plugin ("cpu", "tpu",
+    "axon", "cuda", ...); anything that is not "cpu" is treated as an
+    accelerator whose platform, once initialized, presents as the
+    canonical name (the axon plugin presents platform "tpu").  Returns
+    None when nothing is configured (caller falls back to
+    ``jax.default_backend()``)."""
+    import os
+
+    try:
+        import jax
+
+        p = jax.config.read("jax_platforms")
+    except Exception:
+        p = None
+    if not p:
+        p = os.environ.get("JAX_PLATFORMS", "")
+    if not p:
+        return None
+    first = p.split(",")[0].strip().lower()
+    if first == "cpu":
+        return "cpu"
+    # remote/plugin TPUs present platform "tpu" after init
+    if first in ("tpu", "axon"):
+        return "tpu"
+    return first
+
+
 def mark_warm(key: tuple, observed_s: Optional[float] = None) -> None:
     """Record that the compiled program for ``key`` has executed in this
     process (called by the dispatch wrappers in :mod:`.pairs` after a
@@ -152,7 +184,7 @@ def route_key(n_pairs: int, min_bp_match_cutoff: int, gap_: float,
     XLA program otherwise."""
     import jax
 
-    from .pallas_kernels import _bucket_rows
+    from .layout import _bucket_rows
     from .scoring import MAX_PACKED2_INTERVALS
 
     if backend is None:
@@ -177,7 +209,7 @@ def _xla_bucket(n_pairs: int, batch: int = 1 << 18) -> int:
     return 1 << max(int(n_pairs) - 1, 0).bit_length()
 
 
-def _measure_host_rate(n: int = 1 << 17) -> float:
+def _measure_host_rate(n: int = 1 << 16) -> float:
     """Single-thread numpy pairs/s through the product predicate."""
     from .scoring import COL_ORDER, pair_predicate
 
@@ -245,7 +277,7 @@ def _measure_transfer() -> Tuple[float, float]:
     return bw, latency
 
 
-def _measure_pack_rate(n: int = 1 << 17) -> float:
+def _measure_pack_rate(n: int = 1 << 16) -> float:
     """Host-side v3 pack pairs/s through the same packer the device route
     uses (native when built, numpy twin otherwise)."""
     rng = np.random.default_rng(1)
@@ -261,7 +293,7 @@ def _measure_pack_rate(n: int = 1 << 17) -> float:
     ic = (np.arange(16) % 24).astype(np.int32)
     is_ = (np.arange(16) * 3_000_000).astype(np.int64)
     ie = is_ + 2_000_000
-    from .pallas_kernels import LANES, _bucket_rows
+    from .layout import LANES, _bucket_rows
 
     n_out = _bucket_rows(n) * LANES
     try:

@@ -170,23 +170,52 @@ class Reconstruction:
             lo = np.minimum(r1, r2)
             hi = np.maximum(r1, r2)
             n_aln = len(lo)
-            lcni = np.full(n_aln, -1, np.int64)
-            rcni = np.full(n_aln, -1, np.int64)
-            known = np.zeros(n_aln, bool)
+            # ONE composite-key searchsorted over the concatenated
+            # per-chrom segment tables replaces the per-chrom
+            # mask/searchsorted loop (ten 3M-row boolean-index rounds
+            # were ~1.4 s at WGS junction counts — round-5 profile).
+            # key = (chrom_code << 32) | pos keeps blocks disjoint
+            # (positions < 2^32); a hit landing in the previous chrom's
+            # block fails the code check -> -1, exactly the old
+            # per-chrom "pos < starts[0]" miss.
+            ref64 = np.asarray(ref, np.int64)
+            n_refs = len(store._ref_names)
+            has_cns = np.zeros(n_refs + 1, bool)
+            off_of_code = np.zeros(n_refs + 1, np.int64)
+            fs, fe, fc = [], [], []
+            tot = 0
             for code, chrom in enumerate(store._ref_names):
                 starts = self._cns_starts.get(chrom)
                 if starts is None:
                     continue
-                mask = ref == code
-                if not mask.any():
-                    continue
-                known |= mask
-                ends = self._cns_ends[chrom]
-                for (pos, out) in ((lo, lcni), (hi, rcni)):
-                    idx = np.searchsorted(starts, pos[mask], side="right") - 1
-                    valid = (idx >= 0) & (pos[mask] <= ends[np.clip(idx, 0, None)])
-                    res = np.where(valid, idx, -1)
-                    out[mask] = res
+                has_cns[code] = True
+                off_of_code[code] = tot
+                fs.append((np.int64(code) << 32)
+                          + np.asarray(starts, np.int64))
+                fe.append(np.asarray(self._cns_ends[chrom], np.int64))
+                fc.append(np.full(len(starts), code, np.int64))
+                tot += len(starts)
+            known = has_cns[ref64]   # ref -1 -> trailing False slot
+            if tot:
+                flat_starts = np.concatenate(fs)
+                flat_ends = np.concatenate(fe)
+                flat_code = np.concatenate(fc)
+                refc = np.clip(ref64, 0, None)
+
+                def _seg_of(pos):
+                    key = (ref64 << 32) + pos
+                    idx = np.searchsorted(flat_starts, key,
+                                          side="right") - 1
+                    idxc = np.clip(idx, 0, None)
+                    valid = (idx >= 0) & (flat_code[idxc] == ref64) \
+                        & (pos <= flat_ends[idxc])
+                    return np.where(valid, idx - off_of_code[refc], -1)
+
+                lcni = _seg_of(np.asarray(lo, np.int64))
+                rcni = _seg_of(np.asarray(hi, np.int64))
+            else:
+                lcni = np.full(n_aln, -1, np.int64)
+                rcni = np.full(n_aln, -1, np.int64)
             # Flat (code, cni, alignment) membership index replacing the
             # per-read dict build (round-4 WGS profile: the Python loop
             # over ~1.5M reads was the single largest tottime entry of
@@ -243,15 +272,20 @@ class Reconstruction:
     # -- breakpoint bookkeeping (ref :326-340) -----------------------------
 
     def addbp(self, bp: list, reads: set, stats: list, ccid: int) -> int:
+        # callers pass freshly-built sets (owned by this call);
+        # re-wrapping in set() copied ~150k-tuple sets per registered
+        # breakpoint at WGS junction counts (round-5 profile)
+        if not isinstance(reads, set):
+            reads = set(reads)
         for bpi, existing in enumerate(self.new_bp_list):
             if (existing[0] == bp[0] and existing[3] == bp[3]
                     and existing[2] == bp[2] and existing[5] == bp[5]
                     and abs(existing[1] - bp[1]) < self.cfg.bp.addbp_merge_window
                     and abs(existing[4] - bp[4]) < self.cfg.bp.addbp_merge_window):
-                existing[-1] |= set(reads)
+                existing[-1] |= reads
                 return bpi
         bpi = len(self.new_bp_list)
-        self.new_bp_list.append(bp + [set(reads)])
+        self.new_bp_list.append(bp + [reads])
         self.new_bp_ccids.append(ccid)
         self.new_bp_stats.append(stats)
         return bpi
@@ -542,11 +576,21 @@ class Reconstruction:
                     # (arbitrary per-process order under str-hash
                     # randomization); canonical NAME order makes runs
                     # reproducible across processes.  The segment-index
-                    # path accumulates int slots; materialize names here.
+                    # path accumulates int slots; order them by name
+                    # VECTORIZED (argsort over the memoized unicode name
+                    # array — identical order to sorted() on ASCII BAM
+                    # names) and keep the slots aligned so the batch
+                    # extractor below skips the 1.5M name->slot dict
+                    # lookups the round-4 path paid (round-5 profile).
+                    subset_slots = None
                     if self._segidx is not None and nint_[-1] \
                             and not isinstance(next(iter(nint_[-1])), str):
-                        _names = self.chimeras.names
-                        subset = sorted(_names[s] for s in nint_[-1])
+                        slots_a = np.fromiter(nint_[-1], np.int64,
+                                              len(nint_[-1]))
+                        sub_names = self.chimeras.names_array()[slots_a]
+                        order_ = np.argsort(sub_names, kind="stable")
+                        subset = sub_names[order_].tolist()
+                        subset_slots = slots_a[order_]
                     else:
                         subset = sorted(nint_[-1])
                     from .ops.breakpoints import (call_consensus_bp_t,
@@ -561,7 +605,8 @@ class Reconstruction:
                             self.chimeras, subset, [nint_[0], ns, ne],
                             self.amplicon_intervals[ai_],
                             cfg_b.min_bp_match_cutoff, cfg_b.min_mapq,
-                            cfg_b.gap_mapq, max_nm, as_table=True)
+                            cfg_b.gap_mapq, max_nm, as_table=True,
+                            slots=subset_slots)
                         clusters = cluster_breakpoints_t(
                             new_bp_list, self.min_cluster_cutoff,
                             cfg_b.max_bp_distance_cutoff)
@@ -591,10 +636,11 @@ class Reconstruction:
                         remainder = c
                         while len(remainder) >= self.min_cluster_cutoff:
                             bp, bpr, stats, remainder = consensus(remainder)
-                            if (num_sub == 0 and len(set(bpr)) >= self.min_cluster_cutoff) or (
-                                    len(set(bpr)) >= max(
+                            bpr_set = set(bpr)   # once, not 3x (WGS: ~150k tuples)
+                            if (num_sub == 0 and len(bpr_set) >= self.min_cluster_cutoff) or (
+                                    len(bpr_set) >= max(
                                         self.normal_cov * cfg_b.min_bp_cov_factor, 3.0)):
-                                bpi = self.addbp(bp, set(bpr), stats, ccid)
+                                bpi = self.addbp(bp, bpr_set, stats, ccid)
                                 if bpi not in new_bp_refined:
                                     new_bp_refined.append(bpi)
                             num_sub += 1
@@ -916,8 +962,9 @@ class Reconstruction:
             remainder = c
             while len(remainder) >= self.min_cluster_cutoff:
                 bp, bpr, stats, remainder = consensus(remainder)
-                if (num_sub == 0 and len(set(bpr)) >= self.min_cluster_cutoff) or \
-                        (len(set(bpr)) >= max(
+                bpr_set = set(bpr)       # once, not 3x (WGS: ~150k tuples)
+                if (num_sub == 0 and len(bpr_set) >= self.min_cluster_cutoff) or \
+                        (len(bpr_set) >= max(
                             self.normal_cov * cfg_b.min_bp_cov_factor, 3.0)):
                     io1 = interval_overlap_l([bp[0], bp[1], bp[1]],
                                              self.amplicon_intervals)
@@ -926,7 +973,7 @@ class Reconstruction:
                     if io1 >= 0 and io2 >= 0:
                         assert (self.amplicon_intervals[io1][3]
                                 == self.amplicon_intervals[io2][3])
-                        bpi = self.addbp(bp, set(bpr), stats,
+                        bpi = self.addbp(bp, bpr_set, stats,
                                          self.amplicon_intervals[io1][3])
                         self.interval_connections.setdefault(
                             (min(io1, io2), max(io1, io2)), set()).add(bpi)
@@ -1095,12 +1142,28 @@ class Reconstruction:
     # -- coverage assignment (ref :1019-1056) ------------------------------
 
     def assign_cov(self) -> None:
+        from operator import itemgetter
+
         cutoff = self.cfg.bp.min_bp_match_cutoff
         for g in self.graphs:
             for e in g.sequence_edges:
                 if e.lr_count == -1:
                     e.lr_count = self.bam.read_count(e.chrom, e.start, e.end + 1)
                     e.lr_nc = self.bam.coverage_sum(e.chrom, e.start, e.end + 1)
+            # per-discordant-edge supporting-read NAME sets, built once
+            # per graph at C speed: the round-4 code rebuilt them per
+            # adjacent concordant edge with a python .add loop — ~3M
+            # set inserts at WGS junction counts (round-5 profile)
+            bp_names: Dict[int, frozenset] = {}
+
+            def _bp_name_set(bpi: int) -> frozenset:
+                s = bp_names.get(bpi)
+                if s is None:
+                    s = frozenset(map(itemgetter(0),
+                                      g.discordant_edges[bpi].reads))
+                    bp_names[bpi] = s
+                return s
+
             for ec in g.concordant_edges:
                 rls = self.bam.names_overlapping(ec.chrom1, ec.pos1, ec.pos1 + 1)
                 rrs = self.bam.names_overlapping(ec.chrom2, ec.pos2, ec.pos2 + 1)
@@ -1108,15 +1171,15 @@ class Reconstruction:
                     ec.chrom1, ec.pos1 - cutoff - 1, ec.pos1 - cutoff)
                 rrs1 = self.bam.names_overlapping(
                     ec.chrom2, ec.pos2 + cutoff, ec.pos2 + cutoff + 1)
-                rbps = set()
-                for bpi in g.nodes[ec.node1()][2]:
-                    for r in g.discordant_edges[bpi].reads:
-                        rbps.add(r[0])
-                for bpi in g.nodes[ec.node2()][2]:
-                    for r in g.discordant_edges[bpi].reads:
-                        rbps.add(r[0])
+                inter = rls & rrs & rls1 & rrs1
+                sets = [_bp_name_set(bpi)
+                        for bpi in g.nodes[ec.node1()][2]] + \
+                       [_bp_name_set(bpi)
+                        for bpi in g.nodes[ec.node2()][2]]
                 ec.reads = rls | rrs
-                ec.lr_count = len((rls & rrs & rls1 & rrs1) - rbps)
+                ec.lr_count = sum(
+                    1 for rn in inter
+                    if not any(rn in s for s in sets))
 
     # -- path constraints (ref :1059-1323) ---------------------------------
 

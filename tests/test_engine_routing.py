@@ -55,7 +55,12 @@ def test_resolve_engine_rules():
 def test_resolve_engine_auto_picks_device_on_accelerator(monkeypatch):
     import jax
 
+    from coral_tpu.ops import routing
+
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # the cheap platform sniff must also say accelerator (it avoids a
+    # ~10 s remote backend init on host-routed decisions)
+    monkeypatch.setattr(routing, "backend_hint", lambda: "tpu")
     assert resolve_engine("auto", 10_000, device_pair_threshold=1000) == "jax"
     assert resolve_engine("auto", 100, device_pair_threshold=1000) == "numpy"
 
@@ -239,6 +244,7 @@ def test_cost_model_routing(monkeypatch):
     from coral_tpu.ops.pairs import resolve_engine_ex
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(routing, "backend_hint", lambda: "tpu")
     monkeypatch.setenv("CORAL_TPU_NO_COMPILE_CACHE", "1")
     cal = routing.RouteCalibration(
         host_pairs_per_s=3e6, put_bytes_per_s=75e6, rpc_latency_s=25e-3,
