@@ -478,13 +478,17 @@ def main() -> None:
                          scalar_fetch=True) / 1e3
 
     # --- self-normalizing ceilings (round-5 directive 2) --------------
-    # (a) zero-compute control op over the kernel's EXACT shapes: reads
-    # the same three int32 blocks, writes one — the attainable streaming
-    # ceiling of this dispatch regime.  Kernel and control are measured
-    # INTERLEAVED (slope_pair_ms) so their ratio cancels tunnel drift;
+    # (a) zero-compute control op over the kernel's EXACT shapes AND
+    # block structure (a Pallas copy-add with the same grid — an XLA
+    # elementwise a+b+c measured ~12-30% SLOWER than the hand-scheduled
+    # kernel, i.e. not a ceiling): reads the same three int32 blocks,
+    # writes one.  Kernel and control are measured INTERLEAVED
+    # (slope_pair_ms) so their ratio cancels tunnel drift;
     # (b) the 1 GiB read-only reduction — the HBM calibration point the
     # docs quote (736 GB/s = 90% of v5e speed-of-light historically).
-    ctrl = jax.jit(lambda a, b, c: a + b + c)
+    from coral_tpu.ops.pallas_kernels import make_stream_control_fn
+
+    ctrl = make_stream_control_fn(rows)
     t_hm_i, t_ctrl = [t / 1e3 for t in slope_pair_ms(
         fn_hm, blocks3, ctrl, blocks3, n1=16, n2=256)]
     big = jax.device_put(np.ones(1 << 28, np.float32))

@@ -55,7 +55,20 @@ def _kkt_solve(K: jnp.ndarray, rhs: jnp.ndarray, mixed: bool) -> jnp.ndarray:
     """
     if not mixed:
         return jnp.linalg.solve(K, rhs)
-    s = 1.0 / jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(K), axis=1), 1e-300))
+    # Ruiz equilibration (iterated symmetric row-max scaling): one-shot
+    # Jacobi is not enough when the Hessian block reaches ~1e10 (real
+    # WGS amplicons: wlrseg = 0.5*lr_nc^2/(cov*size) ~ 1e10) against
+    # the 1e-10 regularizer — the scaled matrix still overflowed f32
+    # conditioning and iterative refinement stalled Newton at a wrong
+    # fixed point (caught by test_mixed_refinement_ill_conditioned).
+    s = jnp.ones_like(rhs)
+
+    def ruiz(s, _):
+        Ks_ = (K * s[:, None]) * s[None, :]
+        m = jnp.max(jnp.abs(Ks_), axis=1)
+        return s / jnp.sqrt(jnp.maximum(m, 1e-300)), None
+
+    s, _ = jax.lax.scan(ruiz, s, None, length=4)
     Ks = (K * s[:, None]) * s[None, :]
     lu, piv = jax.scipy.linalg.lu_factor(Ks.astype(jnp.float32))
 
@@ -63,13 +76,28 @@ def _kkt_solve(K: jnp.ndarray, rhs: jnp.ndarray, mixed: bool) -> jnp.ndarray:
         rs = (r * s).astype(jnp.float32)
         return jax.scipy.linalg.lu_solve((lu, piv), rs).astype(K.dtype) * s
 
-    x = scaled_solve(rhs)
+    x0 = scaled_solve(rhs)
+    rhs_n = jnp.linalg.norm(rhs)
 
-    def refine(x, _):
+    # residual-driven refinement: loop until float64-level relative
+    # residual or no further progress (cap 15; each step is one matvec
+    # + one triangular solve pair — cheap next to the factor)
+    def cond(state):
+        x, r_n, r_prev, it = state
+        return (it < 15) & (r_n > 1e-14 * (rhs_n + 1e-300)) \
+            & (r_n < r_prev * 0.5)
+
+    def body(state):
+        x, r_n, _, it = state
         r = rhs - K @ x
-        return x + scaled_solve(r), None
+        x = x + scaled_solve(r)
+        r2 = rhs - K @ x
+        return x, jnp.linalg.norm(r2), r_n, it + 1
 
-    x, _ = jax.lax.scan(refine, x, None, length=5)
+    r0 = rhs - K @ x0
+    x, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (x0, jnp.linalg.norm(r0), jnp.asarray(jnp.inf, K.dtype), 0))
     return x
 
 

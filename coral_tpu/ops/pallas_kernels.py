@@ -417,6 +417,40 @@ def make_pair3_pallas_fn(rows: int, min_bp_match_cutoff: int = 100,
     return jax.jit(call)
 
 
+def _stream_control_kernel(qgap, grr, meta, out):
+    """Zero-compute streaming control: reads the SAME three blocks the
+    v3 hit-mask kernel reads and writes one int32 block (two vector adds
+    — negligible next to the memory traffic).  Used by the bench to
+    measure the attainable per-dispatch streaming ceiling with the SAME
+    Pallas block structure as the kernel under test (an XLA elementwise
+    a+b+c control measured ~12–30% SLOWER than the hand-scheduled
+    kernel, i.e. it was not a ceiling at all — round-5 bench note)."""
+    out[:] = qgap[:] + grr[:] + meta[:]
+
+
+@functools.lru_cache(maxsize=8)
+def make_stream_control_fn(rows: int, interpret: bool = False,
+                           max_bs: int = 128):
+    """Compiled streaming-control op with make_pair3_pallas_fn's exact
+    grid/block structure (see :func:`_stream_control_kernel`)."""
+    if rows % SUBLANES:
+        raise ValueError(f"rows={rows} must be a multiple of {SUBLANES}")
+    bs = SUBLANES
+    while bs < max_bs and rows % (bs * 2) == 0:
+        bs *= 2
+    block = pl.BlockSpec((bs, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        _stream_control_kernel,
+        grid=(rows // bs,),
+        in_specs=[block] * 3,
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
 def pair_predicates_pallas_packed3(
     packed, n: int,
     min_bp_match_cutoff: int = 100, gap_: float = 100.0,

@@ -246,3 +246,36 @@ def test_batch_engine_f64_everywhere():
         np.testing.assert_allclose(x, x_ref, rtol=1e-9, atol=1e-9)
         assert ["%f" % (2 * v) for v in x] == \
                ["%f" % (2 * v) for v in x_ref]
+
+
+def test_mixed_refinement_ill_conditioned():
+    """Mixed-precision refinement stays digit-exact on systems with
+    wide coefficient spreads (heavy wlrseg vs tiny wlncn — the KKT
+    diagonal then spans many decades, stressing the f32 factor that the
+    Jacobi equilibration protects)."""
+    import jax
+
+    from coral_tpu.graph.cn_solver import _solve_kkt_newton
+
+    rng = np.random.default_rng(42)
+    for scale in (1e2, 1e6, 1e9):
+        k = 6
+        n = 2 * k - 1
+        wcn = np.abs(rng.normal(50, 10, n)) + 5
+        wlncn = np.concatenate([np.full(k, -0.5),
+                                np.abs(rng.normal(300, 50, k - 1))])
+        wlrseg = np.concatenate([np.abs(rng.normal(scale, scale / 5, k)),
+                                 np.zeros(k - 1)])
+        A = np.zeros((2 * (k - 1), n))
+        for j in range(k - 1):
+            A[2 * j][j] = 1
+            A[2 * j][k + j] = -1
+            A[2 * j + 1][j + 1] = 1
+            A[2 * j + 1][k + j] = -1
+        x_ref = solve_cn_balance(wlrseg, wcn, wlncn, A, engine="numpy")
+        with jax.enable_x64(True):
+            x_mixed, _ = _solve_kkt_newton(
+                wlrseg, wcn, wlncn, A, mixed_lu=True)
+            x_mixed = np.asarray(x_mixed)
+        assert ["%f" % (2 * v) for v in x_mixed] == \
+               ["%f" % (2 * v) for v in x_ref], f"scale {scale}"

@@ -262,3 +262,19 @@ def test_pair_factories_reject_partial_rows():
         make_pair_pallas_fn(12, 4)
     with pytest.raises(ValueError, match="multiple"):
         make_pair_hist_pallas_fn(12, 4)
+
+
+def test_stream_control_kernel_matches_elementwise():
+    """The bench's streaming-control op (same block structure as the v3
+    hit-mask kernel) computes exactly a+b+c."""
+    import numpy as np
+
+    from coral_tpu.ops.pallas_kernels import LANES, make_stream_control_fn
+
+    rng = np.random.default_rng(0)
+    rows = 16
+    blocks = [rng.integers(0, 1 << 20, (rows, LANES)).astype(np.int32)
+              for _ in range(3)]
+    fn = make_stream_control_fn(rows, interpret=True)
+    out = np.asarray(fn(*blocks))
+    np.testing.assert_array_equal(out, blocks[0] + blocks[1] + blocks[2])

@@ -376,3 +376,37 @@ def test_driver_gap_zero_via_branch_and_price(tmp_path):
     # number must be 0 on this certifiable instance
     assert trunc.get("branch_and_price") is None or \
         trunc["branch_and_price"].get("gap_after", gap) == 0.0
+
+
+def test_branch_and_price_with_subpath_constraints():
+    """B&P with a nonempty pc_list: the pc master rows and their duals
+    flow through node LPs and pricing; bounds stay valid (tree bound
+    never exceeds the incumbent objective) and the incumbent satisfies
+    the constraint."""
+    from coral_tpu.cycles.colgen import branch_and_price, column_generate
+
+    g = dense_graph(n_segs=5, cross_span=2)
+    total = total_graph_weight(g)
+    cfg = CycleConfig()
+    full = enumerate_candidates(g, max_states=2_000_000)
+    # a subpath constraint taken from a real candidate: two interior
+    # sequence edges + a discordant edge it traverses
+    pick = next(c for c in full
+                if ("d", 0) in c.edge_dict() and len(c.edge_dict()) >= 5)
+    items = list(pick.edge_dict().items())[:3]
+    pc = {k: v for k, v in items}
+    seed = enumerate_candidates(g, max_states=60)
+    assert seed.truncated
+    cg = column_generate(g, seed, total, [pc], 20, cfg)
+    st, cov, n_sat, cyc, wts, sat = joint_minimize(
+        g, cg.pool, 20, total, [pc], cfg)
+    assert st == 2
+    obj = sum((1 + 1e-6 * sum(dict(e).values()))
+              for slot in cyc for e in slot) - cov / total
+    bnp = branch_and_price(g, cg.pool, total, [pc], 20, cfg,
+                           incumbent_obj=obj)
+    assert bnp.tree_bound is not None
+    # bound validity: never above the incumbent's objective
+    assert bnp.tree_bound <= obj + 1e-9
+    # and the incumbent satisfied the pc (joint MILP enforces >= 1)
+    assert n_sat == 1
