@@ -103,6 +103,13 @@ def _col_wmax(g, cnk: Dict[tuple, int]) -> float:
 
 
 def _cn_table(g) -> Dict[tuple, float]:
+    """Edge-key -> CN map, cached on the graph: ``reduced_cost`` calls
+    this once per CONSIDERED WALK in the pricing DFS (round-5 review) —
+    edge CNs are fixed before decomposition starts, so the cache cannot
+    go stale within a solve."""
+    cached = getattr(g, "_colgen_cn_table", None)
+    if cached is not None:
+        return cached
     cn_of: Dict[tuple, float] = {}
     for i, e in enumerate(g.sequence_edges):
         cn_of[("s", i)] = e.cn
@@ -112,6 +119,10 @@ def _cn_table(g) -> Dict[tuple, float]:
         cn_of[("d", i)] = e.cn
     for i, e in enumerate(g.source_edges):
         cn_of[("src", i)] = e.cn
+    try:
+        g._colgen_cn_table = cn_of
+    except Exception:
+        pass
     return cn_of
 
 
@@ -278,6 +289,11 @@ def solve_lp_relaxation(
             b_eq=np.asarray(b_eq))
     res = linprog(c_vec, A_ub=A, b_ub=np.asarray(b_ub), bounds=bounds,
                   method="highs", **eq_kw)
+    # expose the raw status so callers can distinguish genuine
+    # infeasibility (2 — an empty branch region, validly prunable with
+    # +inf) from solver failure (iteration limit / numerical trouble —
+    # which must NOT be pruned; round-5 review finding)
+    solve_lp_relaxation.last_status = int(res.status)
     if res.status != 0 or res.x is None:
         return None
     y = np.asarray(res.ineqlin.marginals)
@@ -570,8 +586,16 @@ class ColGenResult:
     columns_added: int
     pricing_states: int
     infeasible: bool = False
+    lp_failed: bool = False       # master LP failed for a NON-infeasible
+    #                               reason (no valid conclusion about the
+    #                               region may be drawn)
     slack_total: float = 0.0      # residual phase-1 slack at the last LP
-    lp: Optional[LpRelaxation] = None   # final master LP (z aligned to pool)
+    lp: Optional[LpRelaxation] = None   # final master LP
+    # the candidate count the final LP was solved over: the pool may be
+    # LONGER when the last round still priced new columns (work.extend
+    # runs after the final solve), so lp.z aligns with pool[:lp_ncols]
+    # only (round-5 review: indexing z over the full pool raised)
+    lp_ncols: int = 0
 
 
 def column_generate(
@@ -614,13 +638,15 @@ def column_generate(
         if lp is None:
             # pool LP infeasible (e.g. a discordant floor no pool walk
             # covers): nothing to price against — report uncertified
+            status = getattr(solve_lp_relaxation, "last_status", 2)
             return ColGenResult(
                 pool=CandidatePool(work, truncated=pool.truncated,
                                    max_states=pool.max_states,
                                    conc_cap=pool.conc_cap),
                 lp_bound=None, lp_pool_obj=None, certified=False,
                 rounds=rounds, columns_added=added,
-                pricing_states=states_total, infeasible=True)
+                pricing_states=states_total,
+                infeasible=status == 2, lp_failed=status != 2)
         pricing = price_walks(
             g, lp, total_weights, pc_list, caps,
             cfg.max_edge_multiplicity, max_bp_steps,
@@ -652,6 +678,7 @@ def column_generate(
             "(pricing %s, %d states)", rounds, lp.objective, f_min,
             len(new), "complete" if pricing.complete else "truncated",
             pricing.states)
+        lp_ncols = len(work)   # the candidate count this lp was solved over
         if not new:
             # LP-optimal over ALL walks only when the pricing search
             # exhausted the space AND no phase-1 slack is active
@@ -673,7 +700,7 @@ def column_generate(
         certified=certified, rounds=rounds, columns_added=added,
         pricing_states=states_total,
         slack_total=lp.slack_total if lp is not None else 0.0,
-        lp=lp)
+        lp=lp, lp_ncols=lp_ncols if lp is not None else 0)
 
 
 # --- branch-and-price (round-5 directive 3) -------------------------------
@@ -747,17 +774,27 @@ def branch_and_price(
             forced=forced, banned=banned)
         states += cg.pricing_states
         work_pool = cg.pool
+        if cg.lp_failed:
+            # solver failure (NOT proven infeasibility): no conclusion
+            # about this region — fall back to the parent's bound, which
+            # remains valid for any sub-region (round-5 review: pruning
+            # failures as +inf could certify a false gap 0)
+            leaf_bounds.append(parent_bound)
+            continue
         if cg.infeasible or cg.lp is None or cg.lp_bound is None:
-            # node master infeasible even with phase-1 slacks: the
-            # branch region is empty — prune with +inf
+            # node master proven infeasible even with phase-1 slacks:
+            # the branch region is empty — prune with +inf
             leaf_bounds.append(math.inf)
             continue
         node_bound = cg.lp_bound
         if node_bound >= best_inc - tol:
             leaf_bounds.append(node_bound)
             continue
+        # lp.z aligns with the candidates the FINAL LP was solved over
+        # (the pool may be longer when the last pricing round still
+        # added columns — round-5 review: indexing past z raised)
         z = cg.lp.z
-        candidates = list(work_pool)
+        candidates = list(work_pool)[:cg.lp_ncols]
         # integral = every column mass in {0, 1} and no phase-1 slack
         fracs = [(i, _fractionality(float(z[i])))
                  for i in range(len(candidates))]
@@ -765,11 +802,17 @@ def branch_and_price(
                                    default=(None, 0.0))
         over_one = any(float(z[i]) > 1.0 + 1e-6 for i in range(len(z)))
         if max_frac <= 1e-6 and not over_one and cg.slack_total < 1e-6:
+            # integral master solution: a feasible INTEGER incumbent of
+            # value lp_pool_obj.  The leaf's LOWER bound stays the
+            # node's Lagrangian bound (round-5 review: recording the
+            # pool objective overstated the bound when the node's
+            # pricing was truncated — an unpooled walk could still
+            # lower the region optimum)
             val = cg.lp_pool_obj
             if val < best_inc - tol:
                 best_inc = val
                 improved = True
-            leaf_bounds.append(val)
+            leaf_bounds.append(node_bound)
             continue
         if max_frac_i is None:
             leaf_bounds.append(node_bound)
@@ -798,10 +841,16 @@ def branch_and_price(
     finite = [b for b in all_bounds if math.isfinite(b)] or \
         ([best_inc] if math.isfinite(best_inc) else [])
     tree_bound = min(finite) if finite else None
+    # certification tolerance: converged pricing leaves up to k*RC_TOL
+    # of Lagrangian slack in every node bound (f_min >= -RC_TOL at
+    # convergence), so "closed at the incumbent" must admit it — the
+    # analog of Gurobi's default MIPGap, ~1e-6 absolute here
+    close_tol = tol + k * RC_TOL
     if tree_bound is not None and all(
-            (not math.isfinite(b)) or b >= best_inc - tol
+            (not math.isfinite(b)) or b >= best_inc - close_tol
             for b in all_bounds) and math.isfinite(best_inc):
-        # every leaf pruned at the incumbent: certified optimal
+        # every leaf pruned at the incumbent (within the pricing
+        # tolerance): certified optimal
         tree_bound = max(tree_bound, best_inc)
     return BnPResult(
         pool=work_pool, tree_bound=tree_bound,

@@ -1069,8 +1069,14 @@ int64_t bc_parse_sa(BamCore* bc) {
         // its qlen here — when the primary carries the SA tag, as
         // aligners emit for split reads — is exactly the separate
         // whole-BAM read_len pass's result, which then only runs for
-        // slots this pass could not resolve (usually none)
-        if (bc->flag[i] < 256) sp.rlen[slot] = bc->qlen[i];
+        // slots this pass could not resolve (usually none).  First-seen
+        // wins WITHIN the chunk too (the cross-part merge keeps the
+        // first part's value), so even a malformed BAM with duplicate
+        // primary records keeps the sequential scan's deterministic
+        // first-in-file-order result regardless of thread count.
+        if (bc->flag[i] < 256 && sp.rlen[slot] < 0) {
+          sp.rlen[slot] = bc->qlen[i];
+        }
         const char* p = blob + bc->sa_off[i];
         const char* end = p + bc->sa_len[i];
         // split on ';', dropping a trailing empty entry

@@ -280,8 +280,11 @@ def find_breakpoints_device(
             "pair scoring route: engine=%s scored %d pairs in %.3fs",
             engine, n_pairs, _dt)
         # API-level route record (bench reads this instead of scraping
-        # the log-line format)
+        # the log-line format); bounded so long-running services don't
+        # accumulate records forever (round-5 review)
         ROUTE_RECORDS.append(RouteRecord(engine, n_pairs, _dt, reason))
+        if len(ROUTE_RECORDS) > 4096:
+            del ROUTE_RECORDS[:2048]
     # per-pair hit mask back into per-read slices
     hit_by_row = np.zeros(max(table.n_alignments, 1), bool)
     hit_by_row[pi] = hits
@@ -850,7 +853,8 @@ def score_pairs_l(
             # first call's compile would poison the estimate)
             routing.mark_warm(
                 key, observed_s=(_time.perf_counter() - _t0
-                                 if routing.is_warm(key) else None))
+                                 if routing.is_warm(key) else None),
+                n_pairs=pi.size)
             return pi, pj, hit
         # > 8190 intervals: fall back to the 6-column kernel (in-kernel
         # interval scan; the gate index no longer fits the meta2 word)
@@ -877,7 +881,8 @@ def score_pairs_l(
                    int(min_bp_match_cutoff), float(gap_))
             routing.mark_warm(
                 key, observed_s=(_time.perf_counter() - _t0
-                                 if routing.is_warm(key) else None))
+                                 if routing.is_warm(key) else None),
+                n_pairs=pi.size)
             return pi, pj, hit
         cols = {
             "qi_end": table.q_end[pi], "qj_start": table.q_start[pj],
@@ -954,5 +959,6 @@ def score_pairs_l(
         key = ("xla", routing._xla_bucket(pi.size, batch), len(int_chrom))
         routing.mark_warm(
             key, observed_s=(_time.perf_counter() - _t0
-                             if routing.is_warm(key) else None))
+                             if routing.is_warm(key) else None),
+            n_pairs=pi.size)
     return pi, pj, hits

@@ -131,7 +131,12 @@ def backend_hint() -> Optional[str]:
     try:
         import jax
 
-        p = jax.config.read("jax_platforms")
+        # attribute access, not config.read(): "jax_platforms" is a
+        # contextmanager-backed flag for which read() raises, which
+        # silently disabled this path and misclassified processes that
+        # force CPU via jax.config.update (the repo's documented method)
+        # while JAX_PLATFORMS=axon is exported (round-5 review finding)
+        p = jax.config.jax_platforms
     except Exception:
         p = None
     if not p:
@@ -147,31 +152,49 @@ def backend_hint() -> Optional[str]:
     return first
 
 
-def mark_warm(key: tuple, observed_s: Optional[float] = None) -> None:
+def mark_warm(key: tuple, observed_s: Optional[float] = None,
+              n_pairs: Optional[int] = None) -> None:
     """Record that the compiled program for ``key`` has executed in this
     process (called by the dispatch wrappers in :mod:`.pairs` after a
     successful device call).  ``observed_s`` feeds the measured
     wall-clock of that warm end-to-end call (pack + transfer + dispatch
-    + fetch) back into the cost model: once a bucket has a real
-    observation, :func:`decide` trusts it over the analytic estimate —
-    the estimate cannot see python/reshape overheads or day-to-day
-    tunnel variance, the observation is exactly the quantity being
-    predicted."""
+    + fetch) back into the cost model, with the pair count it was
+    observed at: once a bucket has a real observation, :func:`decide`
+    trusts it over the analytic estimate — the estimate cannot see
+    python/reshape overheads or day-to-day tunnel variance, the
+    observation is exactly the quantity being predicted."""
     _warm_buckets.add(key)
     if observed_s is not None:
         # keep the fastest observation: early calls may fold one-time
         # costs (session, lazy imports) that later calls won't pay
         prev = _observed_device_s.get(key)
-        if prev is None or observed_s < prev:
-            _observed_device_s[key] = observed_s
+        if prev is None or observed_s < prev[0]:
+            _observed_device_s[key] = (observed_s,
+                                       n_pairs if n_pairs else 0)
 
 
 def is_warm(key: tuple) -> bool:
     return key in _warm_buckets
 
 
-def observed_device_s(key: tuple) -> Optional[float]:
-    return _observed_device_s.get(key)
+def observed_device_s(key: tuple, n_pairs: int) -> Optional[float]:
+    """The recorded observation for ``key``, scaled to ``n_pairs``.
+
+    Bucketed Pallas keys already pin the dispatch shape (same-bucket
+    pair counts differ by < 2x and the cost is shape-determined), so the
+    observation applies as-is.  The XLA key collapses every call at >=
+    one full chunk into one bucket while its cost scales with the CHUNK
+    COUNT — scale the observation by the chunk ratio there (round-5
+    review: an observation from a 1.5M-pair call must not price a
+    150M-pair call verbatim)."""
+    rec = _observed_device_s.get(key)
+    if rec is None:
+        return None
+    obs_s, obs_n = rec
+    if key[0] == "xla" and obs_n > 0:
+        batch = 1 << 18
+        return obs_s * (-(-n_pairs // batch)) / (-(-obs_n // batch))
+    return obs_s
 
 
 def route_key(n_pairs: int, min_bp_match_cutoff: int, gap_: float,
@@ -377,7 +400,7 @@ def decide(n_pairs: int, min_bp_match_cutoff: int, gap_: float,
     warm = is_warm(key)
     cal = get_calibration(measure_device=warm)
     t_host = cal.host_time_s(n_pairs)
-    obs = observed_device_s(key) if warm else None
+    obs = observed_device_s(key, n_pairs) if warm else None
     if obs is not None:
         t_dev, basis = obs, "observed"
     else:
