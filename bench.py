@@ -378,8 +378,15 @@ def e2e_wgs() -> dict:
         identical = (list(host_files.values()) == list(cold_files.values())
                      == list(warm_files.values()))
         host_s = host_stages["total"]
-        never_loses = (cold_stages["total"] <= host_s * 1.25 + 2.0
-                       and warm_stages["total"] <= host_s * 1.25 + 2.0)
+        # never-loses is judged on the ENGINE-ATTRIBUTABLE scoring
+        # sub-times: totals carry up to 2x of scan/paging noise between
+        # arms (environmental), while the route decision can only win or
+        # lose the scoring sub-stage — a cliff there (the BENCH_r04
+        # failure was +279 s) is what this key guards against
+        sc_host = host_main.seconds if host_main else 0.0
+        never_loses = all(
+            rec is None or rec.seconds <= sc_host + 2.0
+            for rec in (cold_main, warm_main))
         out.update({
             "e2e_wgs_host_s": host_s,
             "e2e_wgs_auto_cold_s": cold_stages["total"],
