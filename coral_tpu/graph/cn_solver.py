@@ -227,10 +227,21 @@ _F64_JAX = None
 def _have_f64_jax() -> bool:
     global _F64_JAX
     if _F64_JAX is None:
-        try:
-            _F64_JAX = jax.default_backend() == "cpu"
-        except Exception:
-            _F64_JAX = False
+        # platform sniff first: jax.default_backend() INITIALIZES the
+        # backend, and a remote PJRT client init costs ~10 s — measured
+        # landing inside the graph+CN stage of a host-only reconstruct
+        # (round-5 profile), just to decide that the engine should be
+        # numpy anyway
+        from ..ops.routing import backend_hint
+
+        hint = backend_hint()
+        if hint is not None:
+            _F64_JAX = hint == "cpu"
+        else:
+            try:
+                _F64_JAX = jax.default_backend() == "cpu"
+            except Exception:
+                _F64_JAX = False
     return _F64_JAX
 
 

@@ -988,6 +988,62 @@ static double now_s() {
   return ts.tv_sec + ts.tv_nsec * 1e-9;
 }
 
+// Open-addressing name->slot table (FNV-1a, linear probing, pow2 cap
+// >= 2x the worst-case key count so the load factor stays <= 0.5, no
+// growth path needed).  The std::unordered_map probe dominated the
+// slot/split phase at 1.5M chimeric names (round-5 profile): per-node
+// allocations + pointer-chased buckets vs one flat cache line here.
+// Keys are views into the stable name blob, so entries store raw
+// (ptr, len).
+struct NameSlotTable {
+  struct Entry { const char* p; uint32_t len; int32_t slot; };
+  std::vector<Entry> tab;
+  size_t mask = 0;
+  void init(size_t expect) {
+    size_t cap = 16;
+    while (cap < (expect + 1) * 2) cap <<= 1;
+    tab.assign(cap, Entry{nullptr, 0, -1});
+    mask = cap - 1;
+  }
+  static uint64_t hash(const char* p, size_t n) {
+    uint64_t h = 1469598103934665603ull;
+    for (size_t i = 0; i < n; i++) {
+      h ^= static_cast<unsigned char>(p[i]);
+      h *= 1099511628211ull;
+    }
+    return h;
+  }
+  // slot pointer for nm; *result == -1 means freshly inserted (caller
+  // assigns the slot; real slots are always >= 0)
+  int32_t* probe(std::string_view nm) {
+    size_t i = hash(nm.data(), nm.size()) & mask;
+    while (tab[i].p) {
+      if (tab[i].len == nm.size()
+          && memcmp(tab[i].p, nm.data(), nm.size()) == 0) {
+        return &tab[i].slot;
+      }
+      i = (i + 1) & mask;
+    }
+    tab[i].p = nm.data();
+    tab[i].len = static_cast<uint32_t>(nm.size());
+    tab[i].slot = -1;
+    return &tab[i].slot;
+  }
+  // find-only: returns slot or -1
+  int32_t find(std::string_view nm) const {
+    if (tab.empty()) return -1;
+    size_t i = hash(nm.data(), nm.size()) & mask;
+    while (tab[i].p) {
+      if (tab[i].len == nm.size()
+          && memcmp(tab[i].p, nm.data(), nm.size()) == 0) {
+        return tab[i].slot;
+      }
+      i = (i + 1) & mask;
+    }
+    return -1;
+  }
+};
+
 int64_t bc_parse_sa(BamCore* bc) {
   const bool dbg = getenv("BC_TIMING") != nullptr;
   double t0 = dbg ? now_s() : 0;
@@ -1015,19 +1071,19 @@ int64_t bc_parse_sa(BamCore* bc) {
   // order, and dedup-keep-first are all identical to the sequential
   // scan.  A read whose records span ranges gets its parts' buckets
   // concatenated with the same std::find dedup the scan does.
-  std::unordered_map<std::string_view, int32_t> slot_of;
+  NameSlotTable slot_of;
   std::vector<int64_t> first_rec;
   std::vector<std::vector<SaView>> sa_sets;
   std::vector<int64_t> read_len;
   int64_t n_sa = 0;
   for (int64_t i = 0; i < n; i++) n_sa += bc->sa_len[i] != 0;
-  slot_of.reserve(static_cast<size_t>(n_sa));
+  slot_of.init(static_cast<size_t>(n_sa));
   first_rec.reserve(static_cast<size_t>(n_sa));
   sa_sets.reserve(static_cast<size_t>(n_sa));
   read_len.reserve(static_cast<size_t>(n_sa));
   {
     struct SlotPart {
-      std::unordered_map<std::string_view, int32_t> slot_of;
+      NameSlotTable slot_of;
       std::vector<int64_t> first_rec;
       std::vector<std::string_view> names;
       std::vector<std::vector<SaView>> sa_sets;
@@ -1040,29 +1096,33 @@ int64_t bc_parse_sa(BamCore* bc) {
     const int64_t rchunk = (n + nt0 - 1) / nt0;
     auto swork = [&](int ti) {
       SlotPart& sp = sparts[ti];
-      const size_t cap = static_cast<size_t>(n_sa / nt0 + 16);
-      sp.slot_of.reserve(cap);
+      const int64_t r0 = ti * rchunk;
+      const int64_t r1 = std::min<int64_t>(n, r0 + rchunk);
+      // exact per-part worst case (unique names <= SA records in range)
+      // so the open-addressing table never needs to grow
+      int64_t part_sa = 0;
+      for (int64_t i = r0; i < r1; i++) part_sa += bc->sa_len[i] != 0;
+      const size_t cap = static_cast<size_t>(part_sa);
+      sp.slot_of.init(cap);
       sp.first_rec.reserve(cap);
       sp.names.reserve(cap);
       sp.sa_sets.reserve(cap);
       sp.rlen.reserve(cap);
-      const int64_t r0 = ti * rchunk;
-      const int64_t r1 = std::min<int64_t>(n, r0 + rchunk);
       const char* blob = reinterpret_cast<const char*>(bc->sa_blob.data());
       for (int64_t i = r0; i < r1; i++) {
         if (bc->sa_len[i] == 0) continue;
         std::string_view nm = name_of(i);
-        auto it = sp.slot_of.find(nm);
+        int32_t* sl = sp.slot_of.probe(nm);
         int32_t slot;
-        if (it == sp.slot_of.end()) {
+        if (*sl < 0) {
           slot = static_cast<int32_t>(sp.first_rec.size());
-          sp.slot_of.emplace(nm, slot);
+          *sl = slot;
           sp.first_rec.push_back(i);
           sp.names.push_back(nm);
           sp.sa_sets.emplace_back();
           sp.rlen.push_back(-1);
         } else {
-          slot = it->second;
+          slot = *sl;
         }
         // a read has at most ONE primary record (flag<256: secondary
         // 0x100 and supplementary 0x800 both exceed it), so capturing
@@ -1104,18 +1164,18 @@ int64_t bc_parse_sa(BamCore* bc) {
     int64_t unresolved = 0;
     for (SlotPart& sp : sparts) {
       for (size_t j = 0; j < sp.names.size(); j++) {
-        auto it = slot_of.find(sp.names[j]);
+        int32_t* sl = slot_of.probe(sp.names[j]);
         int32_t slot;
-        if (it == slot_of.end()) {
+        if (*sl < 0) {
           slot = static_cast<int32_t>(first_rec.size());
-          slot_of.emplace(sp.names[j], slot);
+          *sl = slot;
           first_rec.push_back(sp.first_rec[j]);
           sa_sets.emplace_back(std::move(sp.sa_sets[j]));
           read_len.push_back(sp.rlen[j]);
           unresolved += sp.rlen[j] < 0;
           continue;
         }
-        slot = it->second;
+        slot = *sl;
         if (read_len[slot] < 0 && sp.rlen[j] >= 0) {
           read_len[slot] = sp.rlen[j];
           unresolved--;
@@ -1136,9 +1196,9 @@ int64_t bc_parse_sa(BamCore* bc) {
     if (unresolved > 0) {
       for (int64_t i = 0; i < n; i++) {
         if (bc->flag[i] >= 256 || bc->sa_len[i] != 0) continue;
-        auto it = slot_of.find(name_of(i));
-        if (it != slot_of.end() && read_len[it->second] < 0) {
-          read_len[it->second] = bc->qlen[i];
+        int32_t slot = slot_of.find(name_of(i));
+        if (slot >= 0 && read_len[slot] < 0) {
+          read_len[slot] = bc->qlen[i];
         }
       }
     }
