@@ -79,7 +79,8 @@ def _candidate_satisfies(cand_edges: Dict[tuple, int],
 BIG_M = 1e4   # per-unit cost of the phase-1 row slacks (see below)
 
 
-def _col_wmax(g, cnk: Dict[tuple, int]) -> float:
+def _col_wmax(g, cnk: Dict[tuple, int],
+              cn_of: "Optional[Dict[tuple, float]]" = None) -> float:
     """The column's own maximum weight: min over its edges of
     cn_e / count_e, capped at max_cn.
 
@@ -94,7 +95,8 @@ def _col_wmax(g, cnk: Dict[tuple, int]) -> float:
     column branching could close; with the lifted link the same column
     prices at z = 1 and the root LP REACHES the integer optimum on the
     dense test graphs."""
-    cn_of = _cn_table(g)
+    if cn_of is None:
+        cn_of = _cn_table(g)
     wmax = float(g.max_cn)
     for key, cnt in cnk.items():
         if cnt > 0:
@@ -103,13 +105,10 @@ def _col_wmax(g, cnk: Dict[tuple, int]) -> float:
 
 
 def _cn_table(g) -> Dict[tuple, float]:
-    """Edge-key -> CN map, cached on the graph: ``reduced_cost`` calls
-    this once per CONSIDERED WALK in the pricing DFS (round-5 review) —
-    edge CNs are fixed before decomposition starts, so the cache cannot
-    go stale within a solve."""
-    cached = getattr(g, "_colgen_cn_table", None)
-    if cached is not None:
-        return cached
+    """Edge-key -> CN map.  Callers on hot paths (LP build, pricing)
+    build it ONCE per solve and pass it down — an object-attribute
+    cache was rejected in review (no invalidation if the graph's CNs
+    are re-solved between decompositions)."""
     cn_of: Dict[tuple, float] = {}
     for i, e in enumerate(g.sequence_edges):
         cn_of[("s", i)] = e.cn
@@ -119,10 +118,6 @@ def _cn_table(g) -> Dict[tuple, float]:
         cn_of[("d", i)] = e.cn
     for i, e in enumerate(g.source_edges):
         cn_of[("src", i)] = e.cn
-    try:
-        g._colgen_cn_table = cn_of
-    except Exception:
-        pass
     return cn_of
 
 
@@ -147,8 +142,14 @@ def solve_lp_relaxation(
     pc_list: List[Dict[tuple, int]], k: int,
     p_total_weight: float, p_bp_cn: Optional[float],
     forced: frozenset = frozenset(), banned: frozenset = frozenset(),
-) -> Optional[LpRelaxation]:
+    want_status: bool = False,
+):
     """Sparse Dantzig-Wolfe master LP over the pool.
+
+    Returns the :class:`LpRelaxation` (or None on failure); with
+    ``want_status=True`` returns ``(lp_or_None, linprog_status)`` so
+    callers can distinguish proven infeasibility (2) from solver
+    failure without a mutable side channel.
 
     Each candidate's (z, w) polytope {z in [0,1], 0 <= w <= max_cn z}
     is represented by its two extreme rays as PURE columns — ``a_i`` =
@@ -181,6 +182,8 @@ def solve_lp_relaxation(
     nslack = 1 + (len(g.discordant_edges) if p_bp_cn is not None else 0) \
         + npc
     nvar = 2 * m + nslack
+    cn_of = _cn_table(g)   # once per solve (per-candidate rebuild was
+    #                        a review finding)
     info = []
     for c in candidates:
         edges = c.edge_dict()
@@ -188,7 +191,7 @@ def solve_lp_relaxation(
         info.append((c, cnk,
                      [pi for pi, pc in enumerate(pc_list)
                       if _candidate_satisfies(edges, pc)],
-                     sum(edges.values()), _col_wmax(g, cnk)))
+                     sum(edges.values()), _col_wmax(g, cnk, cn_of)))
 
     rows_i: List[int] = []
     cols_i: List[int] = []
@@ -224,7 +227,6 @@ def solve_lp_relaxation(
     b_ub.append(-p_total_weight * total_weights)
     row += 1
     # CN caps: sum cnk * wmax_i * b <= cn
-    cn_of = _cn_table(g)
     all_keys = sorted({key for (_, cnk, _, _, _) in info for key in cnk},
                       key=repr)
     cap_rows = {}
@@ -289,18 +291,13 @@ def solve_lp_relaxation(
             b_eq=np.asarray(b_eq))
     res = linprog(c_vec, A_ub=A, b_ub=np.asarray(b_ub), bounds=bounds,
                   method="highs", **eq_kw)
-    # expose the raw status so callers can distinguish genuine
-    # infeasibility (2 — an empty branch region, validly prunable with
-    # +inf) from solver failure (iteration limit / numerical trouble —
-    # which must NOT be pruned; round-5 review finding)
-    solve_lp_relaxation.last_status = int(res.status)
     if res.status != 0 or res.x is None:
-        return None
+        return (None, int(res.status)) if want_status else None
     y = np.asarray(res.ineqlin.marginals)
     a = res.x[:m]
     b = res.x[m: 2 * m]
     wm_arr = np.asarray([t[4] for t in info])
-    return LpRelaxation(
+    lp = LpRelaxation(
         status=res.status, objective=float(res.fun),
         z=a + b, w=wm_arr * b,
         y_link=np.zeros(m),
@@ -310,6 +307,7 @@ def solve_lp_relaxation(
         y_pc=y[pc_rows] if pc_rows else np.zeros(0),
         slack_total=float(np.sum(res.x[slack_base:])),
     )
+    return (lp, 0) if want_status else lp
 
 
 def _edge_prices(g, lp: LpRelaxation, total_weights: float):
@@ -338,7 +336,8 @@ def _edge_prices(g, lp: LpRelaxation, total_weights: float):
 
 def reduced_cost(cand_edges: Dict[tuple, int], is_cycle: bool,
                  g, lp: LpRelaxation, price: Dict[tuple, float],
-                 pc_list: List[Dict[tuple, int]]) -> float:
+                 pc_list: List[Dict[tuple, int]],
+                 cn_of: Optional[Dict[tuple, float]] = None) -> float:
     """F = rc_z + wmax * min(0, rc_w) for a candidate NOT in the pool
     (link-row dual 0): the minimum of the candidate pair's reduced cost
     over its own (z, w) polytope vertex set {(1,0), (1,wmax)} — the
@@ -351,7 +350,8 @@ def reduced_cost(cand_edges: Dict[tuple, int], is_cycle: bool,
         if lp.y_pc[p] < 0 and _candidate_satisfies(cand_edges, pc):
             rc_z += lp.y_pc[p]
     rc_w = sum(price[key] * cnt for key, cnt in cand_edges.items())
-    return rc_z + _col_wmax(g, _cn_keys(cand_edges)) * min(0.0, rc_w)
+    return rc_z + _col_wmax(g, _cn_keys(cand_edges), cn_of) \
+        * min(0.0, rc_w)
 
 
 @dataclass
@@ -385,6 +385,7 @@ def price_walks(
     the true minimum reduced cost; when the state budget trips, it falls
     back to the root bound, still valid for the Lagrangian gap."""
     price = _edge_prices(g, lp, total_weights)
+    cn_of = _cn_table(g)   # once per pricing round
     # remaining negative price mass: per edge key, cap * min(0, price)
     neg_capacity = sum(caps.get(key, max_multiplicity) * min(0.0, p)
                        for key, p in price.items()
@@ -415,7 +416,7 @@ def price_walks(
             # already a master column: its reduced cost is known to the
             # LP; re-emitting it would stall generation
             return
-        f = reduced_cost(used, is_cycle, g, lp, price, pc_list)
+        f = reduced_cost(used, is_cycle, g, lp, price, pc_list, cn_of)
         if f < -RC_TOL:
             item = (-f, sort_key, is_cycle)
             if len(best) < keep:
@@ -631,14 +632,13 @@ def column_generate(
     rounds = 0
     pushed = False
     for rounds in range(1, max_rounds + 1):
-        lp = solve_lp_relaxation(
+        lp, lp_status = solve_lp_relaxation(
             g, work, total_weights, pc_list, k,
             cfg.p_total_weight, cfg.p_bp_cn,
-            forced=forced, banned=banned)
+            forced=forced, banned=banned, want_status=True)
         if lp is None:
             # pool LP infeasible (e.g. a discordant floor no pool walk
             # covers): nothing to price against — report uncertified
-            status = getattr(solve_lp_relaxation, "last_status", 2)
             return ColGenResult(
                 pool=CandidatePool(work, truncated=pool.truncated,
                                    max_states=pool.max_states,
@@ -646,7 +646,7 @@ def column_generate(
                 lp_bound=None, lp_pool_obj=None, certified=False,
                 rounds=rounds, columns_added=added,
                 pricing_states=states_total,
-                infeasible=status == 2, lp_failed=status != 2)
+                infeasible=lp_status == 2, lp_failed=lp_status != 2)
         pricing = price_walks(
             g, lp, total_weights, pc_list, caps,
             cfg.max_edge_multiplicity, max_bp_steps,
@@ -838,20 +838,26 @@ def branch_and_price(
     # unprocessed open nodes contribute their parent bounds
     open_bounds = [b for (b, _, _, _) in heap]
     all_bounds = leaf_bounds + open_bounds
-    finite = [b for b in all_bounds if math.isfinite(b)] or \
-        ([best_inc] if math.isfinite(best_inc) else [])
-    tree_bound = min(finite) if finite else None
-    # certification tolerance: converged pricing leaves up to k*RC_TOL
-    # of Lagrangian slack in every node bound (f_min >= -RC_TOL at
-    # convergence), so "closed at the incumbent" must admit it — the
-    # analog of Gurobi's default MIPGap, ~1e-6 absolute here
-    close_tol = tol + k * RC_TOL
-    if tree_bound is not None and all(
-            (not math.isfinite(b)) or b >= best_inc - close_tol
-            for b in all_bounds) and math.isfinite(best_inc):
-        # every leaf pruned at the incumbent (within the pricing
-        # tolerance): certified optimal
-        tree_bound = max(tree_bound, best_inc)
+    if any(b == -math.inf for b in all_bounds):
+        # a ROOT-level solver failure (parent bound -inf) left a region
+        # with no valid bound at all: claim nothing (round-5 review 2:
+        # the -inf sentinel previously slipped through the isfinite
+        # excuse and certified a false gap 0)
+        tree_bound = None
+    else:
+        finite = [b for b in all_bounds if math.isfinite(b)] or \
+            ([best_inc] if math.isfinite(best_inc) else [])
+        tree_bound = min(finite) if finite else None
+        # certification tolerance: converged pricing leaves up to
+        # k*RC_TOL of Lagrangian slack in every node bound (f_min >=
+        # -RC_TOL at convergence), so "closed at the incumbent" must
+        # admit it — the analog of Gurobi's default MIPGap, ~1e-6
+        # absolute here.  Only +inf (proven-empty regions) is excused.
+        close_tol = tol + k * RC_TOL
+        if tree_bound is not None and all(
+                b == math.inf or b >= best_inc - close_tol
+                for b in all_bounds) and math.isfinite(best_inc):
+            tree_bound = max(tree_bound, best_inc)
     return BnPResult(
         pool=work_pool, tree_bound=tree_bound,
         incumbent_obj=best_inc if math.isfinite(best_inc) else None,

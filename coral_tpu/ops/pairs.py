@@ -111,14 +111,28 @@ def adjacent_pair_indices(read_off: np.ndarray) -> Tuple[np.ndarray, np.ndarray]
 class RouteRecord:
     """One engine-routing decision + its measured scoring time (appended
     by :func:`find_breakpoints_device`; the bench and tools read these
-    instead of scraping route-log strings)."""
+    instead of scraping route-log strings).  ``seq`` increases
+    monotonically across the process — snapshot by sequence number, not
+    list index (the bounded list trims its head; review)."""
     engine: str
     n_pairs: int
     seconds: float
     reason: str
+    seq: int = 0
 
 
 ROUTE_RECORDS: List[RouteRecord] = []
+_route_seq = [0]
+
+
+def last_route_seq() -> int:
+    """Snapshot anchor: records with ``seq`` greater than this were
+    appended after the call (trim-safe, unlike a list index)."""
+    return _route_seq[0]
+
+
+def route_records_since(seq: int) -> List[RouteRecord]:
+    return [r for r in ROUTE_RECORDS if r.seq > seq]
 
 
 def clear_route_records() -> None:
@@ -282,7 +296,9 @@ def find_breakpoints_device(
         # API-level route record (bench reads this instead of scraping
         # the log-line format); bounded so long-running services don't
         # accumulate records forever (round-5 review)
-        ROUTE_RECORDS.append(RouteRecord(engine, n_pairs, _dt, reason))
+        _route_seq[0] += 1
+        ROUTE_RECORDS.append(
+            RouteRecord(engine, n_pairs, _dt, reason, _route_seq[0]))
         if len(ROUTE_RECORDS) > 4096:
             del ROUTE_RECORDS[:2048]
     # per-pair hit mask back into per-read slices

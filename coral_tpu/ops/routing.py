@@ -166,11 +166,23 @@ def mark_warm(key: tuple, observed_s: Optional[float] = None,
     _warm_buckets.add(key)
     if observed_s is not None:
         # keep the fastest observation: early calls may fold one-time
-        # costs (session, lazy imports) that later calls won't pay
+        # costs (session, lazy imports) that later calls won't pay.
+        # XLA keys compare CHUNK-NORMALIZED cost — that is how the
+        # observation is consumed (review: comparing raw seconds across
+        # different pair counts could keep the worse per-chunk rate)
+        n = n_pairs if n_pairs else 0
         prev = _observed_device_s.get(key)
-        if prev is None or observed_s < prev[0]:
-            _observed_device_s[key] = (observed_s,
-                                       n_pairs if n_pairs else 0)
+        if prev is None:
+            _observed_device_s[key] = (observed_s, n)
+        else:
+            if key[0] == "xla" and n > 0 and prev[1] > 0:
+                bucket = int(key[1])
+                better = observed_s / -(-n // bucket) \
+                    < prev[0] / -(-prev[1] // bucket)
+            else:
+                better = observed_s < prev[0]
+            if better:
+                _observed_device_s[key] = (observed_s, n)
 
 
 def is_warm(key: tuple) -> bool:
@@ -192,8 +204,11 @@ def observed_device_s(key: tuple, n_pairs: int) -> Optional[float]:
         return None
     obs_s, obs_n = rec
     if key[0] == "xla" and obs_n > 0:
-        batch = 1 << 18
-        return obs_s * (-(-n_pairs // batch)) / (-(-obs_n // batch))
+        # the chunk size IS the key's bucket (collapsed xla keys carry
+        # the batch; smaller pow2 buckets give ratio 1) — no duplicated
+        # batch constant (review)
+        bucket = int(key[1])
+        return obs_s * (-(-n_pairs // bucket)) / (-(-obs_n // bucket))
     return obs_s
 
 

@@ -124,7 +124,7 @@ def run_staged(bam, cns, seeds, prefix, engine="auto", skip_cycles=False):
     cfg = DEFAULT_CONFIG.replace(
         engine=dataclasses.replace(DEFAULT_CONFIG.engine, engine=engine))
     routes = []
-    rec_start = len(pairs_mod.ROUTE_RECORDS)
+    rec_seq = pairs_mod.last_route_seq()
 
     class Capture(logging.Handler):
         def emit(self, record):
@@ -187,7 +187,7 @@ def run_staged(bam, cns, seeds, prefix, engine="auto", skip_cycles=False):
             with open(os.path.join(d, f)) as fh:
                 files[f] = fh.read()
     return stages, routes, files, n_amp, \
-        pairs_mod.ROUTE_RECORDS[rec_start:]
+        pairs_mod.route_records_since(rec_seq)
 
 
 def main():
