@@ -496,11 +496,20 @@ def main() -> None:
     from coral_tpu.ops.pallas_kernels import make_stream_control_fn
 
     ctrl = make_stream_control_fn(rows)
-    t_hm_i, t_ctrl = [t / 1e3 for t in slope_pair_ms(
-        fn_hm, blocks3, ctrl, blocks3, n1=16, n2=256)]
+    # the interleaved ratio still varies ~1.5-2x BETWEEN runs on this
+    # tunnel (within-run medians are tight); repeat the pair measurement
+    # and report the median ratio plus the spread so a single lucky or
+    # contended window cannot set the record
+    pair_runs = [slope_pair_ms(fn_hm, blocks3, ctrl, blocks3,
+                               n1=16, n2=256, rounds=3)
+                 for _ in range(3)]
+    ratios = sorted(tc / th for th, tc in pair_runs)
+    # ceiling rate from the fastest control window (ratios stay
+    # within-window paired)
+    t_ctrl = min(tc for _, tc in pair_runs) / 1e3
     big = jax.device_put(np.ones(1 << 28, np.float32))
     red = jax.jit(jnp.sum)
-    t_red = slope_time_ms(red, big, n1=2, n2=8) / 1e3
+    t_red = slope_time_ms(red, big, n1=4, n2=16) / 1e3
 
     # --- transfer vs dispatch split (round-4 directive 2) -------------
     # transfer alone: chain N put-rounds of alternating pre-packed
@@ -598,9 +607,13 @@ def main() -> None:
         "calibrated_hbm_GBs": round(2**30 / t_red / 1e9, 1),
         "streaming_ceiling_GBs": round(n_reads * 16 / t_ctrl / 1e9, 1),
         "hitmask_GBs": round(n_reads * 16 / t_hm / 1e9, 1),
-        # ratio from the INTERLEAVED pair (drift-cancelled); capped at 1
-        # conceptually but reported raw — ~1.0 = kernel at the ceiling
-        "hitmask_vs_ceiling": round(t_ctrl / t_hm_i, 3),
+        # ratio from INTERLEAVED pairs (drift-cancelled), median of 3
+        # repetitions with the spread — ~1.0 = kernel at the ceiling;
+        # the tunnel cannot resolve this ratio tighter than ~1.5x
+        # across windows, so the spread is part of the record
+        "hitmask_vs_ceiling": round(ratios[1], 3),
+        "hitmask_vs_ceiling_spread": [round(ratios[0], 3),
+                                      round(ratios[2], 3)],
         "hitmask_frac_of_calibrated": round(
             (n_reads * 16 / t_hm) / (2**30 / t_red), 3),
         "coverage_table_build_ms": round(t_build * 1e3, 3),
